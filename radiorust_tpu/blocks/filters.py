@@ -1,0 +1,188 @@
+"""Digital filters: overlap-save fast convolution, slew-rate limiting.
+
+TPU-native equivalents of the reference's ``src/blocks/filters.rs``.
+
+:class:`Filter` keeps the reference's exact design pipeline
+(``src/blocks/filters.rs:184-239``), host-side in float64:
+
+1. sample the user frequency-response closure at every DFT bin of the chunk
+   (signed frequencies ``i * rate / n``, conjugate-layout fill),
+2. inverse FFT to an impulse response,
+3. fftshift (chunk length must be even — the reference's half-swap equals a
+   standard fftshift only for even ``n``),
+4. apply the window (default ``Kaiser.with_null_at_bin(2.0)``) and rescale
+   to the pre-window energy,
+5. zero-pad to ``2n`` (zeros in the front half) and FFT once.
+
+The device-side hot loop is then one batched ``FFT(2n) * R -> IFFT`` per
+chunk with the previous chunk carried as overlap-save state
+(``src/blocks/filters.rs:240-259``).  Normalization uses numpy/XLA FFT
+conventions; the end-to-end transfer function matches the reference's
+unnormalized-rustfft pipeline exactly (the stray 1/(2n^2) factors cancel).
+
+Latency note: the reference emits nothing until the second chunk (1-chunk
+latency, ``src/blocks/filters.rs:79-82``).  A fixed-shape dataflow must emit
+one chunk per step, so the first output chunk is computed with a zero
+previous chunk; outputs from chunk index 1 onward are bit-comparable to the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numbers import TAU
+from ..windowing import Kaiser, Rectangular, Window, window_table
+from .base import Block, BoundBlock, StreamSig
+
+__all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor", "design_response"]
+
+
+def deemphasis_factor(tau: float, frequency):
+    """Complex gain of a first-order RC deemphasis low-pass
+    (``src/blocks/filters.rs:20-27``): ``1 / (1 + j*2*pi*f*tau)``."""
+    frequency = np.asarray(frequency, dtype=np.float64)
+    return 1.0 / (1.0 + 1j * (tau * TAU * frequency))
+
+
+def design_response(freq_resp: Callable, window: Window, n: int,
+                    sample_rate: float) -> np.ndarray:
+    """Design the extended frequency response R[2n] (complex128).
+
+    ``freq_resp(bins, freqs) -> complex gains`` receives *arrays* of signed
+    bin indices and signed frequencies in hertz (vectorized version of the
+    reference's per-bin closure calls at ``src/blocks/filters.rs:193-199``).
+    """
+    if n % 2 != 0:
+        raise ValueError("Filter requires an even chunk length")
+    # Signed bin layout: bins 0..=max positive, n-i negative
+    # (src/blocks/filters.rs:190-199).  Bin n/2 (Nyquist, even n) is left at
+    # zero exactly like the reference (max_bin_abs = (n-1)/2 < n/2).
+    max_bin = (n - 1) // 2
+    bins = np.zeros(n, dtype=np.int64)
+    bins[: max_bin + 1] = np.arange(max_bin + 1)
+    bins[n - max_bin:] = -np.arange(max_bin, 0, -1)
+    freqs = bins.astype(np.float64) * (sample_rate / n)
+    gains = np.asarray(freq_resp(bins, freqs), dtype=np.complex128)
+    if n % 2 == 0:
+        gains[n // 2] = 0.0  # Nyquist bin never sampled by the reference.
+    # Inverse FFT to impulse response, center with fftshift.
+    ir = np.fft.ifft(gains)
+    ir = np.fft.fftshift(ir)
+    # Window and renormalize to pre-window energy
+    # (src/blocks/filters.rs:204-219).
+    w = window_table(window, n)
+    energy_pre = float(np.sum(np.abs(ir) ** 2))
+    ir = ir * w
+    energy_post = float(np.sum(np.abs(ir) ** 2))
+    if energy_post > 0.0:
+        ir = ir * np.sqrt(energy_pre / energy_post)
+    # Zero-pad front to 2n, transform once (src/blocks/filters.rs:220-238).
+    ext = np.concatenate([np.zeros(n, dtype=np.complex128),
+                          ir.astype(np.complex64).astype(np.complex128)])
+    return np.fft.fft(ext)
+
+
+class _BoundFilter(BoundBlock):
+    def __init__(self, sig: StreamSig, freq_resp: Callable, window: Window):
+        self.in_sig = self.out_sig = sig
+        self.window = window
+        n = sig.chunk_len
+        # Traced param: Filter::update swaps the response without
+        # recompiling (src/blocks/filters.rs:279-297).
+        self.params = {
+            "response": jnp.asarray(
+                design_response(freq_resp, window, n, sig.sample_rate)
+                .astype(np.complex64))
+        }
+
+    def init_state(self):
+        sig = self.in_sig
+        return {"prev": jnp.zeros((sig.batch, sig.chunk_len), jnp.complex64)}
+
+    def process(self, params, state, x, reset):
+        n = self.in_sig.chunk_len
+        prev = jnp.where(reset[:, None], 0.0 + 0.0j, state["prev"])
+        buf = jnp.concatenate([prev, x], axis=-1)
+        spec = jnp.fft.fft(buf) * params["response"]
+        y = jnp.fft.ifft(spec)[..., :n].astype(jnp.complex64)
+        return {"prev": x}, y
+
+    def update_params(self, freq_resp: Callable,
+                      window: Optional[Window] = None):
+        """Redesign the response host-side (analog of ``Filter::update``)."""
+        w = window if window is not None else self.window
+        r = design_response(freq_resp, w, self.in_sig.chunk_len,
+                            self.in_sig.sample_rate)
+        return {"response": jnp.asarray(r.astype(np.complex64))}
+
+
+class Filter(Block):
+    """General-purpose frequency filter by overlap-save fast convolution
+    (``src/blocks/filters.rs:110-298``).
+
+    ``freq_resp(bins, freqs)`` is a vectorized closure from signed DFT bin
+    indices / signed frequencies (hertz) to complex gains.  Frequency
+    resolution is ``x * sample_rate / chunk_len`` for
+    ``Kaiser.with_null_at_bin(x)`` (the default, x=2.0).
+    """
+
+    def __init__(self, freq_resp: Callable, window: Optional[Window] = None):
+        self.freq_resp = freq_resp
+        self.window = window if window is not None else Kaiser.with_null_at_bin(2.0)
+
+    @classmethod
+    def new(cls, freq_resp: Callable) -> "Filter":
+        return cls(freq_resp)
+
+    @classmethod
+    def new_rectangular(cls, freq_resp: Callable) -> "Filter":
+        return cls(freq_resp, Rectangular())
+
+    @classmethod
+    def with_window(cls, freq_resp: Callable, window: Window) -> "Filter":
+        return cls(freq_resp, window)
+
+    def bind(self, sig: StreamSig) -> _BoundFilter:
+        return _BoundFilter(sig, self.freq_resp, self.window)
+
+
+class _BoundSlewRateLimiter(BoundBlock):
+    def __init__(self, sig: StreamSig, slew_rate: float):
+        self.in_sig = self.out_sig = sig
+        self.params = jnp.float32(slew_rate)
+
+    def init_state(self):
+        return {"prev": jnp.zeros((self.in_sig.batch,), jnp.complex64)}
+
+    def process(self, params, state, x, reset):
+        # Truly sequential recurrence (each output feeds the next clamp,
+        # src/blocks/filters.rs:338-349): scan over samples, batched over
+        # streams on the VPU.  Used on keying envelopes at audio rates, so
+        # the sequential depth is not on the wideband hot path.
+        max_diff = params / np.float32(self.in_sig.sample_rate)
+
+        def step(prev, sample):
+            diff = sample - prev
+            norm = jnp.abs(diff)
+            scale = jnp.where(norm > max_diff, max_diff / norm, 1.0)
+            out = prev + diff * scale.astype(jnp.complex64)
+            return out, out
+
+        prev, ys = jax.lax.scan(step, state["prev"], jnp.swapaxes(x, 0, 1))
+        return {"prev": prev}, jnp.swapaxes(ys, 0, 1)
+
+
+class SlewRateLimiter(Block):
+    """Limits the slew rate of IQ values
+    (``src/blocks/filters.rs:307-376``)."""
+
+    def __init__(self, slew_rate: float):
+        self.slew_rate = float(slew_rate)
+
+    def bind(self, sig: StreamSig) -> _BoundSlewRateLimiter:
+        return _BoundSlewRateLimiter(sig, self.slew_rate)

@@ -1,0 +1,91 @@
+"""Sample-rate conversion blocks.
+
+TPU-native equivalents of the reference's ``src/blocks/resampling.rs``:
+arbitrary-(rational-)ratio windowed-sinc resampling, reformulated from the
+reference's per-sample ring-buffer loops into a static strided convolution
+(see :mod:`radiorust_tpu.ops.polyphase` for the derivation).  The carried
+ring buffer becomes a ``hist`` slab of the last taps-worth of input samples.
+
+Unlike the reference blocks (which take an ``output_chunk_len`` and
+accumulate), these blocks map one input chunk to one output chunk of
+``chunk_len * q / p`` samples; compose with a ``Rechunker`` when a specific
+output chunk length is needed.  Input chunk length must be a multiple of the
+reduced ratio's ``p``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.polyphase import (RationalPlan, plan_downsample, plan_upsample,
+                             rational_fir)
+from .base import Block, BoundBlock, StreamSig
+
+__all__ = ["Downsampler", "Upsampler"]
+
+
+class _BoundResampler(BoundBlock):
+    def __init__(self, sig: StreamSig, plan: RationalPlan,
+                 output_rate: float):
+        self.in_sig = sig
+        self.plan = plan
+        out_len = plan.out_len(sig.chunk_len)
+        self.out_sig = StreamSig(sig.batch, out_len, output_rate)
+        self.params = {"kernel": jnp.asarray(plan.kernel)}
+
+    def init_state(self):
+        # Zero history matches the reference's zero-initialized ring buffer
+        # (src/blocks/resampling.rs:99,234).
+        return {"hist": jnp.zeros((self.in_sig.batch, self.plan.hist),
+                                  jnp.complex64)}
+
+    def process(self, params, state, x, reset):
+        plan = self.plan
+        if plan.hist:
+            xp = jnp.concatenate([state["hist"], x], axis=-1)
+            # History may exceed one chunk (long anti-alias FIRs), so carry
+            # the tail of the concatenated buffer.
+            new_hist = xp[:, -plan.hist:]
+        else:
+            xp = x
+            new_hist = state["hist"]
+        y = rational_fir(xp, params["kernel"], plan.p, plan.q, plan.s0,
+                         self.out_sig.chunk_len)
+        # The reference does not reset resampler state on events
+        # (src/blocks/resampling.rs:135-137), so ``reset`` is unused.
+        return {"hist": new_hist}, y
+
+
+class Downsampler(Block):
+    """Reduce sample rate (``src/blocks/resampling.rs:14-146``).
+
+    Aliasing is suppressed below ``bandwidth``; ``quality`` >= 1 scales the
+    anti-alias FIR length (default 3.0 like ``Downsampler::new``).
+    """
+
+    def __init__(self, output_rate: float, bandwidth: float,
+                 quality: float = 3.0):
+        self.output_rate = float(output_rate)
+        self.bandwidth = float(bandwidth)
+        self.quality = float(quality)
+
+    def bind(self, sig: StreamSig) -> _BoundResampler:
+        plan = plan_downsample(sig.sample_rate, self.output_rate,
+                               self.bandwidth, self.quality)
+        return _BoundResampler(sig, plan, self.output_rate)
+
+
+class Upsampler(Block):
+    """Increase sample rate (``src/blocks/resampling.rs:149-280``)."""
+
+    def __init__(self, output_rate: float, bandwidth: float,
+                 quality: float = 3.0):
+        self.output_rate = float(output_rate)
+        self.bandwidth = float(bandwidth)
+        self.quality = float(quality)
+
+    def bind(self, sig: StreamSig) -> _BoundResampler:
+        plan = plan_upsample(sig.sample_rate, self.output_rate,
+                             self.bandwidth, self.quality)
+        return _BoundResampler(sig, plan, self.output_rate)

@@ -1,0 +1,194 @@
+"""Basic transformations: gain, frequency shifting, per-sample mapping.
+
+TPU-native equivalents of the reference's ``src/blocks/transform.rs``.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numbers import TAU
+from .base import Block, BoundBlock, StreamSig
+
+__all__ = ["GainControl", "FreqShifter", "MapSample"]
+
+
+# ---------------------------------------------------------------------------
+# GainControl
+# ---------------------------------------------------------------------------
+
+class _BoundGain(BoundBlock):
+    def __init__(self, sig: StreamSig, gain: float):
+        self.in_sig = self.out_sig = sig
+        # Traced param: retunable per step without recompilation — the
+        # analog of the reference's watch-channel gain
+        # (src/blocks/transform.rs:57-63,89-91).
+        self.params = jnp.float32(gain)
+
+    def process(self, params, state, x, reset):
+        return state, x * params.astype(jnp.float32)
+
+
+class GainControl(Block):
+    """Multiply every sample by a tunable gain
+    (``src/blocks/transform.rs:29-92``)."""
+
+    def __init__(self, gain: float):
+        self.gain = float(gain)
+
+    def bind(self, sig: StreamSig) -> _BoundGain:
+        return _BoundGain(sig, self.gain)
+
+
+# ---------------------------------------------------------------------------
+# MapSample
+# ---------------------------------------------------------------------------
+
+class _BoundMap(BoundBlock):
+    def __init__(self, sig: StreamSig, fn: Callable):
+        self.in_sig = self.out_sig = sig
+        self.fn = fn
+        self.params = ()
+
+    def process(self, params, state, x, reset):
+        return state, self.fn(x)
+
+
+class MapSample(Block):
+    """Apply an elementwise jax-traceable function to every sample
+    (``src/blocks/transform.rs:108-187``).
+
+    Unlike the reference's boxed ``FnMut`` closure, the function must be a
+    pure jax-traceable elementwise map (it is fused into the compiled
+    chain); swap it by rebinding.
+    """
+
+    def __init__(self, fn: Callable = lambda x: x):
+        self.fn = fn
+
+    def bind(self, sig: StreamSig) -> _BoundMap:
+        return _BoundMap(sig, self.fn)
+
+
+# ---------------------------------------------------------------------------
+# FreqShifter
+# ---------------------------------------------------------------------------
+
+def _shift_tables(chunk_len: int, denom: int, numer: int):
+    """Host-side exact phase-index tables for one chunk.
+
+    The reference quantizes the shift to ``numer/denom`` of the sample rate
+    and cycles an exact integer phase index so there is zero long-run phase
+    drift (``src/blocks/transform.rs:298-339``).  We keep the integer-index
+    representation but compute the oscillator on the fly instead of storing
+    a table of ``denom`` complex values: ``inc[n] = (n * numer) mod denom``
+    for each sample position in the chunk (exact Python ints, then int32),
+    and ``adv = (chunk_len * numer) mod denom`` advances the carried index
+    between chunks.
+    """
+    numer %= denom
+    inc = (np.arange(chunk_len, dtype=np.int64) * numer) % denom
+    adv = (chunk_len * numer) % denom
+    return inc.astype(np.int32), np.int32(adv)
+
+
+class _BoundFreqShifter(BoundBlock):
+    def __init__(self, sig: StreamSig, precision: float, shift: float):
+        self.in_sig = self.out_sig = sig
+        self.precision = float(precision)
+        # Rational quantization exactly as the reference
+        # (src/blocks/transform.rs:298-302).
+        self.denom = int(round(sig.sample_rate / precision))
+        if self.denom <= 0:
+            raise ValueError("sample_rate / precision must round to >= 1")
+        numer = int(round(self.denom * shift / sig.sample_rate))
+        inc, adv = _shift_tables(sig.chunk_len, self.denom, numer)
+        # inc/adv are traced params: retuning the shift only swaps these
+        # arrays (host recompute, no XLA recompilation).
+        self.params = {"inc": jnp.asarray(inc), "adv": jnp.asarray(adv)}
+
+    def init_state(self):
+        b = self.in_sig.batch
+        return {
+            # Exact integer phase index at chunk start, per stream.
+            "k0": jnp.zeros((b,), jnp.int32),
+            # Phase offset accumulated across retunes (phase continuity,
+            # src/blocks/transform.rs:322-339).
+            "start_phase": jnp.zeros((b,), jnp.float32),
+        }
+
+    def process(self, params, state, x, reset):
+        denom = self.denom
+        k = (state["k0"][:, None] + params["inc"][None, :]) % denom
+        theta = (state["start_phase"][:, None]
+                 + k.astype(jnp.float32) * np.float32(TAU / denom))
+        osc = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        y = x * osc
+        new_state = {
+            "k0": (state["k0"] + params["adv"]) % denom,
+            "start_phase": state["start_phase"],
+        }
+        # The reference's oscillator keeps running through events (no state
+        # reset on interrupt: src/blocks/transform.rs:357-359), so ``reset``
+        # is deliberately unused.
+        return new_state, y
+
+    # -- host-side retune helpers ------------------------------------------
+
+    def shift_params(self, shift: float):
+        """Recompute traced params for a new shift (no recompilation)."""
+        numer = int(round(self.denom * shift / self.in_sig.sample_rate))
+        inc, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
+        return {"inc": jnp.asarray(inc), "adv": jnp.asarray(adv)}
+
+    def retune(self, params, state, shift: float):
+        """Return (params', state') for a phase-continuous retune.
+
+        Mirrors the reference's start-phase carryover on shift change
+        (``src/blocks/transform.rs:322-328``): the current phase angle is
+        folded into ``start_phase`` and the integer index restarts at 0.
+        """
+        k0 = np.asarray(state["k0"])
+        start = np.asarray(state["start_phase"])
+        new_start = (start + k0.astype(np.float64) * (TAU / self.denom)) % TAU
+        new_state = {
+            "k0": jnp.zeros_like(state["k0"]),
+            "start_phase": jnp.asarray(new_start, jnp.float32),
+        }
+        return self.shift_params(shift), new_state
+
+
+class FreqShifter(Block):
+    """Complex oscillator/mixer shifting all frequencies in an IQ stream
+    (``src/blocks/transform.rs:266-391``).
+
+    The shift is quantized to a rational fraction of the sample rate at the
+    given ``precision`` (default 1 Hz) and tracked with exact integer phase
+    indices, so there is no long-run phase drift — matching the reference's
+    phase-table method without materializing the table.
+    """
+
+    def __init__(self, shift: float = 0.0, precision: float = 1.0):
+        self.shift = float(shift)
+        self.precision = float(precision)
+
+    @classmethod
+    def with_shift(cls, shift: float) -> "FreqShifter":
+        return cls(shift=shift)
+
+    @classmethod
+    def with_precision(cls, precision: float) -> "FreqShifter":
+        return cls(precision=precision)
+
+    @classmethod
+    def with_precision_and_shift(cls, precision: float,
+                                 shift: float) -> "FreqShifter":
+        return cls(shift=shift, precision=precision)
+
+    def bind(self, sig: StreamSig) -> _BoundFreqShifter:
+        return _BoundFreqShifter(sig, self.precision, self.shift)

@@ -45,7 +45,7 @@ def test_morse_speed_type():
 
 def test_encode():
     assert encode("AB C") == [
-        P, D, S, A, CS, A, S, D, S, D, S, D, WS, A, S, D, S, A, P,
+        P, D, S, A, CS, A, S, D, S, D, S, D, WS, A, S, D, S, A, S, D, P,
     ]
 
 
