@@ -1,0 +1,58 @@
+"""Wideband FM receive chain — the north-star pipeline.
+
+Rebuilds the reference's WFM receiver
+(``examples/relm_app/simple_receiver.rs:14-71``) as one compiled chain:
+
+    IQ 1.024 Msps [batch, 16384]
+      -> FreqShifter (tune)
+      -> Downsampler to 384 kHz (bw 200 kHz)     [chunk 6144]
+      -> Filter low-pass +-100 kHz
+      -> FmDemod (deviation 150 kHz)
+      -> Filter rectangular: deemphasis 50 us, DC block, 20 Hz - 16 kHz
+      -> Downsampler to 48 kHz (bw 40 kHz)       [chunk 768]
+      -> GainControl (volume)
+
+The whole chain jits into a single XLA program per chunk step; ``batch``
+carries independent receivers (channels) through the same program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..blocks.base import Chain, StreamSig
+from ..blocks.filters import Filter, deemphasis_factor
+from ..blocks.modulation import FmDemod
+from ..blocks.resampling import Downsampler
+from ..blocks.transform import FreqShifter, GainControl
+
+__all__ = ["wfm_receiver", "WFM_INPUT_RATE", "WFM_INPUT_CHUNK"]
+
+WFM_INPUT_RATE = 1024000.0
+WFM_INPUT_CHUNK = 16384
+
+
+def _lowpass_100k(bins, freqs):
+    return np.where(np.abs(freqs) <= 100000.0, 1.0 + 0.0j, 0.0j)
+
+
+def _deemphasis_band(bins, freqs):
+    # examples/relm_app/simple_receiver.rs:43-50: DC block (|bin| >= 1),
+    # 20 Hz..16 kHz band, 50 us deemphasis.
+    keep = (np.abs(bins) >= 1) & (np.abs(freqs) >= 20.0) \
+        & (np.abs(freqs) <= 16000.0)
+    return np.where(keep, deemphasis_factor(50e-6, freqs), 0.0j)
+
+
+def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
+                 deviation: float = 150000.0) -> Chain:
+    """The WFM receive chain as a composable block spec."""
+    return Chain(
+        FreqShifter.with_shift(tune_shift),
+        Downsampler(384000.0, 200000.0),
+        Filter.new(_lowpass_100k),
+        FmDemod(deviation),
+        Filter.new_rectangular(_deemphasis_band),
+        Downsampler(48000.0, 2.0 * 20000.0),
+        GainControl(volume),
+    )
