@@ -1,0 +1,257 @@
+"""Time-sharded chain execution with collective-permute halo exchange.
+
+The reference streams chunks sequentially through per-block tasks; all
+cross-chunk coupling lives in small per-block state (filter tail, resampler
+ring, demod previous sample, oscillator phase — SURVEY.md §5).  That state
+has a crucial property: for every block in the wideband receive path it is
+either
+
+1. a pure function of the block's *previous input chunk* (filter tail =
+   previous chunk, ``src/blocks/filters.rs:240-260``; resampler history =
+   tail of the input ring, ``src/blocks/resampling.rs:103-121``; demod prev
+   = last input sample, ``src/blocks/modulation.rs:118-125``), or
+2. advanced by a *closed form* per chunk (FreqShifter's integer phase index
+   advances by a constant; FmMod's phase by the chunk's increment sum).
+
+Therefore D consecutive chunks can be processed **in parallel on D
+devices**: device d fetches device d-1's input chunk tail over ICI
+(``jax.lax.ppermute`` — a collective permute riding the interconnect) and
+reconstructs its predecessor state locally; device 0 uses the carry from
+the previous step.  Sequential dependencies collapse into one ppermute per
+stateful block plus an all-gather of scalar phase increments — the SDR
+analog of sequence parallelism with halo exchange.
+
+Blocks implement ``process_sharded(params, state, x, axis)`` (running
+inside ``shard_map``); :class:`TimeShardedChain` assembles the mesh
+program.  ``SlewRateLimiter`` is inherently sequential per sample and is
+rejected; ``Overlapper`` needs multi-hop halos (future work) — both remain
+channel-shardable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..blocks import analysis as _analysis
+from ..blocks import filters as _filters
+from ..blocks import modulation as _modulation
+from ..blocks import resampling as _resampling
+from ..blocks import transform as _transform
+from ..blocks.base import BoundBlock, StreamSig
+from ..numbers import TAU
+
+__all__ = ["TimeShardedChain"]
+
+
+def _ring_left(x, axis):
+    """Each device receives the value held by its left neighbor (cyclic)."""
+    n = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def _is_first(axis):
+    return jax.lax.axis_index(axis) == 0
+
+
+def _halo_tail(x, carry, hist, axis):
+    """The ``hist`` samples immediately preceding this device's chunk.
+
+    For device d handling chunk d of the group, that is the tail of
+    ``carry || x_0 || ... || x_{d-1}``.  Neighbor chunks arrive over the
+    interconnect via cyclic collective permutes (multi-hop when ``hist``
+    spans several chunks); positions before the group start come from the
+    replicated ``carry`` (the previous step's tail).
+    """
+    n = x.shape[-1]
+    if hist == 0:
+        return x[:, :0]
+    k = -(-hist // n)  # chunks of halo needed
+    parts = []
+    cur = x
+    for _ in range(k):
+        cur = _ring_left(cur, axis)
+        parts.append(cur)
+    # parts[j-1] = x_{d-j}; assemble [x_{d-k} .. x_{d-1}] then take its tail.
+    prev_big = jnp.concatenate(parts[::-1], axis=-1)
+    prev_tail = prev_big[:, -hist:]
+    d = jax.lax.axis_index(axis)
+    i = jnp.arange(hist)
+    from_neighbors = i >= (hist - d * n)
+    carry_idx = jnp.clip(d * n + i, 0, carry.shape[-1] - 1)
+    return jnp.where(from_neighbors[None, :], prev_tail,
+                     carry[:, carry_idx])
+
+
+# -- per-block sharded processing -------------------------------------------
+
+def _sharded_stateless(block, params, state, x, axis):
+    batch = x.shape[0]
+    _, y = block.process(params, (), x, jnp.zeros((batch,), bool))
+    return (), y
+
+
+def _sharded_filter(block, params, state, x, axis):
+    n = x.shape[-1]
+    prev = _halo_tail(x, state["prev"], n, axis)
+    buf = jnp.concatenate([prev, x], axis=-1)
+    spec = jnp.fft.fft(buf) * params["response"]
+    y = jnp.fft.ifft(spec)[..., :n].astype(jnp.complex64)
+    return {"prev": x}, y
+
+
+def _sharded_resampler(block, params, state, x, axis):
+    plan = block.plan
+    from ..ops.polyphase import rational_fir
+    if plan.hist:
+        hist = _halo_tail(x, state["hist"], plan.hist, axis)
+        xp = jnp.concatenate([hist, x], axis=-1)
+        new_hist = xp[:, -plan.hist:]
+    else:
+        xp = x
+        new_hist = state["hist"]
+    y = rational_fir(xp, params["kernel"], plan.p, plan.q, plan.s0,
+                     block.out_sig.chunk_len)
+    return {"hist": new_hist}, y
+
+
+def _sharded_fm_demod(block, params, state, x, axis):
+    prev = _halo_tail(x, state["prev"][:, None], 1, axis)[:, 0]
+    have_prev = jnp.where(_is_first(axis), state["have_prev"], True)
+    shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
+    prod = x * jnp.conj(shifted)
+    demod = jnp.arctan2(prod.imag, prod.real) * params
+    first = jnp.where(have_prev, demod[:, 0], state["last_out"])
+    y = demod.at[:, 0].set(first)
+    new_state = {
+        "prev": x[:, -1],
+        "have_prev": jnp.ones_like(have_prev),
+        "last_out": y[:, -1],
+    }
+    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
+def _sharded_freq_shifter(block, params, state, x, axis):
+    d = jax.lax.axis_index(axis)
+    denom = block.denom
+    # Closed-form per-device phase-index offset: d chunks ahead of carry.
+    k0 = (state["k0"] + d * params["adv"]) % denom
+    k = (k0[:, None] + params["inc"][None, :]) % denom
+    theta = (state["start_phase"][:, None]
+             + k.astype(jnp.float32) * np.float32(TAU / denom))
+    y = x * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    return {"k0": (k0 + params["adv"]) % denom,
+            "start_phase": state["start_phase"]}, y
+
+
+def _sharded_fm_mod(block, params, state, x, axis):
+    # Per-device phase offset = sum of all earlier devices' increment sums:
+    # an exclusive prefix over the mesh axis (scalars per stream only).
+    increments = x.real.astype(jnp.float32) * params
+    my_sum = jnp.sum(increments, axis=-1)                       # [batch]
+    all_sums = jax.lax.all_gather(my_sum, axis)                 # [D, batch]
+    d = jax.lax.axis_index(axis)
+    mask = (jnp.arange(all_sums.shape[0]) < d)[:, None]
+    prefix = jnp.sum(jnp.where(mask, all_sums, 0.0), axis=0)    # [batch]
+    theta = (state["phase"] + prefix)[:, None] + jnp.cumsum(increments,
+                                                            axis=-1)
+    theta = jnp.mod(theta, np.float32(TAU))
+    y = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    return {"phase": theta[:, -1]}, y
+
+
+_HANDLERS = {
+    _filters._BoundFilter: _sharded_filter,
+    _resampling._BoundResampler: _sharded_resampler,
+    _modulation._BoundFmDemod: _sharded_fm_demod,
+    _modulation._BoundFmMod: _sharded_fm_mod,
+    _transform._BoundFreqShifter: _sharded_freq_shifter,
+    _transform._BoundGain: _sharded_stateless,
+    _transform._BoundMap: _sharded_stateless,
+    _analysis._BoundFourier: _sharded_stateless,
+}
+
+
+def _handler_for(block: BoundBlock):
+    h = _HANDLERS.get(type(block))
+    if h is None:
+        raise NotImplementedError(
+            f"{type(block).__name__} does not support time sharding "
+            "(sequential per-sample state); use channel sharding")
+    return h
+
+
+class TimeShardedChain:
+    """Executes a bound chain over ``t_devices * chunk_len`` samples per
+    step, time-sharded across the mesh's ``t_axis`` (and channel-sharded
+    across ``ch_axis`` when given).
+
+    ``process(params, state, x_big)`` consumes ``[batch, D*chunk_len]``
+    and returns the next carry and ``[batch, D*out_chunk_len]``; it is
+    numerically identical to scanning the chain over the D chunks
+    sequentially.
+    """
+
+    def __init__(self, bound_chain, mesh: Mesh, t_axis: str = "t",
+                 ch_axis: Optional[str] = None):
+        self.bound = bound_chain
+        self.mesh = mesh
+        self.t_axis = t_axis
+        self.ch_axis = ch_axis
+        self.t_devices = mesh.shape[t_axis]
+        self.handlers = [_handler_for(b) for b in bound_chain.blocks]
+        self.in_sig = bound_chain.in_sig
+        self.out_sig = bound_chain.out_sig
+
+        blocks = bound_chain.blocks
+        handlers = self.handlers
+        taxis = t_axis
+
+        def local_step(params, state, x):
+            new_pieces = []
+            for block, h, p, s in zip(blocks, handlers, params, state):
+                piece, x = h(block, p, s, x, taxis)
+                new_pieces.append(
+                    jax.tree.map(lambda a: a[None, ...], piece))
+            return tuple(new_pieces), x
+
+        # State leaves are [batch, ...]: sharded over the channel axis,
+        # replicated over time shards.  Output state pieces gain a leading
+        # time-shard axis (the caller keeps the last shard's piece).
+        x_spec = P(ch_axis, t_axis) if ch_axis else P(None, t_axis)
+        state_in_spec = P(ch_axis) if ch_axis else P()
+        piece_spec = P(t_axis, ch_axis) if ch_axis else P(t_axis)
+
+        self._sharded = jax.jit(jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), state_in_spec, x_spec),
+            out_specs=(piece_spec, x_spec),
+            check_vma=False,
+        ))
+
+    def init_state(self):
+        return self.bound.init_state()
+
+    @property
+    def params(self):
+        return self.bound.params
+
+    def process(self, params, state, x_big):
+        pieces, y = self._sharded(params, state, x_big)
+        # Each state leaf is stacked per time-shard; the next step's carry
+        # is the last device's piece (the latest chunk in the group).
+        from jax.sharding import NamedSharding
+
+        def take_last(a):
+            spec = P(self.ch_axis) if self.ch_axis else P()
+            return a.at[-1].get(
+                out_sharding=NamedSharding(self.mesh, spec))
+
+        new_state = jax.tree.map(take_last, pieces)
+        return new_state, y

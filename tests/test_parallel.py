@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-CPU mesh: time sharding with halo
+exchange must be numerically identical to sequential chunk scanning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+from radiorust_tpu.blocks.filters import Filter
+from radiorust_tpu.blocks.modulation import FmDemod, FmMod
+from radiorust_tpu.blocks.resampling import Downsampler
+from radiorust_tpu.blocks.transform import FreqShifter, GainControl
+from radiorust_tpu.models.wfm import wfm_receiver
+from radiorust_tpu.parallel.time_shard import TimeShardedChain
+
+
+def lowpass(cut):
+    def resp(bins, freqs):
+        return np.where(np.abs(freqs) <= cut, 1.0 + 0.0j, 0.0j)
+    return resp
+
+
+def sequential_reference(bound, xs):
+    state, ys = scan(bound, bound.params, bound.init_state(), jnp.asarray(xs))
+    return np.asarray(ys)
+
+
+def make_iq(t, batch, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((t, batch, n))
+            + 1j * rng.standard_normal((t, batch, n))).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    assert len(d) >= 8, "tests need the 8-device virtual CPU platform"
+    return d
+
+
+def run_time_sharded(chain, sig, xs, mesh, steps, t_axis="t", ch_axis=None):
+    bound = chain.bind(sig)
+    ts = TimeShardedChain(bound, mesh, t_axis=t_axis, ch_axis=ch_axis)
+    d = mesh.shape[t_axis]
+    t, b, n = xs.shape
+    assert t == steps * d
+    state = ts.init_state()
+    outs = []
+    for s in range(steps):
+        group = xs[s * d: (s + 1) * d]              # [D, b, n]
+        x_big = np.moveaxis(group, 0, 1).reshape(b, d * n)
+        state, y = ts.process(ts.params, state, jnp.asarray(x_big))
+        y = np.asarray(y)
+        out_n = bound.out_sig.chunk_len
+        outs.append(np.moveaxis(y.reshape(b, d, out_n), 1, 0))
+    return np.concatenate(outs, axis=0), bound
+
+
+CASES = [
+    ("shift", Chain(FreqShifter.with_shift(1000.0)),
+     StreamSig(2, 64, 8000.0)),
+    ("filter", Chain(Filter.new(lowpass(2000.0))),
+     StreamSig(2, 64, 8000.0)),
+    ("downsample", Chain(Downsampler(1000.0, 400.0)),
+     StreamSig(2, 64, 8000.0)),
+    ("demod", Chain(FmDemod(1000.0)), StreamSig(2, 64, 8000.0)),
+    ("fmmod", Chain(FmMod(1000.0)), StreamSig(2, 64, 8000.0)),
+    ("gain", Chain(GainControl(0.5)), StreamSig(2, 64, 8000.0)),
+    ("mixed", Chain(FreqShifter.with_shift(500.0), Filter.new(lowpass(2000.0)),
+                    FmDemod(1000.0), GainControl(2.0)),
+     StreamSig(2, 64, 8000.0)),
+]
+
+
+@pytest.mark.parametrize("name,chain,sig", CASES, ids=[c[0] for c in CASES])
+def test_time_sharded_matches_sequential(devices, name, chain, sig):
+    mesh = jax.make_mesh((4,), ("t",))
+    steps = 3
+    xs = make_iq(steps * 4, sig.batch, sig.chunk_len, seed=hash(name) % 100)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_and_channel_sharded_wfm(devices):
+    # Full WFM chain on a 2x4 (channel x time) mesh, tiny shapes.
+    mesh = jax.make_mesh((2, 4), ("ch", "t"))
+    n = 2048
+    sig = StreamSig(2, n, 1024000.0)
+    steps = 2
+    rng = np.random.default_rng(42)
+    t = np.arange(steps * 4 * n) / 1024000.0
+    audio = 0.3 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * (2 * np.pi * 150000.0 / 1024000.0 * np.cumsum(audio)))
+    xs = np.stack([iq, iq * np.exp(0.5j)]).astype(np.complex64)  # [b, T*n]
+    xs = np.moveaxis(xs.reshape(2, steps * 4, n), 1, 0)          # [T, b, n]
+    got, bound = run_time_sharded(wfm_receiver(), sig, xs, mesh, steps,
+                                  ch_axis="ch")
+    want = sequential_reference(wfm_receiver().bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=5e-4)
