@@ -25,6 +25,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..numbers import COMPLEX_DTYPE
+from ..signal import Event
 
 __all__ = [
     "Speed", "Unit", "EncodeError", "encode", "units_to_envelope", "Keyer",
@@ -32,20 +33,14 @@ __all__ = [
 ]
 
 
-class StartOfMessages:
+class StartOfMessages(Event):
     """Event: keyer is about to send queued messages
     (``src/blocks/morse.rs:21-28``)."""
 
-    interrupt = False
-    flush = False
 
-
-class EndOfMessages:
+class EndOfMessages(Event):
     """Event: keyer finished all queued messages
     (``src/blocks/morse.rs:29-36``)."""
-
-    interrupt = False
-    flush = False
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,489 @@
+"""Runtime block actors.
+
+Each runtime block mirrors the reference's uniform block pattern
+(``src/blocks/mod.rs:193-239``): construction spawns an asyncio task that
+loops ``recv -> process -> send``, forwards events transparently, and
+resets stream state on interrupt events.  :class:`RuntimeBlock` wraps *any*
+compiled block spec (:class:`radiorust_tpu.blocks.base.Block`): the spec is
+re-bound whenever the incoming chunk length or sample rate changes (the
+analog of the reference recomputing designs on change,
+``src/blocks/filters.rs:179-183``), and every chunk's math runs on device
+through the bound block's jitted ``process``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..blocks.base import Block, StreamSig
+from ..signal import (BufferOverflow, Disconnection, Event, EventHandlers,
+                      EventHandling, Samples, SamplesLost)
+from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
+                   SenderConnector, new_receiver, new_sender)
+
+__all__ = [
+    "RuntimeBlock", "Silence", "Blackhole", "Buffer", "Rechunker",
+    "KeyerSource", "ArraySource", "ArraySink", "FileSink",
+]
+
+
+class _ProducerMixin:
+    sender_connector: SenderConnector
+
+    def feed_into(self, consumer) -> None:
+        consumer.receiver_connector.connect(self.sender_connector)
+
+
+class _ConsumerMixin:
+    receiver_connector: ReceiverConnector
+
+    def feed_from(self, producer) -> None:
+        self.receiver_connector.connect(producer.sender_connector)
+
+    def feed_from_none(self) -> None:
+        self.receiver_connector.disconnect()
+
+
+def _spawn(coro):
+    return asyncio.get_running_loop().create_task(coro)
+
+
+class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
+    """Streaming actor around a compiled block spec.
+
+    The device-side program recompiles only when (chunk_len, sample_rate)
+    changes; bindings are cached.  Stream state carries across chunks and
+    resets on interrupt events or rebinds.
+    """
+
+    def __init__(self, spec: Block, name: Optional[str] = None):
+        self.spec = spec
+        self.name = name or type(spec).__name__
+        receiver, self.receiver_connector = new_receiver()
+        self.sender, self.sender_connector = new_sender()
+        self._bindings: Dict[Tuple[int, float], Any] = {}
+        self._bound = None
+        self._state = None
+        self._pending_reset = False
+        self._param_override: Optional[Callable] = None
+        self.chunks_processed = 0
+        self._task = _spawn(self._run(receiver))
+
+    def _get_bound(self, chunk_len: int, sample_rate: float):
+        key = (chunk_len, sample_rate)
+        bound = self._bindings.get(key)
+        if bound is None:
+            bound = self.spec.bind(StreamSig(1, chunk_len, sample_rate))
+            bound._jit = jax.jit(bound.process)
+            self._bindings[key] = bound
+        return bound
+
+    def update_params(self, fn: Callable[[Any, Any], Any]) -> None:
+        """Host-side retune: ``fn(bound, params) -> params`` applied to the
+        current and future bindings (analog of watch-channel setters)."""
+        self._param_override = fn
+        if self._bound is not None:
+            self._bound.params = fn(self._bound, self._bound.params)
+
+    async def _run(self, receiver: Receiver):
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    if msg.is_interrupt:
+                        self._pending_reset = True
+                    await self.sender.send(msg)
+                    continue
+                chunk = np.asarray(msg.chunk)
+                bound = self._get_bound(len(chunk), msg.sample_rate)
+                if bound is not self._bound:
+                    self._bound = bound
+                    if self._param_override is not None:
+                        bound.params = self._param_override(bound,
+                                                            bound.params)
+                    self._state = bound.init_state()
+                    self._pending_reset = False
+                reset = jnp.asarray([self._pending_reset])
+                self._pending_reset = False
+                self._state, y = bound._jit(bound.params, self._state,
+                                            jnp.asarray(chunk[None, :]),
+                                            reset)
+                self.chunks_processed += 1
+                await self.sender.send(
+                    Samples(bound.out_sig.sample_rate, np.asarray(y[0])))
+        except ChannelClosed:
+            return
+
+
+class Silence(_ProducerMixin):
+    """Producer of zero chunks with tunable size and rate
+    (``src/blocks/io/mod.rs:22-87``)."""
+
+    def __init__(self, chunk_size: int, sample_rate: float):
+        self.chunk_size = chunk_size
+        self.sample_rate = sample_rate
+        self.sender, self.sender_connector = new_sender()
+        self._task = _spawn(self._run())
+
+    def set_chunk_size(self, n: int):
+        self.chunk_size = n
+
+    def set_sample_rate(self, r: float):
+        self.sample_rate = r
+
+    async def _run(self):
+        try:
+            while True:
+                chunk = np.zeros(self.chunk_size, np.complex64)
+                await self.sender.send(Samples(self.sample_rate, chunk))
+        except ChannelClosed:
+            return
+
+
+class Blackhole(_ConsumerMixin, EventHandling):
+    """Sink that discards samples but observes events
+    (``src/blocks/io/mod.rs:91-131``)."""
+
+    def __init__(self):
+        receiver, self.receiver_connector = new_receiver()
+        self.event_handlers = EventHandlers()
+        self.samples_seen = 0
+        self._task = _spawn(self._run(receiver))
+
+    async def _run(self, receiver):
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    self.event_handlers.invoke(msg)
+                else:
+                    self.samples_seen += len(msg.chunk)
+        except ChannelClosed:
+            return
+
+
+class _TemporalQueue:
+    """Duration/age-tracked queue (``src/blocks/buffering.rs:33-112``)."""
+
+    def __init__(self, clock=time.monotonic):
+        self._q: List[Tuple[float, Any]] = []
+        self._clock = clock
+        self.duration = 0.0
+        self.event_count = 0
+
+    def push(self, msg):
+        self._q.append((self._clock(), msg))
+        if isinstance(msg, Event):
+            self.event_count += 1
+        self._update()
+
+    def pop(self):
+        if not self._q:
+            return None
+        _, msg = self._q.pop(0)
+        if isinstance(msg, Event):
+            self.event_count -= 1
+        self._update()
+        return msg
+
+    def _update(self):
+        self.duration = sum(
+            m.duration if isinstance(m, Samples) else 0.0
+            for _, m in self._q)
+
+    def age(self) -> float:
+        return self._clock() - self._q[0][0] if self._q else 0.0
+
+    def __len__(self):
+        return len(self._q)
+
+    def leading_event(self) -> bool:
+        return bool(self._q) and isinstance(self._q[0][1], Event)
+
+
+QUEUE_MAX_EVENTS = 256
+
+
+class Buffer(_ProducerMixin, _ConsumerMixin):
+    """Elastic/lossy buffer (``src/blocks/buffering.rs:132-267``).
+
+    Fills to ``initial_capacity`` seconds before draining, refills to
+    ``min_capacity`` after underrun, suspends receiving above
+    ``max_capacity``, and discards entries older than ``max_age`` (emitting
+    one :class:`BufferOverflow` interrupt per gap).
+    """
+
+    def __init__(self, initial_capacity: float, min_capacity: float,
+                 max_capacity: float, max_age: float,
+                 clock=time.monotonic):
+        self.initial = initial_capacity
+        self.min_capacity = min_capacity
+        self.max_capacity = max_capacity
+        self.max_age = max_age
+        receiver, self.receiver_connector = new_receiver()
+        self.sender, self.sender_connector = new_sender()
+        self._queue = _TemporalQueue(clock)
+        self._task = _spawn(self._run(receiver))
+
+    async def _run(self, receiver):
+        queue = self._queue
+        initial = True
+        underrun = True
+        shutdown = False
+        marked_missing = False
+        fill_task = None  # persistent: cancelling a recv could lose a chunk
+        try:
+            while True:
+                if shutdown and not len(queue):
+                    return
+                can_fill = (not shutdown
+                            and queue.duration <= self.max_capacity
+                            and queue.event_count < QUEUE_MAX_EVENTS)
+                if can_fill and fill_task is None:
+                    fill_task = asyncio.ensure_future(receiver.recv())
+                want_drain = (not underrun) or shutdown
+                drain_task = (asyncio.ensure_future(self.sender.reserve())
+                              if want_drain else None)
+                tasks = [t for t in (fill_task, drain_task) if t]
+                if not tasks:
+                    fill_task = asyncio.ensure_future(receiver.recv())
+                    tasks = [fill_task]
+                done, _ = await asyncio.wait(
+                    tasks, return_when=asyncio.FIRST_COMPLETED)
+                # Only the reserve task is safe to cancel (reserving has no
+                # side effects); the fill task persists across iterations.
+                if drain_task is not None and drain_task not in done:
+                    drain_task.cancel()
+                    try:
+                        await drain_task
+                    except (asyncio.CancelledError, ChannelClosed):
+                        pass
+                    drain_task = None
+                if fill_task is not None and fill_task in done:
+                    try:
+                        msg = fill_task.result()
+                    except ChannelClosed:
+                        shutdown = True
+                        fill_task = None
+                        continue
+                    fill_task = None
+                    queue.push(msg)
+                    if initial:
+                        if queue.duration >= self.initial:
+                            underrun = False
+                            initial = False
+                    elif queue.duration >= self.min_capacity:
+                        underrun = False
+                    marked_missing = self._try_drain(marked_missing)
+                elif drain_task is not None and drain_task in done:
+                    try:
+                        drain_task.result()
+                    except ChannelClosed:
+                        return
+                    marked_missing, underrun = self._drain_one(
+                        marked_missing)
+        except ChannelClosed:
+            return
+
+    def _drop_stale(self, keep_last: bool) -> bool:
+        queue = self._queue
+        dropped = False
+        if queue.leading_event():
+            return False
+        limit = 1 if keep_last else 0
+        while len(queue) > limit and queue.age() > self.max_age:
+            queue.pop()
+            dropped = True
+        return dropped
+
+    def _try_drain(self, marked_missing):
+        try:
+            res = self.sender.try_reserve()
+        except ChannelClosed:
+            return marked_missing
+        if res is None:
+            return marked_missing
+        if len(self._queue) > 1 and self._drop_stale(keep_last=True):
+            if not marked_missing:
+                res.send(BufferOverflow())
+                return True
+        msg = self._queue.pop()
+        if msg is not None:
+            res.send(msg)
+            return False
+        return marked_missing
+
+    def _drain_one(self, marked_missing):
+        try:
+            res = self.sender.try_reserve()
+        except ChannelClosed:
+            return marked_missing, True
+        if res is None:
+            return marked_missing, False
+        if self._drop_stale(keep_last=False):
+            if not marked_missing:
+                res.send(BufferOverflow())
+                return True, False
+        msg = self._queue.pop()
+        if msg is None:
+            return marked_missing, True
+        res.send(msg)
+        return False, False
+
+
+class Rechunker(_ProducerMixin, _ConsumerMixin):
+    """Regroup arbitrary chunk lengths into a fixed length
+    (``src/blocks/chunks.rs:42-177``)."""
+
+    def __init__(self, output_chunk_len: int):
+        assert output_chunk_len > 0
+        self.output_chunk_len = output_chunk_len
+        receiver, self.receiver_connector = new_receiver()
+        self.sender, self.sender_connector = new_sender()
+        self._task = _spawn(self._run(receiver))
+
+    def set_output_chunk_len(self, n: int):
+        assert n > 0
+        self.output_chunk_len = n
+
+    async def _run(self, receiver):
+        patchwork: Optional[Tuple[float, np.ndarray]] = None
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    if patchwork is not None and len(patchwork[1]):
+                        await self.sender.send(SamplesLost())
+                        patchwork = None
+                    await self.sender.send(msg)
+                    continue
+                rate = msg.sample_rate
+                chunk = np.asarray(msg.chunk)
+                if patchwork is not None and patchwork[0] != rate \
+                        and len(patchwork[1]):
+                    await self.sender.send(SamplesLost())
+                    patchwork = None
+                buf = chunk if patchwork is None \
+                    else np.concatenate([patchwork[1], chunk])
+                n = self.output_chunk_len
+                while len(buf) >= n:
+                    await self.sender.send(Samples(rate, buf[:n]))
+                    buf = buf[n:]
+                patchwork = (rate, buf) if len(buf) else None
+        except ChannelClosed:
+            return
+
+
+class KeyerSource(_ProducerMixin):
+    """Streaming morse keyer producer wrapping
+    :class:`radiorust_tpu.blocks.morse.Keyer`
+    (``src/blocks/morse.rs:282-420``)."""
+
+    def __init__(self, chunk_len: int, sample_rate: float, speed,
+                 message: Optional[str] = None):
+        from ..blocks.morse import Keyer
+        self._keyer = Keyer(chunk_len, sample_rate, speed, message)
+        self.sender, self.sender_connector = new_sender()
+        self._task = _spawn(self._run())
+
+    def send(self, text: str):
+        self._keyer.send(text)
+
+    def set_speed(self, speed):
+        self._keyer.set_speed(speed)
+
+    async def _run(self):
+        try:
+            while True:
+                for chunk, events in self._keyer.chunks(1):
+                    for e in events:
+                        await self.sender.send(e)
+                    await self.sender.send(
+                        Samples(self._keyer.sample_rate, chunk))
+        except ChannelClosed:
+            return
+
+
+class ArraySource(_ProducerMixin):
+    """Feed a prerecorded IQ array as chunks (test/file source)."""
+
+    def __init__(self, data, chunk_len: int, sample_rate: float,
+                 repeat: bool = False):
+        self.data = np.asarray(data, np.complex64)
+        self.chunk_len = chunk_len
+        self.sample_rate = sample_rate
+        self.repeat = repeat
+        self.sender, self.sender_connector = new_sender()
+        self._task = _spawn(self._run())
+
+    async def _run(self):
+        try:
+            while True:
+                for i in range(0, len(self.data) - self.chunk_len + 1,
+                               self.chunk_len):
+                    await self.sender.send(Samples(
+                        self.sample_rate,
+                        self.data[i: i + self.chunk_len]))
+                if not self.repeat:
+                    self.sender.close()
+                    return
+        except ChannelClosed:
+            return
+
+
+class ArraySink(_ConsumerMixin, EventHandling):
+    """Collect received samples into a list of chunks."""
+
+    def __init__(self):
+        receiver, self.receiver_connector = new_receiver()
+        self.event_handlers = EventHandlers()
+        self.chunks: List[np.ndarray] = []
+        self.events: List[Event] = []
+        self.sample_rate: Optional[float] = None
+        self._task = _spawn(self._run(receiver))
+
+    @property
+    def samples(self) -> np.ndarray:
+        return (np.concatenate(self.chunks) if self.chunks
+                else np.zeros(0, np.complex64))
+
+    async def _run(self, receiver):
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    self.events.append(msg)
+                    self.event_handlers.invoke(msg)
+                else:
+                    self.sample_rate = msg.sample_rate
+                    self.chunks.append(np.asarray(msg.chunk))
+        except ChannelClosed:
+            return
+
+
+class FileSink(_ConsumerMixin, EventHandling):
+    """Stream received complex64 samples to a raw IQ file."""
+
+    def __init__(self, path: str):
+        receiver, self.receiver_connector = new_receiver()
+        self.event_handlers = EventHandlers()
+        self._file = open(path, "wb")
+        self._task = _spawn(self._run(receiver))
+
+    async def _run(self, receiver):
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    self.event_handlers.invoke(msg)
+                else:
+                    np.asarray(msg.chunk, np.complex64).tofile(self._file)
+        except ChannelClosed:
+            self._file.close()
+            return

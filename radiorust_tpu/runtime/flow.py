@@ -1,0 +1,249 @@
+"""Flow layer: capacity-1 broadcast channels with backpressure, and
+dynamically rewireable connectors.
+
+Asyncio reimplementation of the reference's ``src/sync/broadcast_bp.rs``
+and ``src/flow.rs`` semantics:
+
+- A :class:`Sender` delivers each value to *every* current receiver before
+  the next send proceeds (lock-step fan-out with backpressure,
+  ``src/sync/broadcast_bp.rs:230-248,284-331``).
+- :class:`ReceiverConnector` / :class:`SenderConnector` allow live
+  (re)wiring; a receiver whose connector is rewired mid-stream synthesizes
+  a :class:`Disconnection` interrupt event into the stream
+  (``src/flow.rs:176-225``).
+- Channel teardown (all senders or all receivers gone) surfaces as
+  :class:`ChannelClosed`, the analog of ``RecvError``/``SendError``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Generic, List, Optional, TypeVar
+
+from ..signal import Disconnection
+
+T = TypeVar("T")
+
+__all__ = [
+    "ChannelClosed", "Sender", "SenderConnector", "Receiver",
+    "ReceiverConnector", "new_sender", "new_receiver",
+]
+
+
+class ChannelClosed(Exception):
+    """Peer(s) gone: no more sends/recvs possible."""
+
+
+class _Channel:
+    """Capacity-1 broadcast state (one slot + per-receiver delivery)."""
+
+    def __init__(self):
+        self.value: Any = None
+        self.seq = 0              # increments per send (slot toggle analog)
+        self.unseen = 0           # receivers yet to take the current value
+        self.receivers = 0
+        self.senders = 1
+        self.enlisters = 1
+        self.cond = asyncio.Condition()
+
+    # -- sender side -------------------------------------------------------
+
+    async def send(self, value) -> None:
+        async with self.cond:
+            while True:
+                if self.enlisters == 0 and self.receivers == 0:
+                    raise ChannelClosed
+                if self.unseen == 0 and self.receivers > 0:
+                    break
+                await self.cond.wait()
+            self.value = value
+            self.seq += 1
+            self.unseen = self.receivers
+            self.cond.notify_all()
+
+    # -- receiver side -----------------------------------------------------
+
+    async def recv(self, last_seq: int):
+        async with self.cond:
+            while True:
+                if self.seq != last_seq:
+                    break
+                if self.senders == 0:
+                    raise ChannelClosed
+                await self.cond.wait()
+            self.unseen -= 1
+            if self.unseen == 0:
+                self.cond.notify_all()
+            return self.value, self.seq
+
+    def _sync_notify(self):
+        # Schedule waiter wakeup from synchronous contexts (drops, rewires).
+        async def kick():
+            async with self.cond:
+                self.cond.notify_all()
+        try:
+            loop = asyncio.get_running_loop()
+            loop.create_task(kick())
+        except RuntimeError:
+            pass
+
+
+class Sender(Generic[T]):
+    """Sending half (``src/sync/broadcast_bp.rs:103-117``)."""
+
+    def __init__(self, channel: _Channel):
+        self._channel = channel
+
+    async def send(self, value: T) -> None:
+        await self._channel.send(value)
+
+    async def reserve(self) -> "Reservation":
+        """Wait until a send would proceed immediately
+        (two-phase send, ``src/sync/broadcast_bp.rs:225-292``)."""
+        ch = self._channel
+        async with ch.cond:
+            while True:
+                if ch.enlisters == 0 and ch.receivers == 0:
+                    raise ChannelClosed
+                if ch.unseen == 0 and ch.receivers > 0:
+                    return Reservation(self)
+                await ch.cond.wait()
+
+    def try_reserve(self) -> Optional["Reservation"]:
+        ch = self._channel
+        if ch.enlisters == 0 and ch.receivers == 0:
+            raise ChannelClosed
+        if ch.unseen == 0 and ch.receivers > 0:
+            return Reservation(self)
+        return None
+
+    def close(self):
+        self._channel.senders -= 1
+        self._channel._sync_notify()
+
+
+class Reservation:
+    """Committed send slot; ``send`` cannot block."""
+
+    def __init__(self, sender: Sender):
+        self._sender = sender
+
+    def send(self, value) -> None:
+        ch = self._sender._channel
+        ch.value = value
+        ch.seq += 1
+        ch.unseen = ch.receivers
+        ch._sync_notify()
+
+
+class SenderConnector(Generic[T]):
+    """Subscription point of a sender (the reference's ``Enlister``,
+    ``src/sync/broadcast_bp.rs:294-299``)."""
+
+    def __init__(self, channel: _Channel):
+        self._channel = channel
+
+    def _subscribe(self) -> "_Subscription":
+        ch = self._channel
+        ch.receivers += 1
+        ch._sync_notify()
+        return _Subscription(ch, ch.seq)
+
+
+class _Subscription:
+    def __init__(self, channel: _Channel, seq: int):
+        self.channel = channel
+        self.seq = seq
+        self.active = True
+
+    async def recv(self):
+        value, self.seq = await self.channel.recv(self.seq)
+        return value
+
+    def drop(self):
+        if self.active:
+            self.active = False
+            ch = self.channel
+            ch.receivers -= 1
+            # If we were the last holdout for the current value, release
+            # the sender (src/sync/broadcast_bp.rs:188-198).
+            if self.seq != ch.seq and ch.unseen > 0:
+                ch.unseen -= 1
+            ch._sync_notify()
+
+
+class ReceiverConnector(Generic[T]):
+    """Dynamically rewireable receive endpoint (``src/flow.rs:102-169``)."""
+
+    def __init__(self):
+        self._current: Optional[SenderConnector] = None
+        self._version = 0
+        self._changed = asyncio.Event()
+
+    def connect(self, sender_connector: SenderConnector) -> None:
+        self._current = sender_connector
+        self._version += 1
+        self._changed.set()
+
+    def disconnect(self) -> None:
+        self._current = None
+        self._version += 1
+        self._changed.set()
+
+    def feed_from(self, producer) -> None:
+        self.connect(producer.sender_connector)
+
+
+class Receiver(Generic[T]):
+    """Receiving half with live-rewire support (``src/flow.rs:171-226``)."""
+
+    def __init__(self, connector: ReceiverConnector):
+        self._connector = connector
+        self._sub: Optional[_Subscription] = None
+        self._seen_version = -1
+
+    async def recv(self) -> T:
+        c = self._connector
+        while True:
+            if self._seen_version != c._version:
+                was_connected = self._sub is not None
+                if self._sub is not None:
+                    self._sub.drop()
+                    self._sub = None
+                self._seen_version = c._version
+                c._changed.clear()
+                if c._current is not None:
+                    self._sub = c._current._subscribe()
+                if was_connected:
+                    # Rewire mid-stream: synthesize a Disconnection
+                    # interrupt (src/flow.rs:184-189).
+                    return Disconnection()
+            if self._sub is None:
+                await c._changed.wait()
+                continue
+            recv_task = asyncio.ensure_future(self._sub.recv())
+            change_task = asyncio.ensure_future(c._changed.wait())
+            done, pending = await asyncio.wait(
+                [recv_task, change_task],
+                return_when=asyncio.FIRST_COMPLETED)
+            if recv_task in done:
+                change_task.cancel()
+                return recv_task.result()
+            recv_task.cancel()
+            try:
+                await recv_task
+            except (asyncio.CancelledError, ChannelClosed):
+                pass
+            # connector changed; loop re-subscribes / injects event
+
+
+def new_sender() -> tuple:
+    """(Sender, SenderConnector) pair (``src/flow.rs:68-71``)."""
+    ch = _Channel()
+    return Sender(ch), SenderConnector(ch)
+
+
+def new_receiver() -> tuple:
+    """(Receiver, ReceiverConnector) pair (``src/flow.rs:136-140``)."""
+    conn = ReceiverConnector()
+    return Receiver(conn), conn

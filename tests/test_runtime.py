@@ -1,0 +1,285 @@
+"""Streaming runtime tests: channel semantics, dynamic rewiring, runtime
+blocks, buffering — mirroring the reference's broadcast/flow behaviors."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from radiorust_tpu.blocks.transform import FreqShifter, GainControl
+from radiorust_tpu.runtime import (ArraySink, ArraySource, Blackhole, Buffer,
+                                   KeyerSource, Rechunker, RuntimeBlock,
+                                   Silence)
+from radiorust_tpu.runtime.flow import (ChannelClosed, new_receiver,
+                                        new_sender)
+from radiorust_tpu.signal import (BufferOverflow, Disconnection, Samples,
+                                  SamplesLost)
+
+
+def run(coro, timeout=30.0):
+    return asyncio.run(asyncio.wait_for(coro, timeout))
+
+
+async def until(cond, timeout=15.0, interval=0.02):
+    """Poll until cond() is truthy (jit compiles make fixed sleeps flaky)."""
+    deadline = asyncio.get_running_loop().time() + timeout
+    while not cond():
+        if asyncio.get_running_loop().time() > deadline:
+            raise AssertionError("condition not met in time")
+        await asyncio.sleep(interval)
+
+
+# ---------------------------------------------------------------------------
+# Channel semantics (src/sync/broadcast_bp.rs:337-375)
+# ---------------------------------------------------------------------------
+
+def test_broadcast_all_receivers_get_each_value():
+    async def main():
+        sender, connector = new_sender()
+        recvs = []
+        for _ in range(3):
+            r, rc = new_receiver()
+            rc.connect(connector)
+            recvs.append(r)
+        results = [[] for _ in range(3)]
+
+        async def consume(i):
+            for _ in range(3):
+                results[i].append(await recvs[i].recv())
+
+        async def produce():
+            for v in "abc":
+                await sender.send(v)
+
+        await asyncio.gather(produce(), *[consume(i) for i in range(3)])
+        assert results == [["a", "b", "c"]] * 3
+
+    run(main())
+
+
+def test_backpressure_capacity_one():
+    async def main():
+        sender, connector = new_sender()
+        r, rc = new_receiver()
+        rc.connect(connector)
+        sent = []
+
+        async def produce():
+            for v in range(5):
+                await sender.send(v)
+                sent.append(v)
+
+        task = asyncio.ensure_future(produce())
+        await asyncio.sleep(0.05)
+        # Without consumption, at most one value can be in flight.
+        assert len(sent) <= 1
+        got = [await r.recv() for _ in range(5)]
+        await task
+        assert got == list(range(5))
+
+    run(main())
+
+
+def test_recv_raises_when_sender_gone():
+    async def main():
+        sender, connector = new_sender()
+        r, rc = new_receiver()
+        rc.connect(connector)
+
+        async def produce():
+            # Backpressure: send completes only once the receiver
+            # subscribed and consumed (capacity-1 semantics).
+            await sender.send(1)
+            sender.close()
+
+        task = asyncio.ensure_future(produce())
+        assert await r.recv() == 1
+        await task
+        with pytest.raises(ChannelClosed):
+            await r.recv()
+
+    run(main())
+
+
+def test_rewire_injects_disconnection():
+    async def main():
+        s1, c1 = new_sender()
+        s2, c2 = new_sender()
+        r, rc = new_receiver()
+        rc.connect(c1)
+        t1 = asyncio.ensure_future(s1.send("one"))
+        assert await r.recv() == "one"
+        await t1
+        rc.connect(c2)
+        msg = await r.recv()
+        assert isinstance(msg, Disconnection)
+        t2 = asyncio.ensure_future(s2.send("two"))
+        assert await r.recv() == "two"
+        await t2
+
+    run(main())
+
+
+# ---------------------------------------------------------------------------
+# Runtime blocks
+# ---------------------------------------------------------------------------
+
+def test_runtime_gain_block():
+    async def main():
+        data = np.arange(8, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=4, sample_rate=48000.0)
+        gain = RuntimeBlock(GainControl(0.25))
+        sink = ArraySink()
+        gain.feed_from(src)
+        sink.feed_from(gain)
+        await until(lambda: len(sink.samples) >= len(data))
+        np.testing.assert_allclose(sink.samples, data * 0.25)
+        assert sink.sample_rate == 48000.0
+
+    run(main())
+
+
+def test_runtime_rebind_on_rate_change():
+    async def main():
+        sender, connector = new_sender()
+        shifter = RuntimeBlock(FreqShifter.with_shift(100.0))
+        sink = ArraySink()
+        shifter.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(shifter)
+        await sender.send(Samples(1000.0, np.ones(10, np.complex64)))
+        await sender.send(Samples(2000.0, np.ones(10, np.complex64)))
+        await until(lambda: len(sink.chunks) >= 2)
+        assert len(sink.chunks) == 2
+        # Different sample rates -> different oscillator steps.
+        step1 = np.angle(sink.chunks[0][2] * np.conj(sink.chunks[0][1]))
+        step2 = np.angle(sink.chunks[1][2] * np.conj(sink.chunks[1][1]))
+        np.testing.assert_allclose(step1, 2 * np.pi * 100.0 / 1000.0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(step2, 2 * np.pi * 100.0 / 2000.0,
+                                   atol=1e-5)
+
+    run(main())
+
+
+def test_silence_and_blackhole():
+    async def main():
+        src = Silence(chunk_size=256, sample_rate=8000.0)
+        hole = Blackhole()
+        hole.feed_from(src)
+        await until(lambda: hole.samples_seen >= 256)
+        assert hole.samples_seen >= 256
+
+    run(main())
+
+
+def test_rechunker_splits():
+    async def main():
+        data = np.arange(4096, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=4096, sample_rate=1.0)
+        rechunk = Rechunker(1024)
+        sink = ArraySink()
+        rechunk.feed_from(src)
+        sink.feed_from(rechunk)
+        await until(lambda: len(sink.samples) >= 4096)
+        assert all(len(c) == 1024 for c in sink.chunks)
+        np.testing.assert_array_equal(sink.samples, data)
+
+    run(main())
+
+
+def test_rechunker_joins():
+    async def main():
+        data = np.arange(64, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=8, sample_rate=1.0)
+        rechunk = Rechunker(16)
+        sink = ArraySink()
+        rechunk.feed_from(src)
+        sink.feed_from(rechunk)
+        await until(lambda: len(sink.samples) >= 64)
+        assert all(len(c) == 16 for c in sink.chunks)
+        np.testing.assert_array_equal(sink.samples, data)
+
+    run(main())
+
+
+def test_keyer_source_events():
+    from radiorust_tpu.blocks.morse import (EndOfMessages, Speed,
+                                            StartOfMessages)
+
+    async def main():
+        speed = Speed.from_dits_per_minute(60.0 * 48000.0 / 64)
+        keyer = KeyerSource(128, 48000.0, speed, message="E")
+        sink = ArraySink()
+        sink.feed_from(keyer)
+        await until(lambda: len(sink.events) >= 2 and len(sink.chunks) >= 4)
+        kinds = [type(e).__name__ for e in sink.events]
+        assert "StartOfMessages" in kinds
+        assert "EndOfMessages" in kinds
+        assert np.any(sink.samples.real == 1.0)
+
+    run(main())
+
+
+def test_buffer_drops_stale_data():
+    async def main():
+        sender, connector = new_sender()
+        buf = Buffer(0.0, 0.0, 10.0, max_age=0.05)
+        sink_r, sink_rc = new_receiver()
+        buf.feed_from(type("P", (), {"sender_connector": connector})())
+        sink_rc.connect(buf.sender_connector)
+        # Push several chunks without consuming, let them age out.
+        for i in range(5):
+            await sender.send(Samples(1000.0, np.full(100, i,
+                                                      np.complex64)))
+        await asyncio.sleep(0.2)
+        # Now consume: expect a BufferOverflow marker and then fresh data
+        # (stale entries were discarded).
+        got = []
+        for _ in range(3):
+            try:
+                got.append(await asyncio.wait_for(sink_r.recv(), 1.0))
+            except asyncio.TimeoutError:
+                break
+        assert any(isinstance(m, BufferOverflow) for m in got)
+
+    run(main())
+
+
+def test_buffer_passthrough():
+    async def main():
+        data = np.arange(32, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=8, sample_rate=1000.0)
+        buf = Buffer(0.0, 0.0, 100.0, max_age=100.0)
+        sink = ArraySink()
+        buf.feed_from(src)
+        sink.feed_from(buf)
+        await until(lambda: len(sink.samples) >= len(data))
+        np.testing.assert_array_equal(sink.samples, data)
+
+    run(main())
+
+
+def test_end_to_end_runtime_chain():
+    # Keyer -> gain -> shifter -> sink, all through the dynamic runtime
+    # with device compute per chunk.
+    from radiorust_tpu.blocks.morse import Speed
+
+    async def main():
+        speed = Speed.from_dits_per_minute(60.0 * 48000.0 / 64)
+        keyer = KeyerSource(128, 48000.0, speed, message="EE")
+        gain = RuntimeBlock(GainControl(0.5))
+        shift = RuntimeBlock(FreqShifter.with_shift(700.0))
+        sink = ArraySink()
+        gain.feed_from(keyer)
+        shift.feed_from(gain)
+        sink.feed_from(shift)
+        await until(lambda: np.any(np.abs(sink.samples) > 0.4), timeout=25.0)
+        s = sink.samples
+        on = np.abs(s) > 0.4
+        assert on.any()
+        seg = s[np.flatnonzero(on)[0]:][:50]
+        steps = np.angle(seg[1:] * np.conj(seg[:-1]))
+        np.testing.assert_allclose(steps, 2 * np.pi * 700.0 / 48000.0,
+                                   atol=1e-4)
+
+    run(main())
