@@ -39,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..blocks import analysis as _analysis
+from ..blocks import channelize as _channelize
 from ..blocks import filters as _filters
 from ..blocks import modulation as _modulation
 from ..blocks import resampling as _resampling
@@ -166,7 +167,18 @@ def _sharded_fm_mod(block, params, state, x, axis):
     return {"phase": theta[:, -1]}, y
 
 
+def _sharded_channelizer(block, params, state, x, axis):
+    from ..ops.channelizer import pfb_channelize
+    hist = _halo_tail(x, state["hist"], block.hist_len, axis)
+    xp = jnp.concatenate([hist, x], axis=-1)
+    y = pfb_channelize(xp, params["taps"], block.m)
+    b = x.shape[0]
+    y = y.reshape(b * block.m, block.out_sig.chunk_len)
+    return {"hist": xp[:, -block.hist_len:]}, y
+
+
 _HANDLERS = {
+    _channelize._BoundChannelizer: _sharded_channelizer,
     _filters._BoundFilter: _sharded_filter,
     _resampling._BoundResampler: _sharded_resampler,
     _modulation._BoundFmDemod: _sharded_fm_demod,

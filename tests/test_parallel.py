@@ -55,7 +55,8 @@ def run_time_sharded(chain, sig, xs, mesh, steps, t_axis="t", ch_axis=None):
         state, y = ts.process(ts.params, state, jnp.asarray(x_big))
         y = np.asarray(y)
         out_n = bound.out_sig.chunk_len
-        outs.append(np.moveaxis(y.reshape(b, d, out_n), 1, 0))
+        out_b = bound.out_sig.batch
+        outs.append(np.moveaxis(y.reshape(out_b, d, out_n), 1, 0))
     return np.concatenate(outs, axis=0), bound
 
 
@@ -100,4 +101,19 @@ def test_time_and_channel_sharded_wfm(devices):
     got, bound = run_time_sharded(wfm_receiver(), sig, xs, mesh, steps,
                                   ch_axis="ch")
     want = sequential_reference(wfm_receiver().bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_time_sharded_channelized_receiver(devices):
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    mesh = jax.make_mesh((4,), ("t",))
+    m, n, rate = 8, 256, 80000.0
+    sig = StreamSig(1, n, rate)
+    chain = channelized_receiver(num_channels=m, input_rate=rate)
+    steps = 2
+    rng = np.random.default_rng(9)
+    xs = (rng.standard_normal((steps * 4, 1, n))
+          + 1j * rng.standard_normal((steps * 4, 1, n))).astype(np.complex64)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
     np.testing.assert_allclose(got, want, atol=5e-4)
