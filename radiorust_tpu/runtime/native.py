@@ -1,0 +1,265 @@
+"""Threaded native runtime: C++ broadcast channels + one thread per block.
+
+The reference pipelines blocks across CPU cores via Tokio tasks and its
+``broadcast_bp`` channel (``src/sync/broadcast_bp.rs``).  This module is
+the native equivalent for the TPU build: each block runs on an OS thread,
+handing Signal messages through the GIL-free C++ channel
+(``native/runtime/broadcast_bp.cpp``).  JAX device dispatch releases the
+GIL, so host I/O, keying/control logic, and device compute for different
+pipeline stages genuinely overlap — the same steady-state pipelining the
+reference gets from its runtime, with the per-chunk math still on TPU.
+
+Use :class:`NativeGraph` to build a pipeline::
+
+    g = NativeGraph()
+    src = g.source(chunk_iter)
+    shifted = g.block(FreqShifter.with_shift(700.0), src)
+    out = g.sink(shifted)
+    g.run()          # blocks until sources drain
+    out.samples      # collected output
+
+The asyncio runtime (:mod:`radiorust_tpu.runtime.flow`) remains the
+dynamic-rewiring API; this one favors throughput.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import itertools
+import pathlib
+import subprocess
+import threading
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..blocks.base import Block, StreamSig
+from ..signal import Event, Samples
+
+__all__ = ["NativeChannel", "NativeGraph", "load_library"]
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native" / "runtime"
+_LIB = None
+
+
+def load_library() -> ctypes.CDLL:
+    """Compile (if needed) and load the broadcast_bp shared library."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    src = _NATIVE_DIR / "broadcast_bp.cpp"
+    so = _NATIVE_DIR / "libbroadcast_bp.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(so), str(src), "-lpthread"],
+            check=True)
+    lib = ctypes.CDLL(str(so))
+    lib.bp_channel_new.restype = ctypes.c_void_p
+    lib.bp_channel_free.argtypes = [ctypes.c_void_p]
+    lib.bp_send.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.bp_send.restype = ctypes.c_int
+    lib.bp_can_send.argtypes = [ctypes.c_void_p]
+    lib.bp_can_send.restype = ctypes.c_int
+    lib.bp_sender_close.argtypes = [ctypes.c_void_p]
+    lib.bp_subscribe.argtypes = [ctypes.c_void_p]
+    lib.bp_subscribe.restype = ctypes.c_int
+    lib.bp_unsubscribe.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bp_recv.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                            ctypes.POINTER(ctypes.c_size_t)]
+    lib.bp_recv.restype = ctypes.c_int
+    lib.bp_recv_timeout.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_size_t),
+                                    ctypes.c_int]
+    lib.bp_recv_timeout.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+class NativeChannel:
+    """Python handle over a C++ capacity-1 broadcast channel.
+
+    Payloads are Python objects; the channel carries integer tokens while a
+    registry keeps the objects alive until every subscriber consumed them.
+    """
+
+    def __init__(self):
+        self._lib = load_library()
+        self._ptr = self._lib.bp_channel_new()
+        self._tokens = itertools.count(1)
+        self._registry: Dict[int, tuple] = {}
+        self._reg_lock = threading.Lock()
+
+    def send(self, obj) -> bool:
+        """Blocking send; False when the channel is closed."""
+        token = next(self._tokens)
+        # Refcount = number of current receivers isn't knowable pre-send
+        # (receivers may join); keep the object until the *next* send
+        # completes, which implies all receivers took this one.
+        with self._reg_lock:
+            self._registry[token] = obj
+            # Eviction safety: when send(t) is entered, send(t-1) has
+            # returned, so every receiver consumed t-2 *in the C++ layer*;
+            # program order then guarantees their Python-side lookups of
+            # t-3 completed.  Anything older is unreachable.
+            stale = [t for t in self._registry if t < token - 2]
+            for t in stale:
+                del self._registry[t]
+        return self._lib.bp_send(self._ptr, token) == 0
+
+    def close_sender(self):
+        self._lib.bp_sender_close(self._ptr)
+
+    def subscribe(self) -> int:
+        return self._lib.bp_subscribe(self._ptr)
+
+    def unsubscribe(self, rid: int):
+        self._lib.bp_unsubscribe(self._ptr, rid)
+
+    def recv(self, rid: int, timeout_ms: int = -1):
+        """Blocking receive; returns (ok, obj)."""
+        out = ctypes.c_size_t()
+        rc = self._lib.bp_recv_timeout(self._ptr, rid, ctypes.byref(out),
+                                       timeout_ms)
+        if rc != 0:
+            return False, None
+        with self._reg_lock:
+            obj = self._registry.get(int(out.value))
+        return True, obj
+
+    def __del__(self):
+        try:
+            self._lib.bp_channel_free(self._ptr)
+        except Exception:
+            pass
+
+
+class _Node:
+    def __init__(self, name: str):
+        self.name = name
+        self.out_channel: Optional[NativeChannel] = None
+        self.thread: Optional[threading.Thread] = None
+
+
+class _SinkNode(_Node):
+    def __init__(self, name):
+        super().__init__(name)
+        self.chunks: List[np.ndarray] = []
+        self.events: List[Event] = []
+        self.sample_rate: Optional[float] = None
+
+    @property
+    def samples(self) -> np.ndarray:
+        return (np.concatenate(self.chunks) if self.chunks
+                else np.zeros(0, np.complex64))
+
+
+class NativeGraph:
+    """Static pipeline executed on OS threads with native channels."""
+
+    def __init__(self):
+        self._nodes: List[_Node] = []
+        self._started = False
+
+    def source(self, messages: Iterable, name: str = "source") -> _Node:
+        """A producer draining an iterable of Samples/Event messages."""
+        node = _Node(name)
+        node.out_channel = NativeChannel()
+
+        def run():
+            for msg in messages:
+                if not node.out_channel.send(msg):
+                    return
+            node.out_channel.close_sender()
+
+        node.thread = threading.Thread(target=run, name=name, daemon=True)
+        self._nodes.append(node)
+        return node
+
+    def block(self, spec: Block, upstream: _Node,
+              name: Optional[str] = None) -> _Node:
+        """A processing stage wrapping a compiled block spec."""
+        import jax
+        import jax.numpy as jnp
+
+        node = _Node(name or type(spec).__name__)
+        node.out_channel = NativeChannel()
+        in_ch = upstream.out_channel
+
+        def run():
+            rid = in_ch.subscribe()
+            bindings: Dict = {}
+            bound = None
+            state = None
+            pending_reset = False
+            try:
+                while True:
+                    ok, msg = in_ch.recv(rid)
+                    if not ok:
+                        node.out_channel.close_sender()
+                        return
+                    if isinstance(msg, Event):
+                        if msg.is_interrupt:
+                            pending_reset = True
+                        if not node.out_channel.send(msg):
+                            return
+                        continue
+                    chunk = np.asarray(msg.chunk)
+                    key = (len(chunk), msg.sample_rate)
+                    if key not in bindings:
+                        b = spec.bind(StreamSig(1, *key))
+                        b._jit = jax.jit(b.process)
+                        bindings[key] = b
+                    if bindings[key] is not bound:
+                        bound = bindings[key]
+                        state = bound.init_state()
+                        pending_reset = False
+                    reset = jnp.asarray([pending_reset])
+                    pending_reset = False
+                    state, y = bound._jit(bound.params, state,
+                                          jnp.asarray(chunk[None, :]),
+                                          reset)
+                    out = Samples(bound.out_sig.sample_rate,
+                                  np.asarray(y[0]))
+                    if not node.out_channel.send(out):
+                        return
+            finally:
+                in_ch.unsubscribe(rid)
+
+        node.thread = threading.Thread(target=run, name=node.name,
+                                       daemon=True)
+        self._nodes.append(node)
+        return node
+
+    def sink(self, upstream: _Node, name: str = "sink") -> _SinkNode:
+        node = _SinkNode(name)
+        in_ch = upstream.out_channel
+
+        def run():
+            rid = in_ch.subscribe()
+            try:
+                while True:
+                    ok, msg = in_ch.recv(rid)
+                    if not ok:
+                        return
+                    if isinstance(msg, Event):
+                        node.events.append(msg)
+                    else:
+                        node.sample_rate = msg.sample_rate
+                        node.chunks.append(np.asarray(msg.chunk))
+            finally:
+                in_ch.unsubscribe(rid)
+
+        node.thread = threading.Thread(target=run, name=name, daemon=True)
+        self._nodes.append(node)
+        return node
+
+    def run(self, timeout: Optional[float] = 60.0):
+        """Start all threads and join until the pipeline drains."""
+        # Start sinks/processors before sources so subscriptions exist.
+        for node in reversed(self._nodes):
+            node.thread.start()
+        for node in self._nodes:
+            node.thread.join(timeout)
+            if node.thread.is_alive():
+                raise TimeoutError(f"node {node.name} did not finish")
