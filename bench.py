@@ -9,6 +9,13 @@ most favorable reading of the reference's Tokio task-per-block runtime),
 measured by the native C++ per-sample implementation in
 ``native/baseline/wfm_baseline.cpp`` and cached in BASELINE_MEASURED.json.
 
+Measurement discipline (the TPU is reached through an experimental relay
+backend where async dispatch can silently swallow failures):
+- input data is generated on device inside the jitted program,
+- the timed region runs T chunks x reps entirely inside one jit program,
+- timing is closed by fetching an f32 scalar reduced over *every* output
+  sample, so the measured time provably covers the full computation.
+
 Prints exactly one JSON line.
 """
 
@@ -54,40 +61,58 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from radiorust_tpu.blocks.base import StreamSig
+    from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
     from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK, WFM_INPUT_RATE,
                                           wfm_receiver)
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    T = int(os.environ.get("BENCH_T", "16"))
     sig = StreamSig(batch, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
     bound = wfm_receiver().bind(sig)
 
     @jax.jit
-    def step(params, state, x):
+    def bench(pparams, pstate, seed, reps):
+        # Complex leaves cross the boundary packed as f32 planes; the PRNG
+        # key is built inside (key dtypes don't marshal on all backends).
+        params = unpack_wire(pparams)
+        state = unpack_wire(pstate)
+        key = jax.random.key(seed)
+        a = jax.random.normal(key, (T, batch, WFM_INPUT_CHUNK), jnp.float32)
+        b = jax.random.normal(jax.random.fold_in(key, 1),
+                              (T, batch, WFM_INPUT_CHUNK), jnp.float32)
+        xs = jax.lax.complex(a, b)
         reset = jnp.zeros((batch,), bool)
-        return bound.process(params, state, x, reset)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal((batch, WFM_INPUT_CHUNK))
-                     + 1j * rng.standard_normal((batch, WFM_INPUT_CHUNK))
-                     ).astype(np.complex64))
-    params = bound.params
-    state = bound.init_state()
+        def scan_body(st, x):
+            st, y = bound.process(params, st, x, reset)
+            return st, jnp.sum(jnp.abs(y) ** 2)
 
-    # Warmup / compile.
-    state, y = step(params, state, x)
-    jax.block_until_ready(y)
+        def rep_body(i, carry):
+            st, acc = carry
+            st, sums = jax.lax.scan(scan_body, st, xs)
+            return st, acc + jnp.sum(sums)
 
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
+        _, acc = jax.lax.fori_loop(
+            0, reps, rep_body, (state, jnp.float32(0.0)))
+        return acc
+
+    pparams = pack_wire(bound.params)
+    pstate = pack_wire(bound.init_state())
+    # Warmup / compile; the float() fetch is the synchronization point and
+    # also surfaces any silent runtime failure.
+    warm = float(bench(pparams, pstate, 0, 1))
+    assert np.isfinite(warm) and warm > 0.0, f"bad warmup checksum {warm}"
+
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, y = step(params, state, x)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
+        v = float(bench(pparams, pstate, 0, reps))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(v) and v > 0.0, f"bad checksum {v}"
+        best = min(best, dt)
 
-    samples = batch * WFM_INPUT_CHUNK * iters
+    samples = batch * WFM_INPUT_CHUNK * T * reps
     msps = samples / best / 1e6
     print(json.dumps({
         "metric": "wfm_chain_input_throughput",

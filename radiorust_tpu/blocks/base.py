@@ -92,7 +92,7 @@ class BoundBlock:
         if params is None:
             params = self.params
         if reset is None:
-            reset = jnp.zeros((self.in_sig.batch,), dtype=bool)
+            reset = np.zeros((self.in_sig.batch,), dtype=bool)
         return self.process(params, state, x, reset)
 
 
@@ -135,12 +135,77 @@ class Chain(Block):
         return _BoundChain(bound)
 
 
+# ---------------------------------------------------------------------------
+# Wire format for the jit boundary
+#
+# Some TPU execution environments cannot marshal complex64 arrays across the
+# host<->program boundary (arguments/results), while complex arithmetic
+# *inside* a compiled program is fully supported.  The framework therefore
+# packs every complex leaf crossing a jit boundary into a float32 array with
+# a leading [2] axis (contiguous re/im planes) and reconstructs it with
+# ``lax.complex`` inside the program.  Packed leaves are marked with a
+# single-key dict so pytrees stay self-describing; the split/join fuses away
+# in XLA.  State fed back into the next step stays in packed device form, so
+# steady-state streaming pays no conversion cost.
+# ---------------------------------------------------------------------------
+
+_WIRE_KEY = "__c64_wire__"
+
+
+def _is_complex_leaf(x):
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating)
+
+
+def pack_wire(tree):
+    """Pack complex leaves for boundary crossing (host or traced)."""
+    def visit(t):
+        if isinstance(t, dict):
+            return {k: visit(v) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(visit(v) for v in t)
+        if _is_complex_leaf(t):
+            if isinstance(t, np.ndarray) or np.isscalar(t):
+                arr = np.asarray(t)
+                return {_WIRE_KEY: np.stack(
+                    [arr.real.astype(np.float32),
+                     arr.imag.astype(np.float32)])}
+            return {_WIRE_KEY: jnp.stack(
+                [jnp.real(t).astype(jnp.float32),
+                 jnp.imag(t).astype(jnp.float32)])}
+        return t
+    return visit(tree)
+
+
+def unpack_wire(tree):
+    """Reconstruct complex leaves (use inside jit; also works on host)."""
+    def visit(t):
+        if isinstance(t, dict):
+            if set(t.keys()) == {_WIRE_KEY}:
+                v = t[_WIRE_KEY]
+                if isinstance(v, np.ndarray):
+                    return (v[0] + 1j * v[1]).astype(np.complex64)
+                return jax.lax.complex(v[0], v[1])
+            return {k: visit(v) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(visit(v) for v in t)
+        return t
+    return visit(tree)
+
+
 def jit_step(bound: BoundBlock) -> Callable:
-    """Jit-compile one chunk step of a bound block/chain."""
+    """Jit-compile one chunk step with a wire-safe boundary.
+
+    Returns ``step(packed_params, packed_state, packed_x, reset) ->
+    (packed_state, packed_y)``.  Use :func:`pack_wire` on inputs once and
+    :func:`unpack_wire` on outputs when host values are needed; the carried
+    state round-trips in packed form.
+    """
 
     @jax.jit
     def step(params, state, x, reset):
-        return bound.process(params, state, x, reset)
+        state, y = bound.process(unpack_wire(params), unpack_wire(state),
+                                 unpack_wire(x), reset)
+        return pack_wire(state), pack_wire(y)
 
     return step
 
@@ -155,7 +220,7 @@ def scan(bound: BoundBlock, params, state, xs, resets=None):
     """
     batch = bound.in_sig.batch
     if resets is None:
-        resets = jnp.zeros((xs.shape[0], batch), dtype=bool)
+        resets = np.zeros((xs.shape[0], batch), dtype=bool)
 
     def body(state, inp):
         x, reset = inp
@@ -165,5 +230,30 @@ def scan(bound: BoundBlock, params, state, xs, resets=None):
     return jax.lax.scan(body, state, (xs, resets))
 
 
+def make_scan(bound: BoundBlock) -> Callable:
+    """Build a wire-safe compiled bulk runner.
+
+    Returns ``run(packed_params, packed_state, packed_xs, resets) ->
+    (packed_state, packed_ys)`` scanning over the leading chunk axis, with
+    complex leaves packed at the boundary (see :func:`pack_wire`) and native
+    complex inside the program.
+    """
+
+    @jax.jit
+    def run(params, state, xs, resets):
+        params = unpack_wire(params)
+
+        def body(st, inp):
+            x, reset = inp
+            st, y = bound.process(params, st, x, reset)
+            return st, y
+
+        state, ys = jax.lax.scan(body, unpack_wire(state),
+                                 (unpack_wire(xs), resets))
+        return pack_wire(state), pack_wire(ys)
+
+    return run
+
+
 def no_reset(batch: int):
-    return jnp.zeros((batch,), dtype=bool)
+    return np.zeros((batch,), dtype=bool)

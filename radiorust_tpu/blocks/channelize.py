@@ -39,8 +39,8 @@ class _BoundChannelizer(BoundBlock):
             proto.reshape(k, m).astype(np.float32))}
 
     def init_state(self):
-        return {"hist": jnp.zeros((self.in_sig.batch, self.hist_len),
-                                  jnp.complex64)}
+        return {"hist": np.zeros((self.in_sig.batch, self.hist_len),
+                                 np.complex64)}
 
     def process(self, params, state, x, reset):
         xp = jnp.concatenate([state["hist"], x], axis=-1)

@@ -37,13 +37,14 @@ class _BoundOverlapper(BoundBlock):
     def init_state(self):
         sig = self.in_sig
         k = self.chunk_count
-        return {"hist": jnp.zeros((sig.batch, k - 1, sig.chunk_len),
-                                  jnp.complex64)}
+        return {"hist": np.zeros((sig.batch, k - 1, sig.chunk_len),
+                                 np.complex64)}
 
     def process(self, params, state, x, reset):
         # The reference clears history on any event
         # (src/blocks/chunks.rs:226-233).
-        hist = jnp.where(reset[:, None, None], 0.0 + 0.0j, state["hist"])
+        hist = jnp.where(reset[:, None, None],
+                         jnp.zeros_like(state["hist"]), state["hist"])
         y = jnp.concatenate(
             [hist.reshape(x.shape[0], -1), x], axis=-1)
         if self.chunk_count > 1:

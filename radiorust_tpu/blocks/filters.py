@@ -93,20 +93,25 @@ class _BoundFilter(BoundBlock):
         self.window = window
         n = sig.chunk_len
         # Traced param: Filter::update swaps the response without
-        # recompiling (src/blocks/filters.rs:279-297).
+        # recompiling (src/blocks/filters.rs:279-297).  Kept as a host
+        # (numpy) array: complex leaves must stay host-side until they
+        # cross the jit boundary through the wire packer (see
+        # blocks/base.py pack_wire).
         self.params = {
-            "response": jnp.asarray(
-                design_response(freq_resp, window, n, sig.sample_rate)
-                .astype(np.complex64))
+            "response": design_response(freq_resp, window, n,
+                                        sig.sample_rate).astype(np.complex64)
         }
 
     def init_state(self):
         sig = self.in_sig
-        return {"prev": jnp.zeros((sig.batch, sig.chunk_len), jnp.complex64)}
+        return {"prev": np.zeros((sig.batch, sig.chunk_len), np.complex64)}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
-        prev = jnp.where(reset[:, None], 0.0 + 0.0j, state["prev"])
+        # zeros_like (not a complex scalar literal): complex immediates can
+        # hang some TPU compile paths.
+        prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
+                         state["prev"])
         buf = jnp.concatenate([prev, x], axis=-1)
         spec = jnp.fft.fft(buf) * params["response"]
         y = jnp.fft.ifft(spec)[..., :n].astype(jnp.complex64)
@@ -118,7 +123,7 @@ class _BoundFilter(BoundBlock):
         w = window if window is not None else self.window
         r = design_response(freq_resp, w, self.in_sig.chunk_len,
                             self.in_sig.sample_rate)
-        return {"response": jnp.asarray(r.astype(np.complex64))}
+        return {"response": r.astype(np.complex64)}
 
 
 class Filter(Block):
@@ -154,10 +159,10 @@ class Filter(Block):
 class _BoundSlewRateLimiter(BoundBlock):
     def __init__(self, sig: StreamSig, slew_rate: float):
         self.in_sig = self.out_sig = sig
-        self.params = jnp.float32(slew_rate)
+        self.params = np.float32(slew_rate)
 
     def init_state(self):
-        return {"prev": jnp.zeros((self.in_sig.batch,), jnp.complex64)}
+        return {"prev": np.zeros((self.in_sig.batch,), np.complex64)}
 
     def process(self, params, state, x, reset):
         # Truly sequential recurrence (each output feeds the next clamp,

@@ -31,10 +31,10 @@ class _BoundFmMod(BoundBlock):
         self.in_sig = self.out_sig = sig
         # factor = deviation / sample_rate * 2*pi, tunable
         # (src/blocks/modulation.rs:45).
-        self.params = jnp.float32(deviation / sig.sample_rate * TAU)
+        self.params = np.float32(deviation / sig.sample_rate * TAU)
 
     def init_state(self):
-        return {"phase": jnp.zeros((self.in_sig.batch,), jnp.float32)}
+        return {"phase": np.zeros((self.in_sig.batch,), np.float32)}
 
     def process(self, params, state, x, reset):
         increments = x.real.astype(jnp.float32) * params
@@ -62,17 +62,17 @@ class _BoundFmDemod(BoundBlock):
         self.in_sig = self.out_sig = sig
         # factor = sample_rate / deviation / 2*pi, tunable
         # (src/blocks/modulation.rs:116).
-        self.params = jnp.float32(sig.sample_rate / deviation / TAU)
+        self.params = np.float32(sig.sample_rate / deviation / TAU)
 
     def init_state(self):
         b = self.in_sig.batch
         return {
-            "prev": jnp.zeros((b,), jnp.complex64),
-            "have_prev": jnp.zeros((b,), bool),
+            "prev": np.zeros((b,), np.complex64),
+            "have_prev": np.zeros((b,), bool),
             # The reference keeps emitting the stale output sample for the
             # first sample after a continuity break
             # (src/blocks/modulation.rs:104,119-124).
-            "last_out": jnp.zeros((b,), jnp.float32),
+            "last_out": np.zeros((b,), np.float32),
         }
 
     def process(self, params, state, x, reset):

@@ -37,8 +37,8 @@ class _BoundResampler(BoundBlock):
     def init_state(self):
         # Zero history matches the reference's zero-initialized ring buffer
         # (src/blocks/resampling.rs:99,234).
-        return {"hist": jnp.zeros((self.in_sig.batch, self.plan.hist),
-                                  jnp.complex64)}
+        return {"hist": np.zeros((self.in_sig.batch, self.plan.hist),
+                                 np.complex64)}
 
     def process(self, params, state, x, reset):
         plan = self.plan

@@ -28,7 +28,7 @@ class _BoundGain(BoundBlock):
         # Traced param: retunable per step without recompilation — the
         # analog of the reference's watch-channel gain
         # (src/blocks/transform.rs:57-63,89-91).
-        self.params = jnp.float32(gain)
+        self.params = np.float32(gain)
 
     def process(self, params, state, x, reset):
         return state, x * params.astype(jnp.float32)
@@ -116,10 +116,10 @@ class _BoundFreqShifter(BoundBlock):
         b = self.in_sig.batch
         return {
             # Exact integer phase index at chunk start, per stream.
-            "k0": jnp.zeros((b,), jnp.int32),
+            "k0": np.zeros((b,), np.int32),
             # Phase offset accumulated across retunes (phase continuity,
             # src/blocks/transform.rs:322-339).
-            "start_phase": jnp.zeros((b,), jnp.float32),
+            "start_phase": np.zeros((b,), np.float32),
         }
 
     def process(self, params, state, x, reset):
@@ -157,8 +157,8 @@ class _BoundFreqShifter(BoundBlock):
         start = np.asarray(state["start_phase"])
         new_start = (start + k0.astype(np.float64) * (TAU / self.denom)) % TAU
         new_state = {
-            "k0": jnp.zeros_like(state["k0"]),
-            "start_phase": jnp.asarray(new_start, jnp.float32),
+            "k0": np.zeros(np.asarray(state["k0"]).shape, np.int32),
+            "start_phase": np.asarray(new_start, np.float32),
         }
         return self.shift_params(shift), new_state
 

@@ -109,11 +109,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                                                             bound.params)
                     self._state = bound.init_state()
                     self._pending_reset = False
-                reset = jnp.asarray([self._pending_reset])
+                reset = np.asarray([self._pending_reset])
                 self._pending_reset = False
                 self._state, y = bound._jit(bound.params, self._state,
-                                            jnp.asarray(chunk[None, :]),
-                                            reset)
+                                            chunk[None, :], reset)
                 self.chunks_processed += 1
                 await self.sender.send(
                     Samples(bound.out_sig.sample_rate, np.asarray(y[0])))

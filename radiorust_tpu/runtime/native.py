@@ -214,11 +214,10 @@ class NativeGraph:
                         bound = bindings[key]
                         state = bound.init_state()
                         pending_reset = False
-                    reset = jnp.asarray([pending_reset])
+                    reset = np.asarray([pending_reset])
                     pending_reset = False
                     state, y = bound._jit(bound.params, state,
-                                          jnp.asarray(chunk[None, :]),
-                                          reset)
+                                          chunk[None, :], reset)
                     out = Samples(bound.out_sig.sample_rate,
                                   np.asarray(y[0]))
                     if not node.out_channel.send(out):
