@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..numbers import TAU
+from ..ops.fft import fft as _fft, ifft as _ifft
 from ..windowing import Kaiser, Rectangular, Window, window_table
 from .base import Block, BoundBlock, StreamSig
 
@@ -113,8 +114,10 @@ class _BoundFilter(BoundBlock):
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
                          state["prev"])
         buf = jnp.concatenate([prev, x], axis=-1)
-        spec = jnp.fft.fft(buf) * params["response"]
-        y = jnp.fft.ifft(spec)[..., :n].astype(jnp.complex64)
+        # Matmul four-step FFT rides the MXU (see ops/fft.py); falls back
+        # to the native FFT for small or unfactorable sizes.
+        spec = _fft(buf) * params["response"]
+        y = _ifft(spec)[..., :n].astype(jnp.complex64)
         return {"prev": x}, y
 
     def update_params(self, freq_resp: Callable,

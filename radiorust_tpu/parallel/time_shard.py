@@ -99,11 +99,12 @@ def _sharded_stateless(block, params, state, x, axis):
 
 
 def _sharded_filter(block, params, state, x, axis):
+    from ..ops.fft import fft as _fft, ifft as _ifft
     n = x.shape[-1]
     prev = _halo_tail(x, state["prev"], n, axis)
     buf = jnp.concatenate([prev, x], axis=-1)
-    spec = jnp.fft.fft(buf) * params["response"]
-    y = jnp.fft.ifft(spec)[..., :n].astype(jnp.complex64)
+    spec = _fft(buf) * params["response"]
+    y = _ifft(spec)[..., :n].astype(jnp.complex64)
     return {"prev": x}, y
 
 
