@@ -65,11 +65,19 @@ def _constants(n: int, inverse: bool):
 
 
 def _cmatmul(ar, ai, br, bi, contract):
-    """Complex matmul via four real einsums (MXU path)."""
-    rr = jnp.einsum(contract, ar, br, preferred_element_type=jnp.float32)
-    ii = jnp.einsum(contract, ai, bi, preferred_element_type=jnp.float32)
-    ri = jnp.einsum(contract, ar, bi, preferred_element_type=jnp.float32)
-    ir = jnp.einsum(contract, ai, br, preferred_element_type=jnp.float32)
+    """Complex matmul via four real einsums (MXU path).
+
+    HIGHEST precision: the MXU's default single-pass bf16 rounding costs
+    ~3e-3 relative error on a 12288-point transform — outside the f32 SNR
+    bound the framework guarantees against the reference.  The multi-pass
+    f32-accurate mode keeps the MXU win while preserving SNR.
+    """
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    rr = jnp.einsum(contract, ar, br, **kw)
+    ii = jnp.einsum(contract, ai, bi, **kw)
+    ri = jnp.einsum(contract, ar, bi, **kw)
+    ir = jnp.einsum(contract, ai, br, **kw)
     return rr - ii, ri + ir
 
 
