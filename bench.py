@@ -103,7 +103,7 @@ def main():
     warm = float(bench(pparams, pstate, 0, 1))
     assert np.isfinite(warm) and warm > 0.0, f"bad warmup checksum {warm}"
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
