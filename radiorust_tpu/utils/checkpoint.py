@@ -1,0 +1,77 @@
+"""Checkpoint / resume of streaming state.
+
+The reference has no checkpointing (SURVEY.md §5): its only persistent
+state is per-block stream state (filter tails, demod previous sample,
+resampler rings, oscillator phase).  In the TPU build that state is an
+explicit pytree, so checkpointing is a direct serialization of the
+(params, state) trees — complex leaves are stored as float32 planes via
+the same wire packer used at the jit boundary, keeping checkpoint files
+backend-agnostic.
+
+A saved checkpoint restores a pipeline mid-stream with bit-equal
+continuation (see tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import numpy as np
+
+from ..blocks.base import pack_wire, unpack_wire
+
+__all__ = ["save_state", "load_state"]
+
+_SEP = "\x1f"
+
+
+def _flatten(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{_SEP}d{k}" if prefix else f"d{k}")
+    elif isinstance(tree, (list, tuple)):
+        tag = "l" if isinstance(tree, list) else "t"
+        for i, v in enumerate(tree):
+            yield from _flatten(v, f"{prefix}{_SEP}{tag}{i}" if prefix
+                                else f"{tag}{i}")
+    else:
+        yield prefix if prefix else "leaf", tree
+
+
+def _rebuild(node):
+    if not isinstance(node, dict):
+        return node
+    keys = list(node.keys())
+    kinds = {k[0] for k in keys}
+    assert len(kinds) == 1, f"mixed container kinds: {keys}"
+    kind = kinds.pop()
+    if kind == "d":
+        return {k[1:]: _rebuild(v) for k, v in node.items()}
+    items = sorted(node.items(), key=lambda kv: int(kv[0][1:]))
+    seq = [_rebuild(v) for _, v in items]
+    return seq if kind == "l" else tuple(seq)
+
+
+def save_state(path: str, tree: Any) -> None:
+    """Serialize a (possibly nested) params/state pytree to ``.npz``."""
+    packed = pack_wire(tree)
+    arrays = {}
+    for name, leaf in _flatten(packed):
+        arrays[name] = np.asarray(leaf)
+    np.savez(path, **arrays)
+
+
+def load_state(path: str) -> Any:
+    """Restore a pytree saved with :func:`save_state` (host numpy leaves,
+    complex planes unpacked)."""
+    data = np.load(path, allow_pickle=False)
+    root: dict = {}
+    for name in data.files:
+        parts = name.split(_SEP)
+        cur = root
+        for part in parts[:-1]:
+            cur = cur.setdefault(part, {})
+        value = data[name]
+        cur[parts[-1]] = value[()] if value.shape == () else value
+    tree = _rebuild(root)
+    return unpack_wire(tree)

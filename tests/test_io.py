@@ -1,0 +1,138 @@
+"""Hardware-boundary blocks: SDR state machine, audio loopback."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from radiorust_tpu.blocks.transform import GainControl
+from radiorust_tpu.runtime import ArraySink, ArraySource, RuntimeBlock
+from radiorust_tpu.runtime.io import (AudioPlayer, AudioRecorder,
+                                      FileSdrDriver, LoopbackAudioDriver,
+                                      LoopbackSdrDriver, SdrRx, SdrTx,
+                                      SyntheticSdrDriver)
+from radiorust_tpu.signal import Samples
+
+
+def run(coro, timeout=30.0):
+    return asyncio.run(asyncio.wait_for(coro, timeout))
+
+
+async def until(cond, timeout=15.0):
+    deadline = asyncio.get_running_loop().time() + timeout
+    while not cond():
+        if asyncio.get_running_loop().time() > deadline:
+            raise AssertionError("condition not met in time")
+        await asyncio.sleep(0.02)
+
+
+def test_sdr_rx_activate_read_deactivate():
+    async def main():
+        drv = SyntheticSdrDriver(1024000.0, tones=((100000.0, 1.0),),
+                                 noise=0.0)
+        rx = SdrRx(drv)
+        sink = ArraySink()
+        sink.feed_from(rx)
+        await rx.activate()
+        await until(lambda: len(sink.samples) >= 16384)
+        await rx.deactivate()
+        assert sink.sample_rate == 1024000.0
+        s = sink.samples[:8192]
+        steps = np.angle(s[1:] * np.conj(s[:-1]))
+        np.testing.assert_allclose(
+            steps.mean(), 2 * np.pi * 100000.0 / 1024000.0, atol=1e-3)
+
+    run(main())
+
+
+def test_sdr_rx_error_surfaces_as_closed():
+    class FailingDriver(SyntheticSdrDriver):
+        def read(self, n):
+            raise RuntimeError("device unplugged")
+
+    async def main():
+        rx = SdrRx(FailingDriver(48000.0))
+        sink = ArraySink()
+        sink.feed_from(rx)
+        await rx.activate()
+        from radiorust_tpu.runtime.io import SdrError, _CLOSED
+        await until(lambda: rx._ctl.state == _CLOSED)
+        assert "unplugged" in str(rx._ctl.error)
+
+    run(main())
+
+
+def test_sdr_tx_loopback():
+    async def main():
+        drv = LoopbackSdrDriver(128000.0)
+        tx = SdrTx(drv)
+        src = ArraySource(np.arange(64, dtype=np.complex64),
+                          chunk_len=32, sample_rate=128000.0)
+        tx.feed_from(src)
+        await tx.activate()
+        rx_chunks = []
+
+        def drain():
+            while True:
+                try:
+                    rx_chunks.append(drv.read(64))
+                except Exception:
+                    return
+
+        loop = asyncio.get_running_loop()
+        fut = loop.run_in_executor(None, lambda: [
+            rx_chunks.append(drv.read(64)) for _ in range(3)])
+        await until(lambda: len(rx_chunks) >= 3)
+        flat = np.concatenate(rx_chunks)
+        # First write is the silencing zero sample (soapysdr.rs:322-328).
+        assert flat[0] == 0
+        np.testing.assert_array_equal(flat[1:33],
+                                      np.arange(32, dtype=np.complex64))
+
+    run(main())
+
+
+def test_file_sdr_roundtrip(tmp_path):
+    path = tmp_path / "iq.bin"
+    data = (np.arange(100) + 1j * np.arange(100)).astype(np.complex64)
+    data.tofile(path)
+
+    async def main():
+        rx = SdrRx(FileSdrDriver(str(path), 48000.0))
+        sink = ArraySink()
+        sink.feed_from(rx)
+        await rx.activate()
+        await until(lambda: len(sink.samples) >= 100)
+        np.testing.assert_array_equal(sink.samples[:100], data)
+
+    run(main())
+
+
+def test_audio_loopback_pipe():
+    # audiopipe (examples/audiopipe/main.rs): recorder -> player.
+    async def main():
+        drv = LoopbackAudioDriver(48000.0)
+        drv.play(np.sin(np.arange(4096) * 0.1).astype(np.float32))
+        rec = AudioRecorder(drv, chunk_len=4096)
+        out_drv = LoopbackAudioDriver(48000.0)
+        player = AudioPlayer(out_drv)
+        player.feed_from(rec)
+        await until(lambda: len(out_drv.played) >= 1)
+        np.testing.assert_allclose(out_drv.played[0],
+                                   np.sin(np.arange(4096) * 0.1), atol=1e-6)
+
+    run(main())
+
+
+def test_audio_player_rate_mismatch_raises():
+    async def main():
+        drv = LoopbackAudioDriver(48000.0)
+        player = AudioPlayer(drv)
+        from radiorust_tpu.runtime.flow import new_sender
+        sender, conn = new_sender()
+        player.receiver_connector.connect(conn)
+        await sender.send(Samples(44100.0, np.zeros(16, np.complex64)))
+        await until(lambda: player._task.done())
+        assert isinstance(player._task.exception(), AssertionError)
+
+    run(main())
