@@ -15,7 +15,7 @@ import numpy as np
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["GainControl", "FreqShifter", "MapSample"]
+__all__ = ["GainControl", "FreqShifter", "MapSample", "Nop"]
 
 
 # ---------------------------------------------------------------------------
@@ -192,3 +192,11 @@ class FreqShifter(Block):
 
     def bind(self, sig: StreamSig) -> _BoundFreqShifter:
         return _BoundFreqShifter(sig, self.precision, self.shift)
+
+
+class Nop(MapSample):
+    """Identity block forwarding samples unchanged — the reference's
+    ``Nop``/``NopSignal`` template blocks (``src/blocks/mod.rs:157-239``)."""
+
+    def __init__(self):
+        super().__init__(lambda x: x)

@@ -13,4 +13,5 @@ device through the same bound blocks.
 from .flow import (Receiver, ReceiverConnector, Sender, SenderConnector,
                    new_receiver, new_sender)
 from .blocks import (Blackhole, Buffer, FileSink, ArraySink, ArraySource,
-                     KeyerSource, Rechunker, RuntimeBlock, Silence)
+                     KeyerSource, MapSignal, Rechunker, RuntimeBlock,
+                     Silence)

@@ -28,8 +28,8 @@ from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
                    SenderConnector, new_receiver, new_sender)
 
 __all__ = [
-    "RuntimeBlock", "Silence", "Blackhole", "Buffer", "Rechunker",
-    "KeyerSource", "ArraySource", "ArraySink", "FileSink",
+    "RuntimeBlock", "MapSignal", "Silence", "Blackhole", "Buffer",
+    "Rechunker", "KeyerSource", "ArraySource", "ArraySink", "FileSink",
 ]
 
 
@@ -485,4 +485,28 @@ class FileSink(_ConsumerMixin, EventHandling):
                     np.asarray(msg.chunk, np.complex64).tofile(self._file)
         except ChannelClosed:
             self._file.close()
+            return
+
+
+class MapSignal(_ProducerMixin, _ConsumerMixin):
+    """Applies a host closure to every message (samples *and* events)
+    before forwarding — the reference's ``MapSignal``
+    (``src/blocks/transform.rs:202-263``).  The closure is hot-swappable
+    via :meth:`set_closure`."""
+
+    def __init__(self, closure=None):
+        self._closure = closure if closure is not None else (lambda m: m)
+        receiver, self.receiver_connector = new_receiver()
+        self.sender, self.sender_connector = new_sender()
+        self._task = _spawn(self._run(receiver))
+
+    def set_closure(self, closure):
+        self._closure = closure
+
+    async def _run(self, receiver):
+        try:
+            while True:
+                msg = await receiver.recv()
+                await self.sender.send(self._closure(msg))
+        except ChannelClosed:
             return
