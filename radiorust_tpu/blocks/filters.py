@@ -113,12 +113,32 @@ class _BoundFilter(BoundBlock):
         # hang some TPU compile paths.
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
                          state["prev"])
-        buf = jnp.concatenate([prev, x], axis=-1)
-        # Matmul four-step FFT rides the MXU (see ops/fft.py); falls back
-        # to the native FFT for small or unfactorable sizes.
-        spec = _fft(buf) * params["response"]
-        y = _ifft(spec)[..., :n].astype(jnp.complex64)
+        if self._use_pallas():
+            from ..ops.pallas_filter import fused_overlap_save
+            n1 = (2 * n) // 128
+            # Response grid [k1, k2] with the 1/(2n) IFFT norm folded in;
+            # computed in-graph from the (retunable) response param.
+            grid = jnp.swapaxes(
+                params["response"].reshape(128, n1), 0, 1) / (2.0 * n)
+            outr, outi = fused_overlap_save(
+                jnp.real(prev), jnp.imag(prev),
+                jnp.real(x), jnp.imag(x),
+                jnp.real(grid).astype(jnp.float32),
+                jnp.imag(grid).astype(jnp.float32))
+            y = jax.lax.complex(outr, outi)
+        else:
+            # Matmul four-step FFT rides the MXU (see ops/fft.py); falls
+            # back to the native FFT for small or unfactorable sizes.
+            spec = _fft(buf := jnp.concatenate([prev, x], axis=-1)) \
+                * params["response"]
+            y = _ifft(spec)[..., :n].astype(jnp.complex64)
         return {"prev": x}, y
+
+    def _use_pallas(self) -> bool:
+        from ..ops.pallas_filter import supported
+        import jax as _jax
+        return (supported(self.in_sig.chunk_len)
+                and _jax.default_backend() not in ("cpu",))
 
     def update_params(self, freq_resp: Callable,
                       window: Optional[Window] = None):

@@ -1,0 +1,180 @@
+"""Fused overlap-save filter as a single Pallas TPU kernel.
+
+The unfused filter (matmul FFT -> response multiply -> matmul IFFT,
+``ops/fft.py``) round-trips HBM ~10 times per chunk for intermediates and
+is bandwidth-bound.  This kernel keeps the whole pipeline in VMEM: per
+stream-tile it
+
+1. assembles the overlap-save buffer [prev || cur] as an [n1, n2] grid,
+2. runs the four-step DFT as two MXU matmuls + twiddle,
+3. multiplies by the (grid-layout) frequency response,
+4. runs the inverse transform with conjugated factors — contracting only
+   the output rows that map to the first ``n`` time samples, halving the
+   final matmul,
+
+reading 2n complex samples per stream and writing n, with zero HBM
+intermediates.  All data is float32 planes (the backend cannot marshal
+complex64); the DFT factor matrices, twiddles, and response ride along as
+kernel inputs so a response retune needs no recompilation.
+
+Layout notes: time index n = i2 + n2*i1 (so the first n samples are rows
+i1 < n1/2 — contiguous), frequency index k = k1 + n1*k2 (grid [k1, k2]);
+the response vector R[2n] maps to the grid as ``R.reshape(n2, n1).T``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_overlap_save", "response_to_grid", "supported"]
+
+
+def kernel_factors(n2x: int):
+    """Factor 2n = n1 * 128: the lane dimension is fixed at 128 so every
+    matmul/elementwise stage is tile-aligned."""
+    if n2x % 128:
+        return None
+    n1 = n2x // 128
+    if n1 % 8:
+        return None
+    return n1, 128
+
+
+def supported(n: int) -> bool:
+    """The kernel needs an even chunk with 2n divisible by 1024."""
+    return kernel_factors(2 * n) is not None
+
+
+@functools.lru_cache(maxsize=32)
+def _factor_constants(n2x: int) -> Tuple[np.ndarray, ...]:
+    n1, n2 = kernel_factors(n2x)
+    k1 = np.arange(n1)
+    d1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)       # [k1, i1]
+    k2 = np.arange(n2)
+    d2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)       # [i2, k2]
+    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(n2)) / n2x)
+    # Inverse factors (conjugates); stage-1 inverse only needs output rows
+    # i1 < n1//2 (the first n time samples).
+    e1 = np.conj(d1)[:, : n1 // 2]                          # [k1, i1<half]
+    f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
+    return (*f32(d1), *f32(d2), *f32(tw), *f32(e1))
+
+
+def response_to_grid(response: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Map R[2n] (complex) to grid planes [n1, n2] with the IFFT's 1/(2n)
+    normalization folded in."""
+    n2x = len(response)
+    n1, n2 = kernel_factors(n2x)
+    rg = np.asarray(response, np.complex128).reshape(n2, n1).T / n2x
+    return rg.real.astype(np.float32), rg.imag.astype(np.float32)
+
+
+def _make_kernel(n1: int, n2: int, tile: int,
+                 precision=jax.lax.Precision.HIGHEST):
+    half = n1 // 2
+    n = half * n2
+    dot = functools.partial(jax.lax.dot_general,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+
+    def mm(a, b):  # [m, k] @ [k, l]
+        return dot(a, b, (((1,), (0,)), ((), ())))
+
+    def kernel(prevr, previ, curr, curi, rr, ri,
+               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
+               outr, outi):
+        s = tile
+        # Assemble [s, n1, n2] grid: prev rows then cur rows.
+        xr = jnp.concatenate(
+            [prevr[:].reshape(s, half, n2), curr[:].reshape(s, half, n2)],
+            axis=1)
+        xi = jnp.concatenate(
+            [previ[:].reshape(s, half, n2), curi[:].reshape(s, half, n2)],
+            axis=1)
+        # Stage 1: contract i1 with D1 -> [s, k1, i2] via [n1, s*n2] matmul.
+        xr2 = jnp.swapaxes(xr, 0, 1).reshape(n1, s * n2)
+        xi2 = jnp.swapaxes(xi, 0, 1).reshape(n1, s * n2)
+        tr = mm(d1r[:], xr2) - mm(d1i[:], xi2)
+        ti = mm(d1r[:], xi2) + mm(d1i[:], xr2)
+        # Twiddle (broadcast over streams): reshape to [k1, s, n2].
+        tr = tr.reshape(n1, s, n2)
+        ti = ti.reshape(n1, s, n2)
+        wr = twr[:][:, None, :]
+        wi = twi[:][:, None, :]
+        ur = tr * wr - ti * wi
+        ui = tr * wi + ti * wr
+        # Stage 2: contract i2 with D2 -> grid [k1, s, k2].
+        ur2 = ur.reshape(n1 * s, n2)
+        ui2 = ui.reshape(n1 * s, n2)
+        vr = mm(ur2, d2r[:]) - mm(ui2, d2i[:])
+        vi = mm(ur2, d2i[:]) + mm(ui2, d2r[:])
+        # Frequency response (grid layout, 1/(2n) folded in).
+        vr = vr.reshape(n1, s, n2)
+        vi = vi.reshape(n1, s, n2)
+        gr = rr[:][:, None, :]
+        gi = ri[:][:, None, :]
+        pr = vr * gr - vi * gi
+        pi = vr * gi + vi * gr
+        # Inverse stage 2: contract k2 with conj(D2) (= D2^H since D2 is
+        # symmetric: conj + transpose == conj).
+        pr2 = pr.reshape(n1 * s, n2)
+        pi2 = pi.reshape(n1 * s, n2)
+        qr = mm(pr2, d2r[:]) + mm(pi2, d2i[:])       # Re[(pr+ipi)(d2r-id2i)]
+        qi = mm(pi2, d2r[:]) - mm(pr2, d2i[:])
+        # Inverse twiddle (conjugate).
+        qr = qr.reshape(n1, s, n2)
+        qi = qi.reshape(n1, s, n2)
+        sr = qr * wr + qi * wi
+        si = qi * wr - qr * wi
+        # Inverse stage 1, truncated to the first n samples (i1 < half):
+        # x[i1, s, i2] = sum_k1 conj(D1)[k1, i1] * S[k1, s, i2].
+        sr2 = sr.reshape(n1, s * n2)
+        si2 = si.reshape(n1, s * n2)
+        e1rt = jnp.swapaxes(e1r[:], 0, 1)            # [half, k1]
+        e1it = jnp.swapaxes(e1i[:], 0, 1)
+        yr = mm(e1rt, sr2) - mm(e1it, si2)
+        yi = mm(e1rt, si2) + mm(e1it, sr2)
+        yr = jnp.swapaxes(yr.reshape(half, s, n2), 0, 1).reshape(s, n)
+        yi = jnp.swapaxes(yi.reshape(half, s, n2), 0, 1).reshape(s, n)
+        outr[:] = yr
+        outi[:] = yi
+
+    return kernel
+
+
+def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
+                       tile: int = 8,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Filter one chunk step for all streams.
+
+    Inputs: float32 planes [batch, n] for the previous and current chunks,
+    and the response grid planes [n1, n2] from :func:`response_to_grid`.
+    Returns (outr, outi) float32 [batch, n].
+    """
+    b, n = curr.shape
+    n1, n2 = kernel_factors(2 * n)
+    tile = min(tile, b)
+    if b % tile:
+        tile = 1
+    consts = _factor_constants(2 * n)
+    const_arrays = [jnp.asarray(c) for c in consts]
+    kernel = _make_kernel(n1, n2, tile, precision)
+    grid = (b // tile,)
+    stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[stream_spec] * 4 + [const_spec] * 10,
+        out_specs=[stream_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
+    )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
+    return outr, outi
