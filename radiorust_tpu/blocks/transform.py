@@ -79,22 +79,44 @@ class MapSample(Block):
 # FreqShifter
 # ---------------------------------------------------------------------------
 
+def _inner_block(chunk_len: int) -> int:
+    best = 1
+    for d in range(1, chunk_len + 1):
+        if chunk_len % d == 0 and abs(d - 128) <= abs(best - 128):
+            best = d
+        if d > 512:
+            break
+    return best
+
+
 def _shift_tables(chunk_len: int, denom: int, numer: int):
-    """Host-side exact phase-index tables for one chunk.
+    """Host-side exact factored phasor tables for one chunk.
 
     The reference quantizes the shift to ``numer/denom`` of the sample rate
     and cycles an exact integer phase index so there is zero long-run phase
     drift (``src/blocks/transform.rs:298-339``).  We keep the integer-index
-    representation but compute the oscillator on the fly instead of storing
-    a table of ``denom`` complex values: ``inc[n] = (n * numer) mod denom``
-    for each sample position in the chunk (exact Python ints, then int32),
-    and ``adv = (chunk_len * numer) mod denom`` advances the carried index
-    between chunks.
+    representation but factor the oscillator: for sample ``n = a*inner + b``
+
+        osc[n] = A[a] * B[b],   A[a] = e^{i tau (a*inner*numer mod denom)/denom}
+                                B[b] = e^{i tau (b*numer mod denom)/denom}
+
+    — an exact identity (the complex exponential is denom-periodic), so the
+    hot loop is one complex multiply per sample instead of a sin/cos pair,
+    while the carried *integer* phase index keeps zero drift.  Tables are
+    built in float64 and rounded once to complex64, the same rounding class
+    as the reference's f32 phase table.
     """
     numer %= denom
-    inc = (np.arange(chunk_len, dtype=np.int64) * numer) % denom
+    inner = _inner_block(chunk_len)
+    outer = chunk_len // inner
+    tau = 2.0 * np.pi
+    b_idx = (np.arange(inner, dtype=np.int64) * numer) % denom
+    a_idx = (np.arange(outer, dtype=np.int64) * inner * numer) % denom
+    table_b = np.exp(1j * tau * b_idx.astype(np.float64) / denom)
+    table_a = np.exp(1j * tau * a_idx.astype(np.float64) / denom)
     adv = (chunk_len * numer) % denom
-    return inc.astype(np.int32), np.int32(adv)
+    return (table_a.astype(np.complex64), table_b.astype(np.complex64),
+            np.int32(adv))
 
 
 class _BoundFreqShifter(BoundBlock):
@@ -107,10 +129,11 @@ class _BoundFreqShifter(BoundBlock):
         if self.denom <= 0:
             raise ValueError("sample_rate / precision must round to >= 1")
         numer = int(round(self.denom * shift / sig.sample_rate))
-        inc, adv = _shift_tables(sig.chunk_len, self.denom, numer)
-        # inc/adv are traced params: retuning the shift only swaps these
-        # arrays (host recompute, no XLA recompilation).
-        self.params = {"inc": jnp.asarray(inc), "adv": jnp.asarray(adv)}
+        ta, tb, adv = _shift_tables(sig.chunk_len, self.denom, numer)
+        # Traced params: retuning the shift only swaps these arrays (host
+        # recompute, no XLA recompilation).  Complex tables stay numpy
+        # until wire-packed (see blocks/base.py).
+        self.params = {"table_a": ta, "table_b": tb, "adv": adv}
 
     def init_state(self):
         b = self.in_sig.batch
@@ -124,11 +147,16 @@ class _BoundFreqShifter(BoundBlock):
 
     def process(self, params, state, x, reset):
         denom = self.denom
-        k = (state["k0"][:, None] + params["inc"][None, :]) % denom
-        theta = (state["start_phase"][:, None]
-                 + k.astype(jnp.float32) * np.float32(TAU / denom))
-        osc = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-        y = x * osc
+        # Per-stream chunk-start phasor from the exact integer index.
+        theta0 = (state["start_phase"]
+                  + state["k0"].astype(jnp.float32) * np.float32(TAU / denom))
+        p0 = jax.lax.complex(jnp.cos(theta0), jnp.sin(theta0))
+        ta = params["table_a"]
+        tb = params["table_b"]
+        outer, inner = ta.shape[-1], tb.shape[-1]
+        xb = x.reshape(x.shape[0], outer, inner)
+        y = (xb * p0[:, None, None] * ta[None, :, None]
+             * tb[None, None, :]).reshape(x.shape)
         new_state = {
             "k0": (state["k0"] + params["adv"]) % denom,
             "start_phase": state["start_phase"],
@@ -143,8 +171,8 @@ class _BoundFreqShifter(BoundBlock):
     def shift_params(self, shift: float):
         """Recompute traced params for a new shift (no recompilation)."""
         numer = int(round(self.denom * shift / self.in_sig.sample_rate))
-        inc, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
-        return {"inc": jnp.asarray(inc), "adv": jnp.asarray(adv)}
+        ta, tb, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
+        return {"table_a": ta, "table_b": tb, "adv": adv}
 
     def retune(self, params, state, shift: float):
         """Return (params', state') for a phase-continuous retune.

@@ -144,10 +144,15 @@ def _sharded_freq_shifter(block, params, state, x, axis):
     denom = block.denom
     # Closed-form per-device phase-index offset: d chunks ahead of carry.
     k0 = (state["k0"] + d * params["adv"]) % denom
-    k = (k0[:, None] + params["inc"][None, :]) % denom
-    theta = (state["start_phase"][:, None]
-             + k.astype(jnp.float32) * np.float32(TAU / denom))
-    y = x * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    theta0 = (state["start_phase"]
+              + k0.astype(jnp.float32) * np.float32(TAU / denom))
+    p0 = jax.lax.complex(jnp.cos(theta0), jnp.sin(theta0))
+    ta = params["table_a"]
+    tb = params["table_b"]
+    outer, inner = ta.shape[-1], tb.shape[-1]
+    xb = x.reshape(x.shape[0], outer, inner)
+    y = (xb * p0[:, None, None] * ta[None, :, None]
+         * tb[None, None, :]).reshape(x.shape)
     return {"k0": (k0 + params["adv"]) % denom,
             "start_phase": state["start_phase"]}, y
 
