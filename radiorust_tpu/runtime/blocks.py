@@ -91,6 +91,46 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         if self._bound is not None:
             self._bound.params = fn(self._bound, self._bound.params)
 
+    # -- typed convenience setters (the reference's watch-channel API) -----
+
+    def set_gain(self, gain: float) -> None:
+        """``GainControl::set`` analog (src/blocks/transform.rs:89-91)."""
+        import numpy as _np
+        self.update_params(lambda bound, p: _np.float32(gain))
+
+    def set_shift(self, shift: float) -> None:
+        """``FreqShifter::set_shift`` analog with phase continuity
+        (src/blocks/transform.rs:384-386): rewrites both the phasor tables
+        and the carried phase state of the current binding."""
+        if self._bound is not None and self._state is not None:
+            params, state = self._bound.retune(self._bound.params,
+                                               self._state, shift)
+            self._bound.params = params
+            self._state = state
+        self._param_override =             lambda bound, p: bound.shift_params(shift)
+
+    def update_filter(self, freq_resp, window=None) -> None:
+        """``Filter::update`` analog (src/blocks/filters.rs:279-297)."""
+        self._param_override =             lambda bound, p: bound.update_params(freq_resp, window)
+        if self._bound is not None:
+            self._bound.params = self._bound.update_params(freq_resp,
+                                                           window)
+
+    def set_deviation(self, deviation: float) -> None:
+        """``FmMod/FmDemod::set_deviation`` analog
+        (src/blocks/modulation.rs:76-79,154-157)."""
+        import numpy as _np
+        from ..numbers import TAU as _TAU
+
+        def fn(bound, p):
+            from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
+            sig = bound.in_sig
+            if isinstance(bound, _BoundFmMod):
+                return _np.float32(deviation / sig.sample_rate * _TAU)
+            return _np.float32(sig.sample_rate / deviation / _TAU)
+
+        self.update_params(fn)
+
     async def _run(self, receiver: Receiver):
         try:
             while True:

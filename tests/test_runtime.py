@@ -283,3 +283,43 @@ def test_end_to_end_runtime_chain():
                                    atol=1e-4)
 
     run(main())
+
+
+def test_runtime_setters():
+    from radiorust_tpu.blocks.filters import Filter
+
+    async def main():
+        data = np.ones(64, np.complex64)
+        src = ArraySource(data, chunk_len=16, sample_rate=1000.0,
+                          repeat=True)
+        gain = RuntimeBlock(GainControl(1.0))
+        sink = ArraySink()
+        gain.feed_from(src)
+        sink.feed_from(gain)
+        await until(lambda: len(sink.chunks) >= 2)
+        gain.set_gain(0.25)
+        seen = len(sink.chunks)
+        await until(lambda: len(sink.chunks) >= seen + 3)
+        assert np.allclose(sink.chunks[-1], 0.25)
+
+    run(main())
+
+
+def test_runtime_set_shift_phase_continuous():
+    async def main():
+        src = ArraySource(np.ones(400, np.complex64), chunk_len=40,
+                          sample_rate=1000.0, repeat=True)
+        shift = RuntimeBlock(FreqShifter.with_shift(100.0))
+        sink = ArraySink()
+        shift.feed_from(src)
+        sink.feed_from(shift)
+        await until(lambda: len(sink.chunks) >= 3)
+        shift.set_shift(250.0)
+        seen = len(sink.chunks)
+        await until(lambda: len(sink.chunks) >= seen + 3)
+        s = sink.chunks[-1]
+        steps = np.angle(s[1:] * np.conj(s[:-1]))
+        np.testing.assert_allclose(steps, 2 * np.pi * 250.0 / 1000.0,
+                                   atol=1e-3)
+
+    run(main())
