@@ -40,7 +40,8 @@ from ..ops.fft import fft as _fft, ifft as _ifft
 from ..windowing import Kaiser, Rectangular, Window, window_table
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor", "design_response"]
+__all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor",
+           "design_response", "design_impulse_response"]
 
 
 def deemphasis_factor(tau: float, frequency):
@@ -50,14 +51,11 @@ def deemphasis_factor(tau: float, frequency):
     return 1.0 / (1.0 + 1j * (tau * TAU * frequency))
 
 
-def design_response(freq_resp: Callable, window: Window, n: int,
-                    sample_rate: float) -> np.ndarray:
-    """Design the extended frequency response R[2n] (complex128).
-
-    ``freq_resp(bins, freqs) -> complex gains`` receives *arrays* of signed
-    bin indices and signed frequencies in hertz (vectorized version of the
-    reference's per-bin closure calls at ``src/blocks/filters.rs:193-199``).
-    """
+def design_impulse_response(freq_resp: Callable, window: Window, n: int,
+                            sample_rate: float) -> np.ndarray:
+    """Design the length-n impulse response (complex128) — steps 1-4 of the
+    reference pipeline (sample response, IFFT, fftshift, window,
+    energy-renormalize)."""
     if n % 2 != 0:
         raise ValueError("Filter requires an even chunk length")
     # Signed bin layout: bins 0..=max positive, n-i negative
@@ -82,6 +80,18 @@ def design_response(freq_resp: Callable, window: Window, n: int,
     energy_post = float(np.sum(np.abs(ir) ** 2))
     if energy_post > 0.0:
         ir = ir * np.sqrt(energy_pre / energy_post)
+    return ir
+
+
+def design_response(freq_resp: Callable, window: Window, n: int,
+                    sample_rate: float) -> np.ndarray:
+    """Design the extended frequency response R[2n] (complex128).
+
+    ``freq_resp(bins, freqs) -> complex gains`` receives *arrays* of signed
+    bin indices and signed frequencies in hertz (vectorized version of the
+    reference's per-bin closure calls at ``src/blocks/filters.rs:193-199``).
+    """
+    ir = design_impulse_response(freq_resp, window, n, sample_rate)
     # Zero-pad front to 2n, transform once (src/blocks/filters.rs:220-238).
     ext = np.concatenate([np.zeros(n, dtype=np.complex128),
                           ir.astype(np.complex64).astype(np.complex128)])

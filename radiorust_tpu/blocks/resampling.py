@@ -62,17 +62,31 @@ class Downsampler(Block):
 
     Aliasing is suppressed below ``bandwidth``; ``quality`` >= 1 scales the
     anti-alias FIR length (default 3.0 like ``Downsampler::new``).
+
+    ``prefilter=(freq_resp, window)`` fuses a preceding overlap-save Filter
+    into the decimating FIR (exact composition of LTI stages; the filter's
+    impulse response is designed at the bound chunk length exactly like a
+    standalone :class:`~radiorust_tpu.blocks.filters.Filter`).
     """
 
     def __init__(self, output_rate: float, bandwidth: float,
-                 quality: float = 3.0):
+                 quality: float = 3.0, prefilter=None):
         self.output_rate = float(output_rate)
         self.bandwidth = float(bandwidth)
         self.quality = float(quality)
+        self.prefilter = prefilter
 
     def bind(self, sig: StreamSig) -> _BoundResampler:
+        pre_ir = None
+        if self.prefilter is not None:
+            from .filters import design_impulse_response
+            freq_resp, window = self.prefilter
+            pre_ir = design_impulse_response(
+                freq_resp, window, sig.chunk_len, sig.sample_rate)
+            pre_ir = pre_ir.astype(np.complex64)  # reference f32 cast
         plan = plan_downsample(sig.sample_rate, self.output_rate,
-                               self.bandwidth, self.quality)
+                               self.bandwidth, self.quality,
+                               prefilter_ir=pre_ir)
         return _BoundResampler(sig, plan, self.output_rate)
 
 

@@ -45,14 +45,27 @@ def _deemphasis_band(bins, freqs):
 
 
 def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
-                 deviation: float = 150000.0) -> Chain:
-    """The WFM receive chain as a composable block spec."""
+                 deviation: float = 150000.0,
+                 fuse_deemphasis: bool = False) -> Chain:
+    """The WFM receive chain as a composable block spec.
+
+    ``fuse_deemphasis=True`` folds the deemphasis filter's impulse response
+    into the final decimating FIR (an exact LTI composition — same output,
+    one fewer FFT pass per chunk); the default keeps the literal
+    block-for-block chain of the reference.
+    """
+    from ..windowing import Rectangular
+    if fuse_deemphasis:
+        tail = [Downsampler(48000.0, 2.0 * 20000.0,
+                            prefilter=(_deemphasis_band, Rectangular()))]
+    else:
+        tail = [Filter.new_rectangular(_deemphasis_band),
+                Downsampler(48000.0, 2.0 * 20000.0)]
     return Chain(
         FreqShifter.with_shift(tune_shift),
         Downsampler(384000.0, 200000.0),
         Filter.new(_lowpass_100k),
         FmDemod(deviation),
-        Filter.new_rectangular(_deemphasis_band),
-        Downsampler(48000.0, 2.0 * 20000.0),
+        *tail,
         GainControl(volume),
     )

@@ -70,6 +70,7 @@ def pfb_channelize(xp: jax.Array, taps: jax.Array,
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=m,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # f32-accurate on the MXU
     )                                                # [2b, M, T]
     vc = jax.lax.complex(v[:b], v[b:])               # [b, M, T]
     # DFT across branches -> channels (numpy bin convention).

@@ -89,13 +89,27 @@ class RationalPlan:
 
 
 def plan_downsample(input_rate: float, output_rate: float, bandwidth: float,
-                    quality: float = 3.0) -> RationalPlan:
-    """Plan a downsampling op (``src/blocks/resampling.rs:38-146``)."""
+                    quality: float = 3.0,
+                    prefilter_ir=None) -> RationalPlan:
+    """Plan a downsampling op (``src/blocks/resampling.rs:38-146``).
+
+    ``prefilter_ir`` (optional, at the *input* rate) fuses a preceding LTI
+    filter into the decimating FIR: the composite correlation taps are
+    ``conv(ir, reversed(prefilter_ir))``, which computes exactly
+    ``decimate(filter(x))`` in one strided convolution — used e.g. to fold
+    the WFM deemphasis filter into the final decimation.
+    """
     assert output_rate >= 0.0 and bandwidth >= 0.0
     assert bandwidth < output_rate, "bandwidth must be below output rate"
     assert input_rate >= output_rate, "input rate must be >= output rate"
     margin = (output_rate - bandwidth) / 2.0
     ir = design_ir(input_rate, output_rate, margin, quality)
+    if prefilter_ir is not None:
+        pre = np.asarray(prefilter_ir)
+        if np.abs(pre.imag).max() > 1e-9 * max(np.abs(pre.real).max(), 1e-30):
+            raise ValueError("prefilter impulse response must be real "
+                             "(conjugate-symmetric frequency response)")
+        ir = np.convolve(ir, pre.real[::-1])
     L = len(ir)
     p, q = _exact_ratio(input_rate, output_rate)
     # Output k lands on input index n_k = ceil((k+1) p / q) - 1; one period
@@ -170,6 +184,7 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
         window_strides=(p,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # f32-accurate on the MXU
     )  # [2b, q, M']
     m = out_len // q
     out = out[:, :, :m]

@@ -113,3 +113,15 @@ def test_bandwidth_meter_chain():
     # Occupied bandwidth of a clean carrier is a small fraction of the band.
     assert np.all(bws < 5000.0)
     assert np.all(bws > 0.0)
+
+
+def test_wfm_fused_deemphasis_matches_unfused():
+    # Folding the deemphasis filter into the final decimator is an exact
+    # LTI composition: outputs match the literal chain sample-for-sample
+    # (past the overlap-save warmup chunk).
+    t_chunks = 4
+    iq, _ = synth_wfm_iq(1000.0, t_chunks)
+    sig = StreamSig(1, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+    ys_ref, _ = run_chain(wfm_receiver(fuse_deemphasis=False), sig, iq)
+    ys_fused, _ = run_chain(wfm_receiver(fuse_deemphasis=True), sig, iq)
+    np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=2e-4)
