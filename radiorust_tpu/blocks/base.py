@@ -69,11 +69,24 @@ class BoundBlock:
 
     Subclasses set ``in_sig`` / ``out_sig`` and ``params`` and implement
     ``init_state`` / ``process``.
+
+    ``input_is_real`` / ``output_is_real`` track a *structural* property of
+    the stream (samples known to have zero imaginary part, e.g. after FM
+    demodulation).  ``Chain.bind`` propagates it: blocks that preserve
+    realness (real-coefficient LTI ops, gain) advertise it so downstream
+    blocks can use cheaper real-input formulations.  The data stays
+    complex64 on the wire either way — this is an optimization hint, not a
+    dtype change.
     """
 
     in_sig: StreamSig
     out_sig: StreamSig
     params: Any = ()
+    input_is_real: bool = False
+
+    @property
+    def output_is_real(self) -> bool:
+        return False
 
     def init_state(self):
         return ()
@@ -128,10 +141,13 @@ class Chain(Block):
 
     def bind(self, sig: StreamSig) -> _BoundChain:
         bound = []
+        is_real = False
         for spec in self.specs:
             b = spec.bind(sig)
+            b.input_is_real = is_real
             bound.append(b)
             sig = b.out_sig
+            is_real = b.output_is_real
         return _BoundChain(bound)
 
 

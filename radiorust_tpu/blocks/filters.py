@@ -99,19 +99,26 @@ def design_response(freq_resp: Callable, window: Window, n: int,
 
 
 class _BoundFilter(BoundBlock):
+    @property
+    def output_is_real(self):
+        # A real impulse response maps real input to real output.
+        return self.input_is_real and self._real_ir
+
     def __init__(self, sig: StreamSig, freq_resp: Callable, window: Window):
         self.in_sig = self.out_sig = sig
         self.window = window
         n = sig.chunk_len
+        ir = design_impulse_response(freq_resp, window, n, sig.sample_rate)
+        peak = max(float(np.abs(ir.real).max()), 1e-30)
+        self._real_ir = bool(np.abs(ir.imag).max() <= 1e-9 * peak)
         # Traced param: Filter::update swaps the response without
         # recompiling (src/blocks/filters.rs:279-297).  Kept as a host
         # (numpy) array: complex leaves must stay host-side until they
         # cross the jit boundary through the wire packer (see
         # blocks/base.py pack_wire).
-        self.params = {
-            "response": design_response(freq_resp, window, n,
-                                        sig.sample_rate).astype(np.complex64)
-        }
+        ext = np.concatenate([np.zeros(n, np.complex128),
+                              ir.astype(np.complex64).astype(np.complex128)])
+        self.params = {"response": np.fft.fft(ext).astype(np.complex64)}
 
     def init_state(self):
         sig = self.in_sig
@@ -123,6 +130,15 @@ class _BoundFilter(BoundBlock):
         # hang some TPU compile paths.
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
                          state["prev"])
+        pair_real = (self.input_is_real and self._real_ir
+                     and x.shape[0] % 2 == 0 and x.shape[0] >= 2)
+        if pair_real:
+            # Two real streams share one complex transform: with a real
+            # impulse response, filter(a + i b) = filter(a) + i filter(b)
+            # exactly, so pack stream pairs and halve the FFT work.
+            x_full, prev_full = x, prev
+            x = jax.lax.complex(x[0::2].real, x[1::2].real)
+            prev = jax.lax.complex(prev[0::2].real, prev[1::2].real)
         if self._use_pallas():
             from ..ops.pallas_filter import fused_overlap_save
             n1 = (2 * n) // 128
@@ -142,6 +158,11 @@ class _BoundFilter(BoundBlock):
             spec = _fft(buf := jnp.concatenate([prev, x], axis=-1)) \
                 * params["response"]
             y = _ifft(spec)[..., :n].astype(jnp.complex64)
+        if pair_real:
+            yr = jnp.stack([y.real, y.imag], axis=1)
+            yr = yr.reshape(x_full.shape[0], n)
+            y = jax.lax.complex(yr, jnp.zeros_like(yr))
+            return {"prev": x_full}, y
         return {"prev": x}, y
 
     def _use_pallas(self) -> bool:

@@ -58,6 +58,12 @@ class FmMod(Block):
 
 
 class _BoundFmDemod(BoundBlock):
+    @property
+    def output_is_real(self):
+        # Demodulated audio has zero imaginary part
+        # (src/blocks/modulation.rs:120-123).
+        return True
+
     def __init__(self, sig: StreamSig, deviation: float):
         self.in_sig = self.out_sig = sig
         # factor = sample_rate / deviation / 2*pi, tunable

@@ -26,6 +26,10 @@ __all__ = ["Downsampler", "Upsampler"]
 
 
 class _BoundResampler(BoundBlock):
+    @property
+    def output_is_real(self):
+        return self.input_is_real  # real FIR taps preserve realness
+
     def __init__(self, sig: StreamSig, plan: RationalPlan,
                  output_rate: float):
         self.in_sig = sig
@@ -51,7 +55,8 @@ class _BoundResampler(BoundBlock):
             xp = x
             new_hist = state["hist"]
         y = rational_fir(xp, params["kernel"], plan.p, plan.q, plan.s0,
-                         self.out_sig.chunk_len)
+                         self.out_sig.chunk_len,
+                         real_input=self.input_is_real)
         # The reference does not reset resampler state on events
         # (src/blocks/resampling.rs:135-137), so ``reset`` is unused.
         return {"hist": new_hist}, y

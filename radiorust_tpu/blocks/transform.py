@@ -23,6 +23,10 @@ __all__ = ["GainControl", "FreqShifter", "MapSample", "Nop"]
 # ---------------------------------------------------------------------------
 
 class _BoundGain(BoundBlock):
+    @property
+    def output_is_real(self):
+        return self.input_is_real  # real gain preserves realness
+
     def __init__(self, sig: StreamSig, gain: float):
         self.in_sig = self.out_sig = sig
         # Traced param: retunable per step without recompilation — the

@@ -164,7 +164,7 @@ def plan_upsample(input_rate: float, output_rate: float, bandwidth: float,
 
 
 def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
-                 s0: int, out_len: int) -> jax.Array:
+                 s0: int, out_len: int, real_input: bool = False) -> jax.Array:
     """Apply a rational-resampling kernel matrix.
 
     ``xp``: [batch, hist+chunk_len] complex64 (history prepended).
@@ -172,9 +172,24 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
 
     Real/imaginary parts ride the conv batch axis so one real conv call
     serves the complex stream; XLA lowers the strided multi-channel
-    correlation onto the MXU.
+    correlation onto the MXU.  ``real_input=True`` (stream known to carry
+    zero imaginary part) halves the conv work.
     """
     b = xp.shape[0]
+    if real_input:
+        lhs = xp.real[:, None, :]
+        if s0:
+            lhs = lhs[:, :, s0:]
+        out = jax.lax.conv_general_dilated(
+            lhs.astype(jnp.float32), kernel[:, None, :].astype(jnp.float32),
+            window_strides=(p,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m = out_len // q
+        yr = jnp.swapaxes(out[:, :, :m], 1, 2).reshape(b, out_len)
+        return jax.lax.complex(yr, jnp.zeros_like(yr))
     lhs = jnp.concatenate([xp.real, xp.imag], axis=0)[:, None, :]
     if s0:
         lhs = lhs[:, :, s0:]

@@ -125,3 +125,20 @@ def test_wfm_fused_deemphasis_matches_unfused():
     ys_ref, _ = run_chain(wfm_receiver(fuse_deemphasis=False), sig, iq)
     ys_fused, _ = run_chain(wfm_receiver(fuse_deemphasis=True), sig, iq)
     np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=2e-4)
+
+
+def test_real_pair_packing_matches_generic():
+    # The real-stream pair-packing filter path is exact: force the hint
+    # off and compare.
+    t_chunks = 3
+    iq1, _ = synth_wfm_iq(900.0, t_chunks)
+    iq2, _ = synth_wfm_iq(2100.0, t_chunks)
+    iq = np.concatenate([iq1, iq2], axis=1)
+    sig = StreamSig(2, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+    ys_opt, b_opt = run_chain(wfm_receiver(), sig, iq)
+    chain = wfm_receiver()
+    b = chain.bind(sig)
+    for blk in b.blocks:
+        blk.input_is_real = False  # disable realness optimizations
+    state, ys = scan(b, b.params, b.init_state(), jnp.asarray(iq))
+    np.testing.assert_allclose(ys_opt, np.asarray(ys), atol=1e-5)
