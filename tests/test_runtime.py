@@ -323,3 +323,54 @@ def test_runtime_set_shift_phase_continuous():
                                    atol=1e-3)
 
     run(main())
+
+
+def test_feed_from_none_disconnects():
+    async def main():
+        data = np.ones(64, np.complex64)
+        src = ArraySource(data, chunk_len=16, sample_rate=1000.0,
+                          repeat=True)
+        sink = ArraySink()
+        sink.feed_from(src)
+        await until(lambda: len(sink.chunks) >= 2)
+        sink.feed_from_none()
+        await asyncio.sleep(0.1)
+        # The rewire injected a Disconnection interrupt.
+        assert any(isinstance(e, Disconnection) for e in sink.events)
+
+    run(main())
+
+
+def test_runtime_block_resets_on_interrupt():
+    # A Disconnection event mid-stream clears the filter's overlap-save
+    # tail: the next output equals a fresh filter's first output.
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.runtime.flow import new_sender
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 200.0, 1.0 + 0.0j, 0.0j)
+
+    async def main():
+        rng = np.random.default_rng(0)
+        chunks = (rng.standard_normal((3, 32))
+                  + 1j * rng.standard_normal((3, 32))).astype(np.complex64)
+        sender, conn = new_sender()
+        filt = RuntimeBlock(Filter.new(lp))
+        sink = ArraySink()
+        filt.receiver_connector.connect(conn)
+        sink.feed_from(filt)
+        await sender.send(Samples(1000.0, chunks[0]))
+        await sender.send(Samples(1000.0, chunks[1]))
+        await sender.send(Disconnection())
+        await sender.send(Samples(1000.0, chunks[2]))
+        await until(lambda: len(sink.chunks) >= 3)
+        # Output 3 (after interrupt) == a fresh filter's first chunk.
+        from radiorust_tpu.blocks.base import StreamSig, scan
+        import jax.numpy as jnp
+        b = Filter.new(lp).bind(StreamSig(1, 32, 1000.0))
+        _, want = scan(b, b.params, b.init_state(),
+                       jnp.asarray(chunks[2][None, None, :]))
+        np.testing.assert_allclose(sink.chunks[2],
+                                   np.asarray(want)[0, 0], atol=1e-5)
+
+    run(main())
