@@ -105,7 +105,9 @@ def main():
 
     reps = int(os.environ.get("BENCH_REPS", "16"))
     best = float("inf")
-    for _ in range(3):
+    # Cross-process throughput varies +-30% with relay load; take the best
+    # of several in-process measurements.
+    for _ in range(5):
         t0 = time.perf_counter()
         v = float(bench(pparams, pstate, 0, reps))
         dt = time.perf_counter() - t0
