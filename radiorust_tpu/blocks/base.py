@@ -122,7 +122,14 @@ class _BoundChain(BoundBlock):
     def process(self, params, state, x, reset):
         new_state = []
         for block, p, s in zip(self.blocks, params, state):
-            s, x = block.process(p, s, x, reset)
+            r = reset
+            # Batch-growing blocks (e.g. the channelizer folds channels
+            # into the batch axis) need the reset mask expanded per stream.
+            if (hasattr(r, "shape") and r.shape
+                    and block.in_sig.batch != r.shape[0]
+                    and r.shape[0] > 1):
+                r = jnp.repeat(r, block.in_sig.batch // r.shape[0])
+            s, x = block.process(p, s, x, r)
             new_state.append(s)
         return tuple(new_state), x
 

@@ -4,6 +4,7 @@ oracle equivalence for the vectorized TPU formulations."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from radiorust_tpu.blocks.base import Chain, StreamSig, scan
@@ -285,3 +286,20 @@ def test_chain_compose():
     x = np.ones((1, 16), np.complex64)
     state, y = chain(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), 0.5)
+
+
+def test_make_scan_wire_safe():
+    from radiorust_tpu.blocks.base import make_scan, pack_wire, unpack_wire
+    s = sig(batch=2, chunk_len=16, rate=48000.0)
+    bound = Chain(GainControl(0.5), FreqShifter.with_shift(1000.0)).bind(s)
+    run = make_scan(bound)
+    rng = np.random.default_rng(0)
+    xs = (rng.standard_normal((3, 2, 16)) + 1j * rng.standard_normal((3, 2, 16))).astype(np.complex64)
+    resets = np.zeros((3, 2), bool)
+    pstate, pys = run(pack_wire(bound.params), pack_wire(bound.init_state()),
+                      pack_wire(jnp.asarray(xs)), resets)
+    ys = np.asarray(unpack_wire(jax.tree.map(np.asarray, pys)))
+    # Same as the plain scan path.
+    from radiorust_tpu.blocks.base import scan as plain_scan
+    _, want = plain_scan(bound, bound.params, bound.init_state(), jnp.asarray(xs))
+    np.testing.assert_allclose(ys, np.asarray(want), atol=1e-6)

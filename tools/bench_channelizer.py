@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the 64-channel channelized receiver (BASELINE.json config 5).
+
+One wideband stream -> 64-channel polyphase FFT filterbank -> per-channel
+FM demod, all in one compiled program.  Prints a JSON line with the input
+throughput; same measurement discipline as bench.py (on-device input,
+scalar-fetch sync).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
+    from radiorust_tpu.models.channelizer import channelized_receiver
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    n = int(os.environ.get("BENCH_CHUNK", "65536"))
+    T = int(os.environ.get("BENCH_T", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
+    rate = 16384000.0
+    chain = channelized_receiver(num_channels=64, input_rate=rate)
+    bound = chain.bind(StreamSig(batch, n, rate))
+
+    @jax.jit
+    def bench(pp, ps, seed, reps):
+        params = unpack_wire(pp)
+        state = unpack_wire(ps)
+        key = jax.random.key(seed)
+        a = jax.random.normal(key, (T, batch, n), jnp.float32)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (T, batch, n),
+                              jnp.float32)
+        xs = jax.lax.complex(a, b)
+        reset = jnp.zeros((batch,), bool)
+
+        def sb(st, x):
+            st, y = bound.process(params, st, x, reset)
+            return st, jnp.sum(jnp.abs(y) ** 2)
+
+        def rb(i, carry):
+            st, acc = carry
+            st, sums = jax.lax.scan(sb, st, xs)
+            return st, acc + jnp.sum(sums)
+
+        _, acc = jax.lax.fori_loop(0, reps, rb, (state, jnp.float32(0.0)))
+        return acc
+
+    pp = pack_wire(bound.params)
+    ps = pack_wire(bound.init_state())
+    warm = float(bench(pp, ps, 0, 1))
+    assert np.isfinite(warm) and warm > 0.0, f"bad checksum {warm}"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = float(bench(pp, ps, 0, reps))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(v) and v > 0.0
+    samples = batch * n * T * reps
+    print(json.dumps({
+        "metric": "channelizer64_input_throughput",
+        "value": round(samples / best / 1e6, 2),
+        "unit": "Msamples/s/chip",
+        "channels": 64,
+    }))
+
+
+if __name__ == "__main__":
+    main()
