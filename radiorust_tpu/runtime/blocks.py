@@ -92,44 +92,83 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
             self._bound.params = fn(self._bound, self._bound.params)
 
     # -- typed convenience setters (the reference's watch-channel API) -----
+    #
+    # Each setter locates the matching sub-block when this runtime block
+    # wraps a Chain, mirroring the reference where every block has its own
+    # watch channel.
+
+    @staticmethod
+    def _map_blocks(bound, params, fn):
+        """Apply fn(block, block_params) -> new_params over a bound block
+        or every sub-block of a bound chain; None leaves params unchanged."""
+        from ..blocks.base import _BoundChain
+        if isinstance(bound, _BoundChain):
+            out = []
+            for blk, pp in zip(bound.blocks, params):
+                new = fn(blk, pp)
+                out.append(pp if new is None else new)
+            return tuple(out)
+        new = fn(bound, params)
+        return params if new is None else new
+
+    def _apply_typed(self, fn) -> None:
+        def override(bound, params):
+            return self._map_blocks(bound, params, fn)
+        self._param_override = override
+        if self._bound is not None:
+            self._bound.params = override(self._bound, self._bound.params)
 
     def set_gain(self, gain: float) -> None:
         """``GainControl::set`` analog (src/blocks/transform.rs:89-91)."""
         import numpy as _np
-        self.update_params(lambda bound, p: _np.float32(gain))
+        from ..blocks.transform import _BoundGain
+        self._apply_typed(lambda blk, p: _np.float32(gain)
+                          if isinstance(blk, _BoundGain) else None)
 
     def set_shift(self, shift: float) -> None:
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables
         and the carried phase state of the current binding."""
+        from ..blocks.base import _BoundChain
+        from ..blocks.transform import _BoundFreqShifter
         if self._bound is not None and self._state is not None:
-            params, state = self._bound.retune(self._bound.params,
-                                               self._state, shift)
-            self._bound.params = params
-            self._state = state
-        self._param_override =             lambda bound, p: bound.shift_params(shift)
+            bound = self._bound
+            if isinstance(bound, _BoundChain):
+                params = list(bound.params)
+                state = list(self._state)
+                for i, blk in enumerate(bound.blocks):
+                    if isinstance(blk, _BoundFreqShifter):
+                        params[i], state[i] = blk.retune(params[i],
+                                                         state[i], shift)
+                bound.params = tuple(params)
+                self._state = tuple(state)
+            elif isinstance(bound, _BoundFreqShifter):
+                bound.params, self._state = bound.retune(
+                    bound.params, self._state, shift)
+        self._apply_typed(lambda blk, p: blk.shift_params(shift)
+                          if isinstance(blk, _BoundFreqShifter) else None)
 
     def update_filter(self, freq_resp, window=None) -> None:
         """``Filter::update`` analog (src/blocks/filters.rs:279-297)."""
-        self._param_override =             lambda bound, p: bound.update_params(freq_resp, window)
-        if self._bound is not None:
-            self._bound.params = self._bound.update_params(freq_resp,
-                                                           window)
+        from ..blocks.filters import _BoundFilter
+        self._apply_typed(lambda blk, p: blk.update_params(freq_resp, window)
+                          if isinstance(blk, _BoundFilter) else None)
 
     def set_deviation(self, deviation: float) -> None:
         """``FmMod/FmDemod::set_deviation`` analog
         (src/blocks/modulation.rs:76-79,154-157)."""
         import numpy as _np
         from ..numbers import TAU as _TAU
+        from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
 
-        def fn(bound, p):
-            from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
-            sig = bound.in_sig
-            if isinstance(bound, _BoundFmMod):
-                return _np.float32(deviation / sig.sample_rate * _TAU)
-            return _np.float32(sig.sample_rate / deviation / _TAU)
+        def fn(blk, p):
+            if isinstance(blk, _BoundFmMod):
+                return _np.float32(deviation / blk.in_sig.sample_rate * _TAU)
+            if isinstance(blk, _BoundFmDemod):
+                return _np.float32(blk.in_sig.sample_rate / deviation / _TAU)
+            return None
 
-        self.update_params(fn)
+        self._apply_typed(fn)
 
     async def _run(self, receiver: Receiver):
         try:
