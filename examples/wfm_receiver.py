@@ -11,6 +11,12 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+# Honor JAX_PLATFORMS=cpu even when a site plugin pins another backend.
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from radiorust_tpu.models.wfm import wfm_receiver
