@@ -70,6 +70,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         self._bindings: Dict[Tuple[int, float], Any] = {}
         self._bound = None
         self._state = None
+        self._pstate = None  # packed (wire-format) device state
         self._pending_reset = False
         self._param_override: Optional[Callable] = None
         self.chunks_processed = 0
@@ -79,8 +80,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         key = (chunk_len, sample_rate)
         bound = self._bindings.get(key)
         if bound is None:
+            from ..blocks.base import jit_step
             bound = self.spec.bind(StreamSig(1, chunk_len, sample_rate))
-            bound._jit = jax.jit(bound.process)
+            # Wire-safe step: complex leaves cross the jit boundary as
+            # packed float32 planes (required on the TPU relay backend).
+            bound._jit = jit_step(bound)
             self._bindings[key] = bound
         return bound
 
@@ -111,6 +115,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         new = fn(bound, params)
         return params if new is None else new
 
+    def _sync_state(self) -> None:
+        """Pull the live (packed, device) stream state back into host form
+        so host-side retunes can rewrite it."""
+        if self._pstate is not None:
+            from ..blocks.base import unpack_wire
+            self._state = unpack_wire(jax.tree.map(np.asarray, self._pstate))
+            self._pstate = None
+
     def _apply_typed(self, fn) -> None:
         def override(bound, params):
             return self._map_blocks(bound, params, fn)
@@ -131,6 +143,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         and the carried phase state of the current binding."""
         from ..blocks.base import _BoundChain
         from ..blocks.transform import _BoundFreqShifter
+        self._sync_state()
         if self._bound is not None and self._state is not None:
             bound = self._bound
             if isinstance(bound, _BoundChain):
@@ -187,14 +200,21 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                         bound.params = self._param_override(bound,
                                                             bound.params)
                     self._state = bound.init_state()
+                    self._pstate = None
                     self._pending_reset = False
                 reset = np.asarray([self._pending_reset])
                 self._pending_reset = False
-                self._state, y = bound._jit(bound.params, self._state,
-                                            chunk[None, :], reset)
+                from ..blocks.base import pack_wire, unpack_wire
+                if self._pstate is None:
+                    self._pstate = pack_wire(self._state)
+                self._pstate, py = bound._jit(
+                    pack_wire(bound.params), self._pstate,
+                    pack_wire(chunk[None, :]), reset)
+                y = np.asarray(unpack_wire(
+                    jax.tree.map(np.asarray, py)))
                 self.chunks_processed += 1
                 await self.sender.send(
-                    Samples(bound.out_sig.sample_rate, np.asarray(y[0])))
+                    Samples(bound.out_sig.sample_rate, y[0]))
         except ChannelClosed:
             return
 

@@ -187,10 +187,11 @@ class NativeGraph:
         in_ch = upstream.out_channel
 
         def run():
+            from ..blocks.base import jit_step, pack_wire, unpack_wire
             rid = in_ch.subscribe()
             bindings: Dict = {}
             bound = None
-            state = None
+            pstate = None
             pending_reset = False
             try:
                 while True:
@@ -208,18 +209,19 @@ class NativeGraph:
                     key = (len(chunk), msg.sample_rate)
                     if key not in bindings:
                         b = spec.bind(StreamSig(1, *key))
-                        b._jit = jax.jit(b.process)
+                        # Wire-safe step (complex leaves packed as planes).
+                        b._jit = jit_step(b)
                         bindings[key] = b
                     if bindings[key] is not bound:
                         bound = bindings[key]
-                        state = bound.init_state()
+                        pstate = pack_wire(bound.init_state())
                         pending_reset = False
                     reset = np.asarray([pending_reset])
                     pending_reset = False
-                    state, y = bound._jit(bound.params, state,
-                                          chunk[None, :], reset)
-                    out = Samples(bound.out_sig.sample_rate,
-                                  np.asarray(y[0]))
+                    pstate, py = bound._jit(pack_wire(bound.params), pstate,
+                                            pack_wire(chunk[None, :]), reset)
+                    y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
+                    out = Samples(bound.out_sig.sample_rate, y[0])
                     if not node.out_channel.send(out):
                         return
             finally:
