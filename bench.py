@@ -68,7 +68,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     T = int(os.environ.get("BENCH_T", "16"))
     sig = StreamSig(batch, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
-    bound = wfm_receiver().bind(sig)
+    fuse = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
+    bound = wfm_receiver(fuse_frontend=fuse).bind(sig)
 
     @jax.jit
     def bench(pparams, pstate, seed, reps):

@@ -1,0 +1,123 @@
+"""Fused receiver front end: FreqShifter + Downsampler in one kernel.
+
+Semantically identical to ``Chain(FreqShifter.with_shift(s),
+Downsampler(rate, bw))`` — same rational-phase mixer (zero drift, same
+tables) and the same rational decimation plan — but executed as a single
+VMEM-resident Pallas kernel (``ops/pallas_frontend.py``), ~4x faster than
+the separate blocks on TPU (the mixed intermediate never touches HBM).
+
+Constraints (checked at bind; use the separate blocks otherwise):
+chunk = outer*128, 128 % p == 0, decimation window <= 128 lanes, and the
+output period count divisible by 128/p.  Not yet supported in
+time-sharded execution (the halo would need the neighbor's mixed-domain
+tail); the unfused chain covers that path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numbers import TAU
+from ..ops.pallas_frontend import LANES, fused_mix_decimate
+from ..ops.polyphase import plan_downsample
+from .base import Block, BoundBlock, StreamSig
+from .transform import _inner_block, _shift_tables
+
+__all__ = ["MixerDecimator"]
+
+
+class _BoundMixerDecimator(BoundBlock):
+    def __init__(self, sig: StreamSig, shift: float, precision_hz: float,
+                 output_rate: float, bandwidth: float, quality: float):
+        self.in_sig = sig
+        n = sig.chunk_len
+        self.denom = int(round(sig.sample_rate / precision_hz))
+        numer = int(round(self.denom * shift / sig.sample_rate))
+        ta, tb, adv = _shift_tables(n, self.denom, numer)
+        plan = plan_downsample(sig.sample_rate, output_rate, bandwidth,
+                               quality)
+        self.plan = plan
+        out_len = plan.out_len(n)
+        self.out_sig = StreamSig(sig.batch, out_len, output_rate)
+        if not self.supported(sig):
+            raise ValueError(
+                "MixerDecimator kernel constraints unmet; use "
+                "FreqShifter + Downsampler")
+        # Decimation taps are bind-time constants (the Pallas weight
+        # matrix is assembled host-side); only the mixer tables are traced.
+        self.params = {"table_a": ta, "table_b": tb, "adv": adv}
+
+    @staticmethod
+    def _plan_ok(n, plan, inner):
+        jper = LANES // plan.p if LANES % plan.p == 0 else 0
+        return (inner == LANES and jper
+                and plan.kernel.shape[-1] <= LANES
+                and (n // plan.p) % jper == 0)
+
+    def supported(self, sig):
+        return self._plan_ok(sig.chunk_len, self.plan,
+                             _inner_block(sig.chunk_len))
+
+    def init_state(self):
+        b = self.in_sig.batch
+        return {
+            "k0": np.zeros((b,), np.int32),
+            "start_phase": np.zeros((b,), np.float32),
+            "histr": np.zeros((b, self.plan.hist), np.float32),
+            "histi": np.zeros((b, self.plan.hist), np.float32),
+        }
+
+    def process(self, params, state, x, reset):
+        denom = self.denom
+        theta0 = (state["start_phase"]
+                  + state["k0"].astype(jnp.float32) * np.float32(TAU / denom))
+        ta = params["table_a"]
+        tb = params["table_b"]
+        outr, outi, nhr, nhi = fused_mix_decimate(
+            jnp.real(x), jnp.imag(x),
+            jnp.real(ta).astype(jnp.float32), jnp.imag(ta).astype(jnp.float32),
+            jnp.real(tb).astype(jnp.float32), jnp.imag(tb).astype(jnp.float32),
+            jnp.cos(theta0), jnp.sin(theta0),
+            state["histr"], state["histi"],
+            self.plan.kernel, self.plan.p, self.plan.q)
+        new_state = {
+            "k0": (state["k0"] + params["adv"]) % denom,
+            "start_phase": state["start_phase"],
+            "histr": nhr,
+            "histi": nhi,
+        }
+        return new_state, jax.lax.complex(outr, outi)
+
+    # retune API mirrors _BoundFreqShifter
+    def shift_params(self, shift: float):
+        numer = int(round(self.denom * shift / self.in_sig.sample_rate))
+        ta, tb, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
+        return {**self.params, "table_a": ta, "table_b": tb, "adv": adv}
+
+    def retune(self, params, state, shift: float):
+        k0 = np.asarray(state["k0"])
+        start = np.asarray(state["start_phase"])
+        new_start = (start + k0.astype(np.float64) * (TAU / self.denom)) % TAU
+        new_state = {**state,
+                     "k0": np.zeros(k0.shape, np.int32),
+                     "start_phase": np.asarray(new_start, np.float32)}
+        return self.shift_params(shift), new_state
+
+
+class MixerDecimator(Block):
+    """Fused frequency shift + decimation front end."""
+
+    def __init__(self, shift: float, output_rate: float, bandwidth: float,
+                 quality: float = 3.0, precision: float = 1.0):
+        self.shift = float(shift)
+        self.precision = float(precision)
+        self.output_rate = float(output_rate)
+        self.bandwidth = float(bandwidth)
+        self.quality = float(quality)
+
+    def bind(self, sig: StreamSig) -> _BoundMixerDecimator:
+        return _BoundMixerDecimator(sig, self.shift, self.precision,
+                                    self.output_rate, self.bandwidth,
+                                    self.quality)

@@ -46,15 +46,24 @@ def _deemphasis_band(bins, freqs):
 
 def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
                  deviation: float = 150000.0,
-                 fuse_deemphasis: bool = False) -> Chain:
+                 fuse_deemphasis: bool = False,
+                 fuse_frontend: bool = False) -> Chain:
     """The WFM receive chain as a composable block spec.
 
-    ``fuse_deemphasis=True`` folds the deemphasis filter's impulse response
-    into the final decimating FIR (an exact LTI composition — same output,
-    one fewer FFT pass per chunk); the default keeps the literal
-    block-for-block chain of the reference.
+    ``fuse_frontend=True`` replaces the first two blocks with the fused
+    mixer+decimator Pallas kernel (same math, ~4x faster front end on TPU;
+    not yet time-shardable).  ``fuse_deemphasis=True`` folds the deemphasis
+    filter's impulse response into the final decimating FIR (an exact LTI
+    composition).  Defaults keep the literal block-for-block chain of the
+    reference.
     """
     from ..windowing import Rectangular
+    if fuse_frontend:
+        from ..blocks.frontend import MixerDecimator
+        head = [MixerDecimator(tune_shift, 384000.0, 200000.0)]
+    else:
+        head = [FreqShifter.with_shift(tune_shift),
+                Downsampler(384000.0, 200000.0)]
     if fuse_deemphasis:
         tail = [Downsampler(48000.0, 2.0 * 20000.0,
                             prefilter=(_deemphasis_band, Rectangular()))]
@@ -62,8 +71,7 @@ def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
         tail = [Filter.new_rectangular(_deemphasis_band),
                 Downsampler(48000.0, 2.0 * 20000.0)]
     return Chain(
-        FreqShifter.with_shift(tune_shift),
-        Downsampler(384000.0, 200000.0),
+        *head,
         Filter.new(_lowpass_100k),
         FmDemod(deviation),
         *tail,

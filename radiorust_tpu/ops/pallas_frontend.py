@@ -1,0 +1,153 @@
+"""Fused mixer + decimator front end as one Pallas kernel.
+
+The first two stages of a receive chain run at the full input rate and are
+both memory-bound: the complex mixer (one multiply per sample) and the
+rational decimating FIR.  Unfused, the mixed intermediate makes a full HBM
+round trip.  This kernel keeps it in VMEM: per stream-tile it
+
+1. mixes the chunk with the factored phasor tables
+   (``osc[a*inner + b] = p0 * A[a] * B[b]``, see blocks/transform.py),
+2. prepends the carried history (already-mixed tail of the previous
+   chunk),
+3. decimates via an im2col + matmul over the rational-plan kernel matrix
+   (``ops/polyphase.py`` layout), emitting the mixed-domain history tail
+   for the next step alongside the outputs.
+
+Only the raw chunk is read from HBM and only the decimated output (q/p of
+the input) plus a tiny history slab are written back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_mix_decimate"]
+
+
+LANES = 128
+
+
+def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
+    M = n // p  # decimation periods per chunk (chunk must align)
+    out_len = M * q
+    # Lane-aligned decimation: each 128-lane row holds 128/p output
+    # windows; a window spills at most Kw lanes into the next row.
+    assert LANES % p == 0 and Kw <= LANES
+    jper = LANES // p                  # outputs per row
+    nrow = M // jper                   # full rows of outputs
+    assert M % jper == 0
+    padded = (nrow + 1) * LANES        # rows + one spill row
+
+    def kernel(xr, xi, oscr_ref, osci_ref, p0r, p0i, hr, hi, w3,
+               outr, outi, newhr, newhi):
+        # --- mix the current chunk (VPU) ---
+        cxr = xr[:].reshape(tile, outer, inner)
+        cxi = xi[:].reshape(tile, outer, inner)
+        oscr = oscr_ref[:]                      # [outer, inner]
+        osci = osci_ref[:]
+        mr0 = cxr * oscr[None] - cxi * osci[None]
+        mi0 = cxr * osci[None] + cxi * oscr[None]
+        # per-stream start phasor ([tile, 1] block -> broadcast)
+        pr = p0r[:][:, :, None]
+        pi = p0i[:][:, :, None]
+        mr = (mr0 * pr - mi0 * pi).reshape(tile, n)
+        mi = (mr0 * pi + mi0 * pr).reshape(tile, n)
+        # --- concat history (mixed domain) ---
+        bufr = jnp.concatenate([hr[:], mr], axis=-1)
+        bufi = jnp.concatenate([hi[:], mi], axis=-1)
+        newhr[:] = bufr[:, -hist:]
+        newhi[:] = bufi[:, -hist:]
+        # --- decimate: lane-aligned row-pair matmul ---
+        # Rows of 128 lanes; window for output m = jper*row + j starts at
+        # lane j*p of its row and may spill Kw lanes into the next row, so
+        # each row is paired with its successor's first Kw lanes and the
+        # whole row of windows becomes one [LANES+Kw] x [jper*q] matmul
+        # with a banded weight matrix.
+        padr = jnp.pad(bufr, ((0, 0), (0, padded - (hist + n))))
+        padi = jnp.pad(bufi, ((0, 0), (0, padded - (hist + n))))
+        # Two lane-aligned views (this row / next row) and a split weight
+        # matrix avoid offset concats Mosaic cannot lower.
+        P1r = padr[:, : nrow * LANES].reshape(tile * nrow, LANES)
+        P1i = padi[:, : nrow * LANES].reshape(tile * nrow, LANES)
+        P2r = padr[:, LANES:].reshape(tile * nrow, LANES)
+        P2i = padi[:, LANES:].reshape(tile * nrow, LANES)
+        dot = functools.partial(jax.lax.dot_general,
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+        wa = w3[:][:LANES]                          # [LANES, jper*q]
+        wb = w3[:][LANES:]                          # [LANES, jper*q]
+        yr = (dot(P1r, wa, (((1,), (0,)), ((), ())))
+              + dot(P2r, wb, (((1,), (0,)), ((), ()))))
+        yi = (dot(P1i, wa, (((1,), (0,)), ((), ())))
+              + dot(P2i, wb, (((1,), (0,)), ((), ()))))
+        # Keep the lane dimension (jper*q) intact for the store; the caller
+        # flattens [nrow, jper*q] -> out_len outside the kernel.
+        outr[:] = yr.reshape(tile, nrow, jper * q)
+        outi[:] = yi.reshape(tile, nrow, jper * q)
+
+    return kernel
+
+
+def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
+                       kernel_matrix, p: int, q: int,
+                       tile: int = 8,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Mix + decimate one chunk step.
+
+    ``xr/xi``: [batch, n] raw input planes; ``ar..bi``: factored oscillator
+    tables ([outer], [inner]); ``p0r/p0i``: [batch] per-stream start
+    phasor; ``hr/hi``: [batch, hist] mixed-domain history;
+    ``kernel_matrix``: [q, Kw] from the rational plan.  Returns
+    (outr, outi, new_hr, new_hi).
+    """
+    b, n = xr.shape
+    hist = hr.shape[-1]
+    Kw = kernel_matrix.shape[-1]
+    outer = ar.shape[-1]
+    inner = br.shape[-1]
+    tile = min(tile, b)
+    if b % tile:
+        tile = 1
+    kernel = _make_kernel(n, hist, p, q, Kw, outer, inner, tile,
+                          precision)
+    # Oscillator outer product (tiny) computed in XLA, fed as a 2-D grid.
+    oscr = ar[:, None] * br[None, :] - ai[:, None] * bi[None, :]
+    osci = ar[:, None] * bi[None, :] + ai[:, None] * br[None, :]
+    # Banded weights: W3[j*p + u, j*q + r] = W[r, u], padded to two full
+    # 128-lane rows (the kernel splits it into this-row/next-row halves).
+    jper = LANES // p
+    w3 = np.zeros((2 * LANES, jper * q), np.float32)
+    wt = np.asarray(kernel_matrix).T               # [Kw, q]
+    for j in range(jper):
+        w3[j * p: j * p + Kw, j * q: (j + 1) * q] = wt
+    M = n // p
+    out_len = M * q
+    grid = (b // tile,)
+    nrow = M // jper
+    row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out3 = pl.BlockSpec((tile, nrow, jper * q), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    pvec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    outr, outi, nhr, nhi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row(n), row(n), vec(), vec(),
+                  pvec, pvec, row(hist), row(hist), vec()],
+        out_specs=[out3, out3, row(hist), row(hist)],
+        out_shape=[jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hist), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hist), jnp.float32)],
+    )(xr, xi, oscr, osci, p0r[:, None], p0i[:, None], hr, hi,
+      jnp.asarray(w3))
+    return (outr.reshape(b, out_len), outi.reshape(b, out_len),
+            nhr, nhi)

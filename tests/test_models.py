@@ -142,3 +142,23 @@ def test_real_pair_packing_matches_generic():
         blk.input_is_real = False  # disable realness optimizations
     state, ys = scan(b, b.params, b.init_state(), jnp.asarray(iq))
     np.testing.assert_allclose(ys_opt, np.asarray(ys), atol=1e-5)
+
+
+def test_wfm_fused_frontend_matches_unfused():
+    # The fused mixer+decimator Pallas kernel (interpreter mode on CPU)
+    # equals the separate FreqShifter -> Downsampler blocks.
+    import radiorust_tpu.ops.pallas_frontend as pfe
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    pfe.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        t_chunks = 3
+        iq, _ = synth_wfm_iq(1000.0, t_chunks)
+        sig = StreamSig(1, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+        ys_ref, _ = run_chain(
+            wfm_receiver(tune_shift=100000.0, fuse_frontend=False), sig, iq)
+        ys_fused, _ = run_chain(
+            wfm_receiver(tune_shift=100000.0, fuse_frontend=True), sig, iq)
+        np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=2e-4)
+    finally:
+        pfe.pl.pallas_call = orig
