@@ -4,6 +4,7 @@ from .blocks.analysis import Fourier
 from .blocks.base import (Block, BoundBlock, Chain, StreamSig, jit_step,
                           make_scan, pack_wire, scan, unpack_wire)
 from .blocks.channelize import Channelizer
+from .blocks.frontend import MixerDecimator
 from .blocks.chunks import Overlapper, rechunk
 from .blocks.filters import (Filter, SlewRateLimiter, deemphasis_factor)
 from .blocks.modulation import FmDemod, FmMod
@@ -19,7 +20,7 @@ from .windowing import CustomWindow, Kaiser, Rectangular, Window
 __all__ = [
     "Block", "BoundBlock", "Chain", "StreamSig", "jit_step", "make_scan",
     "scan", "pack_wire", "unpack_wire",
-    "Fourier", "Channelizer", "Overlapper", "rechunk",
+    "Fourier", "Channelizer", "MixerDecimator", "Overlapper", "rechunk",
     "Filter", "SlewRateLimiter", "deemphasis_factor",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
     "Downsampler", "Upsampler", "FreqShifter", "GainControl", "MapSample",
