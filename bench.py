@@ -69,7 +69,8 @@ def main():
     T = int(os.environ.get("BENCH_T", "16"))
     sig = StreamSig(batch, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
     fuse = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
-    bound = wfm_receiver(fuse_frontend=fuse).bind(sig)
+    fuse_d = os.environ.get("BENCH_FUSE_DEMOD", "1") == "1"
+    bound = wfm_receiver(fuse_frontend=fuse, fuse_demod=fuse_d).bind(sig)
 
     @jax.jit
     def bench(pparams, pstate, seed, reps):

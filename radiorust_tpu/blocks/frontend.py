@@ -25,7 +25,7 @@ from ..ops.polyphase import plan_downsample
 from .base import Block, BoundBlock, StreamSig
 from .transform import _inner_block, _shift_tables
 
-__all__ = ["MixerDecimator"]
+__all__ = ["MixerDecimator", "FmDemodFilter"]
 
 
 class _BoundMixerDecimator(BoundBlock):
@@ -121,3 +121,87 @@ class MixerDecimator(Block):
         return _BoundMixerDecimator(sig, self.shift, self.precision,
                                     self.output_rate, self.bandwidth,
                                     self.quality)
+
+
+class _BoundFmDemodFilter(BoundBlock):
+    @property
+    def output_is_real(self):
+        return True
+
+    def __init__(self, sig: StreamSig, deviation: float, freq_resp, window):
+        from ..ops.pallas_filter import supported as _filt_supported
+        from .filters import design_impulse_response
+        self.in_sig = self.out_sig = sig
+        n = sig.chunk_len
+        if not _filt_supported(n) or sig.batch % 2:
+            raise ValueError("FmDemodFilter kernel constraints unmet "
+                             "(chunk size / even batch); use FmDemod + "
+                             "Filter")
+        ir = design_impulse_response(freq_resp, window, n, sig.sample_rate)
+        peak = max(float(np.abs(ir.real).max()), 1e-30)
+        if np.abs(ir.imag).max() > 1e-9 * peak:
+            raise ValueError("FmDemodFilter requires a real impulse "
+                             "response (conjugate-symmetric gains)")
+        ext = np.concatenate([np.zeros(n, np.complex128),
+                              ir.astype(np.complex64).astype(np.complex128)])
+        self.params = {"response": np.fft.fft(ext).astype(np.complex64)}
+        # Demod factor is a compile-time constant of the kernel; changing
+        # the deviation rebinds (the reference recomputes per chunk from a
+        # watch channel — here it is one recompile per retune).
+        self.factor = float(sig.sample_rate / deviation / TAU)
+
+    def init_state(self):
+        b, n = self.in_sig.batch, self.in_sig.chunk_len
+        return {
+            "plr": np.zeros((b,), np.float32),
+            "pli": np.zeros((b,), np.float32),
+            "prevd": np.zeros((b, n), np.float32),
+            "last_out": np.zeros((b,), np.float32),
+            "have_prev": np.zeros((b,), np.float32),
+        }
+
+    def process(self, params, state, x, reset):
+        from ..ops.pallas_filter import fused_demod_filter
+        n = self.in_sig.chunk_len
+        n1 = (2 * n) // 128
+        grid = jnp.swapaxes(
+            params["response"].reshape(128, n1), 0, 1) / (2.0 * n)
+        have = jnp.where(reset, 0.0, state["have_prev"])
+        # An interrupt also clears the filter tail (the reference's Filter
+        # drops previous_chunk on is_interrupt events).
+        prevd = jnp.where(reset[:, None], jnp.zeros_like(state["prevd"]),
+                          state["prevd"])
+        y, d = fused_demod_filter(
+            jnp.real(x), jnp.imag(x),
+            state["plr"], state["pli"], prevd,
+            state["last_out"], have,
+            jnp.real(grid).astype(jnp.float32),
+            jnp.imag(grid).astype(jnp.float32),
+            self.factor)
+        new_state = {
+            "plr": jnp.real(x[:, -1]).astype(jnp.float32),
+            "pli": jnp.imag(x[:, -1]).astype(jnp.float32),
+            "prevd": d,
+            "last_out": d[:, -1],
+            "have_prev": jnp.ones_like(have),
+        }
+        return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
+class FmDemodFilter(Block):
+    """Fused quadrature FM demodulator + overlap-save filter.
+
+    Equals ``Chain(FmDemod(dev), Filter.with_window(resp, win))`` for
+    real-impulse-response filters, in one VMEM-resident Pallas kernel with
+    stream pairs sharing each complex transform.
+    """
+
+    def __init__(self, deviation: float, freq_resp, window=None):
+        from ..windowing import Rectangular
+        self.deviation = float(deviation)
+        self.freq_resp = freq_resp
+        self.window = window if window is not None else Rectangular()
+
+    def bind(self, sig: StreamSig) -> _BoundFmDemodFilter:
+        return _BoundFmDemodFilter(sig, self.deviation, self.freq_resp,
+                                   self.window)

@@ -47,7 +47,8 @@ def _deemphasis_band(bins, freqs):
 def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
                  deviation: float = 150000.0,
                  fuse_deemphasis: bool = False,
-                 fuse_frontend: bool = False) -> Chain:
+                 fuse_frontend: bool = False,
+                 fuse_demod: bool = False) -> Chain:
     """The WFM receive chain as a composable block spec.
 
     ``fuse_frontend=True`` replaces the first two blocks with the fused
@@ -64,16 +65,22 @@ def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
     else:
         head = [FreqShifter.with_shift(tune_shift),
                 Downsampler(384000.0, 200000.0)]
-    if fuse_deemphasis:
+    if fuse_demod:
+        from ..blocks.frontend import FmDemodFilter
+        mid = [FmDemodFilter(deviation, _deemphasis_band)]
+        tail = [Downsampler(48000.0, 2.0 * 20000.0)]
+    elif fuse_deemphasis:
+        mid = [FmDemod(deviation)]
         tail = [Downsampler(48000.0, 2.0 * 20000.0,
                             prefilter=(_deemphasis_band, Rectangular()))]
     else:
+        mid = [FmDemod(deviation)]
         tail = [Filter.new_rectangular(_deemphasis_band),
                 Downsampler(48000.0, 2.0 * 20000.0)]
     return Chain(
         *head,
         Filter.new(_lowpass_100k),
-        FmDemod(deviation),
+        *mid,
         *tail,
         GainControl(volume),
     )

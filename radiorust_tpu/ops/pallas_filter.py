@@ -178,3 +178,162 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
         out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
     )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
     return outr, outi
+
+
+# ---------------------------------------------------------------------------
+# Fused FM-demod + overlap-save filter (real-paired)
+# ---------------------------------------------------------------------------
+
+def _atan2_poly(b, a):
+    """Vectorized atan2 via Cephes-style polynomial atan (Pallas TPU has no
+    atan2 primitive).  Max error ~1.2e-7 rad — the same class as f32 libm,
+    inside the framework's f32 SNR bound."""
+    abs_a = jnp.abs(a)
+    abs_b = jnp.abs(b)
+    big = jnp.maximum(abs_a, abs_b)
+    small = jnp.minimum(abs_a, abs_b)
+    t = small / jnp.where(big == 0.0, 1.0, big)
+    # Cephes atanf range reduction on [0, 1]: fold [tan(pi/8), 1] once.
+    fold = t > 0.4142135623730950
+    t2 = jnp.where(fold, (t - 1.0) / (t + 1.0), t)
+    z = t2 * t2
+    poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z * t2 + t2
+    r = jnp.where(fold, poly + jnp.float32(0.7853981633974483), poly)
+    # Undo the min/max swap: angle from the x-axis.
+    r = jnp.where(abs_b > abs_a, jnp.float32(1.5707963267948966) - r, r)
+    # Quadrants.
+    r = jnp.where(a < 0.0, jnp.float32(3.141592653589793) - r, r)
+    r = jnp.where(b < 0.0, -r, r)
+    return jnp.where(big == 0.0, jnp.zeros_like(r), r)
+
+
+def _make_demod_filter_kernel(n1: int, n2: int, tile: int, factor: float,
+                              precision=jax.lax.Precision.HIGHEST):
+    """Kernel: quadrature-demodulate the chunk, then run the overlap-save
+    filter on the (real) demodulated stream with stream *pairs* packed into
+    single complex transforms (exact for real impulse responses).
+
+    ``tile`` must be even; the DFT stages run at tile/2 packed streams.
+    """
+    half = n1 // 2
+    n = half * n2
+    pair = tile // 2
+    dot = functools.partial(jax.lax.dot_general,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+
+    def mm(a, b):
+        return dot(a, b, (((1,), (0,)), ((), ())))
+
+    def kernel(curr, curi, plr, pli, prevd, lastout, havep, rr, ri,
+               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
+               out, dout):
+        # --- quadrature demod (src/blocks/modulation.rs:116-126) ---
+        xr = curr[:]
+        xi = curi[:]
+        sr = pltpu.roll(xr, 1, 1)
+        si = pltpu.roll(xi, 1, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        first = col == 0
+        sr = jnp.where(first, plr[:], sr)
+        si = jnp.where(first, pli[:], si)
+        pre = xr * sr + xi * si          # Re[x * conj(shifted)]
+        pim = xi * sr - xr * si          # Im[x * conj(shifted)]
+        d = _atan2_poly(pim, pre) * jnp.float32(factor)
+        d = jnp.where(first & (havep[:] < 0.5), lastout[:], d)
+        dout[:] = d
+        # --- overlap-save on [prev_d || d], stream pairs packed ---
+        buf = jnp.concatenate([prevd[:], d], axis=-1)       # [tile, 2n]
+        v = buf.reshape(pair, 2, 2 * n)
+        zr = v[:, 0, :].reshape(pair, n1, n2)
+        zi = v[:, 1, :].reshape(pair, n1, n2)
+        # forward stage 1
+        zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, pair * n2)
+        zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, pair * n2)
+        tr = mm(d1r[:], zr2) - mm(d1i[:], zi2)
+        ti = mm(d1r[:], zi2) + mm(d1i[:], zr2)
+        tr = tr.reshape(n1, pair, n2)
+        ti = ti.reshape(n1, pair, n2)
+        wr_ = twr[:][:, None, :]
+        wi_ = twi[:][:, None, :]
+        ur = tr * wr_ - ti * wi_
+        ui = tr * wi_ + ti * wr_
+        ur2 = ur.reshape(n1 * pair, n2)
+        ui2 = ui.reshape(n1 * pair, n2)
+        vr = mm(ur2, d2r[:]) - mm(ui2, d2i[:])
+        vi = mm(ur2, d2i[:]) + mm(ui2, d2r[:])
+        vr = vr.reshape(n1, pair, n2)
+        vi = vi.reshape(n1, pair, n2)
+        gr = rr[:][:, None, :]
+        gi = ri[:][:, None, :]
+        pr = vr * gr - vi * gi
+        pi = vr * gi + vi * gr
+        pr2 = pr.reshape(n1 * pair, n2)
+        pi2 = pi.reshape(n1 * pair, n2)
+        qr = mm(pr2, d2r[:]) + mm(pi2, d2i[:])
+        qi = mm(pi2, d2r[:]) - mm(pr2, d2i[:])
+        qr = qr.reshape(n1, pair, n2)
+        qi = qi.reshape(n1, pair, n2)
+        sr_ = qr * wr_ + qi * wi_
+        si_ = qi * wr_ - qr * wi_
+        sr2 = sr_.reshape(n1, pair * n2)
+        si2 = si_.reshape(n1, pair * n2)
+        e1rt = jnp.swapaxes(e1r[:], 0, 1)
+        e1it = jnp.swapaxes(e1i[:], 0, 1)
+        yr = mm(e1rt, sr2) - mm(e1it, si2)
+        yi = mm(e1rt, si2) + mm(e1it, sr2)
+        # y real part = even streams, imag = odd streams; un-pair via a
+        # stacked [pair, 2, n] store (lane dim preserved).
+        yr3 = jnp.swapaxes(yr.reshape(half, pair, n2), 0, 1).reshape(pair, n)
+        yi3 = jnp.swapaxes(yi.reshape(half, pair, n2), 0, 1).reshape(pair, n)
+        out[:] = jnp.stack([yr3, yi3], axis=1)              # [pair, 2, n]
+
+    return kernel
+
+
+def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
+                       last_out, have_prev, resp_gr, resp_gi,
+                       factor: float, tile: int = 8,
+                       precision=jax.lax.Precision.HIGHEST):
+    """FM demod + overlap-save filter in one kernel.
+
+    ``curr/curi``: [batch, n] pre-demod planes; ``prev_last_*``: [batch]
+    last sample of the previous pre-demod chunk; ``prevd``: [batch, n]
+    previous demodulated chunk; ``last_out``/``have_prev``: [batch] demod
+    continuity state (have_prev as 0/1 float); ``resp_gr/gi``: response
+    grid planes from :func:`response_to_grid` (real impulse response
+    required).  ``factor`` = sample_rate / deviation / 2pi.
+
+    Returns (y [batch, n] f32 demod-filtered output, d [batch, n] f32
+    demodulated chunk for the next step's state).  Batch must be even.
+    """
+    b, n = curr.shape
+    n1, n2 = kernel_factors(2 * n)
+    tile = min(tile, b)
+    if b % tile or tile % 2:
+        tile = 2
+    assert b % tile == 0
+    consts = _factor_constants(2 * n)
+    const_arrays = [jnp.asarray(c) for c in consts]
+    kernel = _make_demod_filter_kernel(n1, n2, tile, factor, precision)
+    grid = (b // tile,)
+    row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pair = tile // 2
+    out3 = pl.BlockSpec((pair, 2, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out, dout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row(n), row(n), col, col, row(n), col, col]
+                 + [const_spec] * 10,
+        out_specs=[out3, row(n)],
+        out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, n), jnp.float32)],
+    )(curr, curi, prev_last_r[:, None], prev_last_i[:, None], prevd,
+      last_out[:, None], have_prev[:, None], resp_gr, resp_gi,
+      *const_arrays)
+    return out.reshape(b, n), dout

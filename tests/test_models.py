@@ -162,3 +162,23 @@ def test_wfm_fused_frontend_matches_unfused():
         np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=2e-4)
     finally:
         pfe.pl.pallas_call = orig
+
+
+def test_wfm_fused_demod_matches_unfused():
+    # Fused demod+deemphasis kernel (interpreter mode on CPU) equals the
+    # separate FmDemod -> Filter blocks; batch 2 also exercises stream
+    # pairing.
+    import radiorust_tpu.ops.pallas_filter as pfl
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    pfl.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        iq1, _ = synth_wfm_iq(900.0, 3)
+        iq2, _ = synth_wfm_iq(2100.0, 3)
+        iq = np.concatenate([iq1, iq2], axis=1)
+        sig = StreamSig(2, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+        ys_ref, _ = run_chain(wfm_receiver(fuse_demod=False), sig, iq)
+        ys_fused, _ = run_chain(wfm_receiver(fuse_demod=True), sig, iq)
+        np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=3e-4)
+    finally:
+        pfl.pl.pallas_call = orig
