@@ -22,8 +22,11 @@ import numpy as np, jax, jax.numpy as jnp
 from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
 from radiorust_tpu.models.wfm import WFM_INPUT_CHUNK, WFM_INPUT_RATE, wfm_receiver
 
+import os
 batch, T = 8, 4
-bound = wfm_receiver().bind(StreamSig(batch, WFM_INPUT_CHUNK, WFM_INPUT_RATE))
+_fused = os.environ.get("VALIDATE_FUSED", "0") == "1"
+bound = wfm_receiver(fuse_frontend=_fused, fuse_demod=_fused).bind(
+    StreamSig(batch, WFM_INPUT_CHUNK, WFM_INPUT_RATE))
 
 @jax.jit
 def run(pp, ps, seed):
@@ -44,14 +47,22 @@ print("CHECKSUMS", " ".join(f"{v:.8e}" for v in out.reshape(-1)))
 """
 
 
-def run_on(platform):
-    env = dict(__import__("os").environ)
+def run_on(platform, fused=False):
+    import os
+    env = dict(os.environ)
+    env["VALIDATE_FUSED"] = "1" if fused else "0"
     code = PROGRAM
     if platform == "cpu":
+        # CPU: run fused kernels in pallas interpreter mode.
         code = ("import jax\njax.config.update('jax_platforms','cpu')\n"
+                + ("import jax.experimental.pallas as _pl\n"
+                   "_orig=_pl.pallas_call\n"
+                   "_pl.pallas_call=lambda *a,**k:_orig(*a,**{**k,'interpret':True})\n"
+                   if fused else "")
                 + code)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, cwd=str(pathlib.Path(__file__).parents[1]))
+                       text=True, env=env,
+                       cwd=str(pathlib.Path(__file__).parents[1]))
     for line in r.stdout.splitlines():
         if line.startswith("CHECKSUMS"):
             return [float(v) for v in line.split()[1:]]
@@ -59,9 +70,11 @@ def run_on(platform):
 
 
 def main():
+    import os
     import numpy as np
-    cpu = np.array(run_on("cpu"))
-    tpu = np.array(run_on("tpu"))
+    fused = os.environ.get("VALIDATE_FUSED", "0") == "1"
+    cpu = np.array(run_on("cpu", fused))
+    tpu = np.array(run_on("tpu", fused))
     rel = np.abs(cpu - tpu) / np.maximum(np.abs(cpu), 1e-6)
     print("cpu:", cpu)
     print("tpu:", tpu)
