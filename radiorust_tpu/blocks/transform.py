@@ -5,8 +5,7 @@ TPU-native equivalents of the reference's ``src/blocks/transform.rs``.
 
 from __future__ import annotations
 
-from fractions import Fraction
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..blocks.base import Chain, StreamSig
+from ..blocks.base import Chain
 from ..blocks.filters import Filter, deemphasis_factor
 from ..blocks.modulation import FmDemod
 from ..blocks.resampling import Downsampler

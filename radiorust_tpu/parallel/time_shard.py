@@ -30,7 +30,6 @@ channel-shardable.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -44,7 +43,7 @@ from ..blocks import filters as _filters
 from ..blocks import modulation as _modulation
 from ..blocks import resampling as _resampling
 from ..blocks import transform as _transform
-from ..blocks.base import BoundBlock, StreamSig
+from ..blocks.base import BoundBlock
 from ..numbers import TAU
 
 __all__ = ["TimeShardedChain"]

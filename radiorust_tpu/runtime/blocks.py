@@ -18,7 +18,6 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..blocks.base import Block, StreamSig

@@ -13,10 +13,8 @@ exactly like the reference.
 from __future__ import annotations
 
 import asyncio
-from dataclasses import dataclass, field
-from typing import Any, Callable, List, Optional
-
-import numpy as np
+from dataclasses import dataclass
+from typing import Any, Callable, List
 
 __all__ = [
     "Samples", "Event", "Disconnection", "SamplesLost", "BufferOverflow",

@@ -14,7 +14,7 @@ continuation (see tests/test_checkpoint.py).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import numpy as np
 

@@ -18,8 +18,8 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Dict, Optional
+from dataclasses import dataclass
+from typing import Dict
 
 __all__ = ["BlockStats", "StatsRegistry", "device_trace", "timed", "report"]
 
