@@ -1,0 +1,111 @@
+"""Direct unit tests for the fused Pallas frontend/demod kernels
+(interpreter mode) against the unfused formulations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+
+import radiorust_tpu.ops.pallas_filter as pfl
+import radiorust_tpu.ops.pallas_frontend as pfe
+from radiorust_tpu.blocks.transform import _shift_tables
+from radiorust_tpu.ops.polyphase import plan_downsample, rational_fir
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pfe.pl, "pallas_call", interp)
+    monkeypatch.setattr(pfl.pl, "pallas_call", interp)
+
+
+def test_fused_mix_decimate_matches_unfused():
+    batch, n = 4, 2048
+    plan = plan_downsample(1024000.0, 384000.0, 200000.0)
+    p, q, hist = plan.p, plan.q, plan.hist
+    ta, tb, _ = _shift_tables(n, 1024000, 100000)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((batch, n))
+         + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    h = (rng.standard_normal((batch, hist))
+         + 1j * rng.standard_normal((batch, hist))).astype(np.complex64)
+    p0 = np.exp(1j * rng.standard_normal(batch)).astype(np.complex64)
+    osc = (ta[:, None] * tb[None, :]).reshape(n)
+    mixed = x * osc[None, :] * p0[:, None]
+    xp = np.concatenate([h, mixed], axis=-1)
+    want = np.asarray(rational_fir(jnp.asarray(xp), jnp.asarray(plan.kernel),
+                                   p, q, plan.s0, (n // p) * q))
+    outr, outi, nhr, nhi = pfe.fused_mix_decimate(
+        jnp.asarray(x.real), jnp.asarray(x.imag),
+        jnp.asarray(ta.real), jnp.asarray(ta.imag),
+        jnp.asarray(tb.real), jnp.asarray(tb.imag),
+        jnp.asarray(p0.real), jnp.asarray(p0.imag),
+        jnp.asarray(h.real), jnp.asarray(h.imag),
+        plan.kernel, p, q)
+    got = np.asarray(outr) + 1j * np.asarray(outi)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(nhr) + 1j * np.asarray(nhi),
+                               xp[:, -hist:], atol=1e-6)
+
+
+def test_atan2_poly_precision():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(100000).astype(np.float32)
+    b = rng.standard_normal(100000).astype(np.float32)
+    got = np.asarray(pfl._atan2_poly(jnp.asarray(b), jnp.asarray(a)))
+    np.testing.assert_allclose(got, np.arctan2(b, a), atol=5e-7)
+    assert float(pfl._atan2_poly(jnp.float32(0), jnp.float32(0))) == 0.0
+
+
+def test_fused_demod_filter_matches_blocks():
+    from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+    from radiorust_tpu.blocks.filters import Filter, design_response
+    from radiorust_tpu.blocks.modulation import FmDemod
+    from radiorust_tpu.models.wfm import _deemphasis_band
+    from radiorust_tpu.windowing import Rectangular
+
+    batch, n, rate, dev = 4, 2048, 384000.0, 150000.0
+    factor = rate / dev / (2 * np.pi)
+    rng = np.random.default_rng(2)
+    ph = np.cumsum(rng.standard_normal((batch, 3 * n)) * 0.3, axis=-1)
+    x = np.exp(1j * ph).astype(np.complex64)
+    chunks = x.reshape(batch, 3, n).transpose(1, 0, 2)
+
+    chain = Chain(FmDemod(dev), Filter.new_rectangular(_deemphasis_band))
+    b = chain.bind(StreamSig(batch, n, rate))
+    for blk in b.blocks:
+        blk.input_is_real = False
+    _, want = scan(b, b.params, b.init_state(), jnp.asarray(chunks))
+    want = np.asarray(want)
+
+    resp = design_response(_deemphasis_band, Rectangular(), n,
+                           rate).astype(np.complex64)
+    gr, gi = pfl.response_to_grid(resp)
+    plr = np.zeros(batch, np.float32)
+    pli = np.zeros(batch, np.float32)
+    prevd = np.zeros((batch, n), np.float32)
+    last = np.zeros(batch, np.float32)
+    have = np.zeros(batch, np.float32)
+    outs = []
+    for t in range(3):
+        cur = chunks[t]
+        y, d = pfl.fused_demod_filter(
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(plr), jnp.asarray(pli), jnp.asarray(prevd),
+            jnp.asarray(last), jnp.asarray(have),
+            jnp.asarray(gr), jnp.asarray(gi), factor)
+        y, d = np.asarray(y), np.asarray(d)
+        outs.append(y)
+        plr = cur.real[:, -1].astype(np.float32)
+        pli = cur.imag[:, -1].astype(np.float32)
+        prevd, last = d, d[:, -1]
+        have = np.ones(batch, np.float32)
+    got = np.stack(outs)
+    np.testing.assert_allclose(got, want.real, atol=2e-5)
