@@ -66,6 +66,16 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # Explicitly initialize the persistent compile cache (env-var-only
+    # initialization is skipped for non-allowlisted backends like the
+    # experimental relay platform).
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+        _cc.set_cache_dir(os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
     from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
     from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK, WFM_INPUT_RATE,
                                           wfm_receiver)
