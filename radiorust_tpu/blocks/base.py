@@ -120,7 +120,7 @@ class _BoundChain(BoundBlock):
 
     def process(self, params, state, x, reset):
         new_state = []
-        for block, p, s in zip(self.blocks, params, state):
+        for block, p, s in zip(self.blocks, params, state, strict=True):
             r = reset
             # Batch-growing blocks (e.g. the channelizer folds channels
             # into the batch axis) need the reset mask expanded per stream.

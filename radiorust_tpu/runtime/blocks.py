@@ -363,6 +363,17 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
                         pass
                     drain_task = None
                 if fill_task is not None and fill_task in done:
+                    # A drain (reserve) task that completed in the same
+                    # wakeup must still have its result retrieved, else
+                    # asyncio warns "Task exception was never retrieved"
+                    # when the channel closed; the reservation itself is
+                    # side-effect free to drop (see comment above).
+                    if drain_task is not None and drain_task in done:
+                        try:
+                            drain_task.result()
+                        except ChannelClosed:
+                            pass
+                        drain_task = None
                     try:
                         msg = fill_task.result()
                     except ChannelClosed:

@@ -26,11 +26,21 @@ _SEP = "\x1f"
 
 
 def _flatten(tree, prefix=""):
+    # Empty containers must serialize explicitly: a stateless block mid-chain
+    # contributes an empty () state, and dropping it would shift every
+    # following block's state one slot left (silent misalignment on restore).
+    # They get a marker leaf whose path segment "!<kind>" records the kind.
     if isinstance(tree, dict):
+        if not tree:
+            yield (f"{prefix}{_SEP}!d" if prefix else "!d"), np.zeros(0)
+            return
         for k, v in tree.items():
             yield from _flatten(v, f"{prefix}{_SEP}d{k}" if prefix else f"d{k}")
     elif isinstance(tree, (list, tuple)):
         tag = "l" if isinstance(tree, list) else "t"
+        if not tree:
+            yield (f"{prefix}{_SEP}!{tag}" if prefix else f"!{tag}"), np.zeros(0)
+            return
         for i, v in enumerate(tree):
             yield from _flatten(v, f"{prefix}{_SEP}{tag}{i}" if prefix
                                 else f"{tag}{i}")
@@ -38,10 +48,15 @@ def _flatten(tree, prefix=""):
         yield prefix if prefix else "leaf", tree
 
 
+_EMPTY = {"!d": {}, "!l": [], "!t": ()}
+
+
 def _rebuild(node):
     if not isinstance(node, dict):
         return node
     keys = list(node.keys())
+    if len(keys) == 1 and keys[0] in _EMPTY:
+        return _EMPTY[keys[0]]
     kinds = {k[0] for k in keys}
     assert len(kinds) == 1, f"mixed container kinds: {keys}"
     kind = kinds.pop()

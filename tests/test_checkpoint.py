@@ -49,3 +49,46 @@ def test_resume_continues_stream(tmp_path):
 
     np.testing.assert_array_equal(np.asarray(ys_all[:3]), np.asarray(ys_a))
     np.testing.assert_array_equal(np.asarray(ys_all[3:]), np.asarray(ys_b))
+
+
+def test_empty_containers_roundtrip(tmp_path):
+    """Empty containers must survive serialization (a stateless block's ()
+    state mid-chain must not shift later blocks' states left)."""
+    tree = (np.arange(3, dtype=np.float32), (), {"k": []},
+            [np.float32(1.5), ()])
+    path = tmp_path / "empty.npz"
+    save_state(str(path), tree)
+    got = load_state(str(path))
+    assert isinstance(got, tuple) and len(got) == 4
+    np.testing.assert_array_equal(got[0], tree[0])
+    assert got[1] == ()
+    assert got[2] == {"k": []}
+    assert isinstance(got[3], list) and len(got[3]) == 2
+    assert got[3][0] == np.float32(1.5) and got[3][1] == ()
+
+
+def test_resume_with_stateless_block_midchain(tmp_path):
+    """Regression: a chain containing a stateless block (GainControl) in the
+    middle, with gain != 1, must restore with aligned per-block states."""
+    from radiorust_tpu.prelude import Chain, FmDemod, FreqShifter, GainControl
+
+    n = 512
+    sig = StreamSig(1, n, 48000.0)
+    chain = Chain(FreqShifter(700.0), GainControl(0.5), FmDemod(5000.0))
+    bound = chain.bind(sig)
+    rng = np.random.default_rng(7)
+    xs = (rng.standard_normal((4, 1, n)) + 1j * rng.standard_normal((4, 1, n))
+          ).astype(np.complex64)
+
+    state = bound.init_state()
+    state, ys_all = scan(bound, bound.params, state, jnp.asarray(xs))
+
+    state2 = bound.init_state()
+    state2, ys_a = scan(bound, bound.params, state2, jnp.asarray(xs[:2]))
+    path = tmp_path / "mid.npz"
+    save_state(str(path), state2)
+    restored = load_state(str(path))
+    _, ys_b = scan(bound, bound.params, restored, jnp.asarray(xs[2:]))
+
+    np.testing.assert_array_equal(np.asarray(ys_all[:2]), np.asarray(ys_a))
+    np.testing.assert_array_equal(np.asarray(ys_all[2:]), np.asarray(ys_b))
