@@ -32,14 +32,23 @@ __all__ = [
 ]
 
 
-class _ProducerMixin:
+class _TaskMixin:
+    def stop(self) -> None:
+        """Cancel this block's task (the reference's struct-drop analog:
+        the task exits and its endpoints close, releasing blocked peers)."""
+        task = getattr(self, "_task", None)
+        if task is not None:
+            task.cancel()
+
+
+class _ProducerMixin(_TaskMixin):
     sender_connector: SenderConnector
 
     def feed_into(self, consumer) -> None:
         consumer.receiver_connector.connect(self.sender_connector)
 
 
-class _ConsumerMixin:
+class _ConsumerMixin(_TaskMixin):
     receiver_connector: ReceiverConnector
 
     def feed_from(self, producer) -> None:
@@ -216,6 +225,12 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     Samples(bound.out_sig.sample_rate, y[0]))
         except ChannelClosed:
             return
+        finally:
+            # Task exit drops the task-owned endpoints (reference: the task
+            # owns Receiver/Sender, src/blocks/mod.rs:213-230), so teardown
+            # cascades down the chain instead of leaving peers parked.
+            receiver.close()
+            self.sender.close()
 
 
 class Silence(_ProducerMixin):
@@ -241,6 +256,8 @@ class Silence(_ProducerMixin):
                 await self.sender.send(Samples(self.sample_rate, chunk))
         except ChannelClosed:
             return
+        finally:
+            self.sender.close()
 
 
 class Blackhole(_ConsumerMixin, EventHandling):
@@ -263,6 +280,8 @@ class Blackhole(_ConsumerMixin, EventHandling):
                     self.samples_seen += len(msg.chunk)
         except ChannelClosed:
             return
+        finally:
+            receiver.close()
 
 
 class _TemporalQueue:
@@ -335,6 +354,7 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
         shutdown = False
         marked_missing = False
         fill_task = None  # persistent: cancelling a recv could lose a chunk
+        drain_task = None
         try:
             while True:
                 if shutdown and not len(queue):
@@ -398,6 +418,12 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
                         marked_missing)
         except ChannelClosed:
             return
+        finally:
+            for t in (fill_task, drain_task):
+                if t is not None:
+                    t.cancel()
+            receiver.close()
+            self.sender.close()
 
     def _drop_stale(self, keep_last: bool) -> bool:
         queue = self._queue
@@ -486,6 +512,9 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
                 patchwork = (rate, buf) if len(buf) else None
         except ChannelClosed:
             return
+        finally:
+            receiver.close()
+            self.sender.close()
 
 
 class KeyerSource(_ProducerMixin):
@@ -516,6 +545,8 @@ class KeyerSource(_ProducerMixin):
                         Samples(self._keyer.sample_rate, chunk))
         except ChannelClosed:
             return
+        finally:
+            self.sender.close()
 
 
 class ArraySource(_ProducerMixin):
@@ -539,10 +570,11 @@ class ArraySource(_ProducerMixin):
                         self.sample_rate,
                         self.data[i: i + self.chunk_len]))
                 if not self.repeat:
-                    self.sender.close()
                     return
         except ChannelClosed:
             return
+        finally:
+            self.sender.close()
 
 
 class ArraySink(_ConsumerMixin, EventHandling):
@@ -573,6 +605,8 @@ class ArraySink(_ConsumerMixin, EventHandling):
                     self.chunks.append(np.asarray(msg.chunk))
         except ChannelClosed:
             return
+        finally:
+            receiver.close()
 
 
 class FileSink(_ConsumerMixin, EventHandling):
@@ -593,8 +627,10 @@ class FileSink(_ConsumerMixin, EventHandling):
                 else:
                     np.asarray(msg.chunk, np.complex64).tofile(self._file)
         except ChannelClosed:
-            self._file.close()
             return
+        finally:
+            self._file.close()
+            receiver.close()
 
 
 class MapSignal(_ProducerMixin, _ConsumerMixin):
@@ -619,3 +655,6 @@ class MapSignal(_ProducerMixin, _ConsumerMixin):
                 await self.sender.send(self._closure(msg))
         except ChannelClosed:
             return
+        finally:
+            receiver.close()
+            self.sender.close()

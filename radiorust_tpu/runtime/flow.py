@@ -93,6 +93,7 @@ class Sender(Generic[T]):
 
     def __init__(self, channel: _Channel):
         self._channel = channel
+        self._open = True
 
     async def send(self, value: T) -> None:
         await self._channel.send(value)
@@ -118,8 +119,16 @@ class Sender(Generic[T]):
         return None
 
     def close(self):
-        self._channel.senders -= 1
-        self._channel._sync_notify()
+        """Drop the sending half (the reference's ``Sender`` Drop impl,
+        ``src/sync/broadcast_bp.rs:170-179``): receivers observe channel
+        closure once the last in-flight value is drained.  Idempotent."""
+        if self._open:
+            self._open = False
+            self._channel.senders -= 1
+            self._channel._sync_notify()
+
+    def __del__(self):
+        self.close()
 
 
 class Reservation:
@@ -142,12 +151,27 @@ class SenderConnector(Generic[T]):
 
     def __init__(self, channel: _Channel):
         self._channel = channel
+        self._open = True
 
     def _subscribe(self) -> "_Subscription":
         ch = self._channel
         ch.receivers += 1
         ch._sync_notify()
         return _Subscription(ch, ch.seq)
+
+    def close(self):
+        """Drop the subscription point (the reference's ``Enlister`` Drop
+        impl, ``src/sync/broadcast_bp.rs:181-190``): with no enlisters and
+        no receivers left, a blocked sender's send/reserve raises
+        :class:`ChannelClosed` instead of waiting forever.  Idempotent;
+        also invoked by garbage collection (struct-drop parity)."""
+        if self._open:
+            self._open = False
+            self._channel.enlisters -= 1
+            self._channel._sync_notify()
+
+    def __del__(self):
+        self.close()
 
 
 class _Subscription:
@@ -201,6 +225,18 @@ class Receiver(Generic[T]):
         self._connector = connector
         self._sub: Optional[_Subscription] = None
         self._seen_version = -1
+
+    def close(self):
+        """Drop the receiving half (the reference's ``Receiver`` Drop impl,
+        ``src/sync/broadcast_bp.rs:192-205``): unsubscribes so the upstream
+        sender is released if this receiver was the last holdout.
+        Idempotent; also invoked by garbage collection."""
+        if self._sub is not None:
+            self._sub.drop()
+            self._sub = None
+
+    def __del__(self):
+        self.close()
 
     async def recv(self) -> T:
         c = self._connector

@@ -267,6 +267,8 @@ class SdrRx(_ProducerMixin, EventHandling):
         except ChannelClosed:
             ctl.set_state(_CLOSED)
             return
+        finally:
+            self.sender.close()
 
 
 class SdrTx(_ConsumerMixin, EventHandling):
@@ -348,6 +350,8 @@ class SdrTx(_ConsumerMixin, EventHandling):
         except ChannelClosed:
             ctl.set_state(_CLOSED)
             return
+        finally:
+            receiver.close()
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +434,8 @@ class AudioPlayer(_ConsumerMixin, EventHandling):
                     np.real(samples).astype(np.float32))
         except ChannelClosed:
             return
+        finally:
+            receiver.close()
 
 
 class AudioRecorder(_ProducerMixin):
@@ -453,3 +459,5 @@ class AudioRecorder(_ProducerMixin):
                     np.asarray(data, np.float32).astype(np.complex64)))
         except ChannelClosed:
             return
+        finally:
+            self.sender.close()

@@ -374,3 +374,78 @@ def test_runtime_block_resets_on_interrupt():
                                    np.asarray(want)[0, 0], atol=1e-5)
 
     run(main())
+
+
+# ---------------------------------------------------------------------------
+# Teardown semantics (src/sync/broadcast_bp.rs:170-205 Drop impls;
+# src/blocks/mod.rs:213-230 task exit on channel close)
+# ---------------------------------------------------------------------------
+
+def test_teardown_cascades_down_chain():
+    """When a finite source finishes, every downstream block task exits
+    (the reference: RecvError propagates task exit block by block)."""
+    async def main():
+        data = np.arange(64, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=8, sample_rate=1000.0)
+        mid = Rechunker(16)
+        gain = RuntimeBlock(GainControl(1.0))
+        sink = ArraySink()
+        mid.feed_from(src)
+        gain.feed_from(mid)
+        sink.feed_from(gain)
+        tasks = [src._task, mid._task, gain._task, sink._task]
+        await asyncio.wait_for(asyncio.gather(*tasks), 20.0)
+        np.testing.assert_array_equal(sink.samples, data)
+
+    run(main())
+
+
+def test_send_unblocks_when_peer_endpoints_dropped():
+    """A sender blocked in send() is released with ChannelClosed when the
+    subscription point and all receivers are gone (Enlister/Receiver Drop
+    parity, broadcast_bp.rs:181-205)."""
+    async def main():
+        import gc
+        sender, connector = new_sender()
+        receiver, rc = new_receiver()
+        rc.connect(connector)
+        recv_task = asyncio.ensure_future(receiver.recv())
+        await sender.send(Samples(1000.0, np.zeros(4, np.complex64)))
+        await recv_task  # subscribed and drained
+        # Slot refill completes; the next send must wait for the receiver.
+        await sender.send(Samples(1000.0, np.ones(4, np.complex64)))
+        send_task = asyncio.ensure_future(
+            sender.send(Samples(1000.0, np.ones(4, np.complex64))))
+        await asyncio.sleep(0.05)
+        assert not send_task.done()  # backpressure: receiver hasn't drained
+
+        receiver.close()
+        del receiver, rc, connector
+        gc.collect()
+        with pytest.raises(ChannelClosed):
+            await asyncio.wait_for(send_task, 5.0)
+
+    run(main())
+
+
+def test_stop_releases_peers():
+    """block.stop() (struct-drop analog) closes its endpoints so blocked
+    peers observe closure instead of hanging."""
+    async def main():
+        src = ArraySource(np.arange(1 << 20, dtype=np.complex64),
+                          chunk_len=256, sample_rate=1e6, repeat=True)
+        sink = ArraySink()
+        sink.feed_from(src)
+        await until(lambda: len(sink.chunks) >= 2)
+        sink.stop()
+        # Source's send must observe closure (no receivers, then its own
+        # endpoints close when its task unwinds)... the source task keeps
+        # waiting for a new subscriber, which matches the reference: its
+        # Enlister (sender_connector) is still alive. Now drop the source:
+        src.stop()
+        await asyncio.wait_for(
+            asyncio.gather(src._task, sink._task, return_exceptions=True),
+            10.0)
+        assert src._task.done() and sink._task.done()
+
+    run(main())
