@@ -8,9 +8,9 @@ the separate blocks on TPU (the mixed intermediate never touches HBM).
 
 Constraints (checked at bind; use the separate blocks otherwise):
 chunk = outer*128, 128 % p == 0, decimation window <= 128 lanes, and the
-output period count divisible by 128/p.  Not yet supported in
-time-sharded execution (the halo would need the neighbor's mixed-domain
-tail); the unfused chain covers that path.
+output period count divisible by 128/p.  Time-sharded execution is
+supported (``parallel/time_shard.py`` rebuilds the mixed-domain history
+halo from the neighbor's raw tail over ICI).
 """
 
 from __future__ import annotations

@@ -36,6 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_overlap_save", "response_to_grid", "supported"]
 
 
+def _pallas_call(*args, **kw):
+    # Off-TPU (CPU test mesh, multichip dryrun) the kernels run in the
+    # Pallas interpreter: same semantics, pure XLA ops underneath.
+    if jax.default_backend() != "tpu":
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
+
+
 def kernel_factors(n2x: int):
     """Factor 2n = n1 * 128: the lane dimension is fixed at 128 so every
     matmul/elementwise stage is tile-aligned."""
@@ -170,7 +178,7 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
     stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outr, outi = pl.pallas_call(
+    outr, outi = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[stream_spec] * 4 + [const_spec] * 10,
@@ -325,7 +333,7 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     pair = tile // 2
     out3 = pl.BlockSpec((pair, 2, n), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    out, dout = pl.pallas_call(
+    out, dout = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[row(n), row(n), col, col, row(n), col, col]

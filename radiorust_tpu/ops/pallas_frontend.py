@@ -33,6 +33,14 @@ __all__ = ["fused_mix_decimate"]
 LANES = 128
 
 
+def _pallas_call(*args, **kw):
+    # Off-TPU (CPU test mesh, multichip dryrun) the kernels run in the
+    # Pallas interpreter: same semantics, pure XLA ops underneath.
+    if jax.default_backend() != "tpu":
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
+
+
 def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
     M = n // p  # decimation periods per chunk (chunk must align)
     out_len = M * q
@@ -137,7 +145,7 @@ def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
     vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     pvec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    outr, outi, nhr, nhi = pl.pallas_call(
+    outr, outi, nhr, nhi = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[row(n), row(n), vec(), vec(),

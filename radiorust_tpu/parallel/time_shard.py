@@ -40,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..blocks import analysis as _analysis
 from ..blocks import channelize as _channelize
 from ..blocks import filters as _filters
+from ..blocks import frontend as _frontend
 from ..blocks import modulation as _modulation
 from ..blocks import resampling as _resampling
 from ..blocks import transform as _transform
@@ -182,8 +183,113 @@ def _sharded_channelizer(block, params, state, x, axis):
     return {"hist": xp[:, -block.hist_len:]}, y
 
 
+def _sharded_mixer_decimator(block, params, state, x, axis):
+    """Fused mixer+decimator under time sharding.
+
+    Exact-phase mixer state advances in closed form (device d's chunk-start
+    index = k0 + d*adv); the decimator's *mixed-domain* history halo is
+    rebuilt locally: each device fetches its left neighbor's raw input tail
+    over ICI and mixes it with the neighbor's chunk phasing — identical
+    plane arithmetic to the kernel's own mix, so the halo equals the tail
+    the neighbor's kernel would have emitted.  Device 0 uses the carried
+    mixed tail from the previous group.
+    """
+    from ..ops.pallas_frontend import fused_mix_decimate
+    n = x.shape[-1]
+    plan = block.plan
+    hist = plan.hist
+    if hist > n:
+        raise NotImplementedError("decimator history exceeds one chunk")
+    denom = block.denom
+    ta, tb, adv = params["table_a"], params["table_b"], params["adv"]
+    d = jax.lax.axis_index(axis)
+    k0d = (state["k0"] + d * adv) % denom
+    theta0 = (state["start_phase"]
+              + k0d.astype(jnp.float32) * np.float32(TAU / denom))
+    if hist:
+        first = _is_first(axis)
+        kprev = (state["k0"] + (d - 1) * adv) % denom
+        thp = (state["start_phase"]
+               + kprev.astype(jnp.float32) * np.float32(TAU / denom))
+        p_prev = jax.lax.complex(jnp.cos(thp), jnp.sin(thp))
+        # Same product order as the kernel: (x * osc) * p0 in f32 planes.
+        osc_tail = (ta[:, None] * tb[None, :]).reshape(-1)[-hist:]
+        raw_tail = _ring_left(x, axis)[:, -hist:]
+        mixed = (raw_tail * osc_tail[None, :]) * p_prev[:, None]
+        hr = jnp.where(first, state["histr"],
+                       jnp.real(mixed).astype(jnp.float32))
+        hi = jnp.where(first, state["histi"],
+                       jnp.imag(mixed).astype(jnp.float32))
+    else:
+        hr, hi = state["histr"], state["histi"]
+    outr, outi, nhr, nhi = fused_mix_decimate(
+        jnp.real(x), jnp.imag(x),
+        jnp.real(ta).astype(jnp.float32), jnp.imag(ta).astype(jnp.float32),
+        jnp.real(tb).astype(jnp.float32), jnp.imag(tb).astype(jnp.float32),
+        jnp.cos(theta0), jnp.sin(theta0), hr, hi,
+        plan.kernel, plan.p, plan.q)
+    new_state = {
+        "k0": (k0d + adv) % denom,
+        "start_phase": state["start_phase"],
+        "histr": nhr,
+        "histi": nhi,
+    }
+    return new_state, jax.lax.complex(outr, outi)
+
+
+def _sharded_fm_demod_filter(block, params, state, x, axis):
+    """Fused FM-demod + overlap-save filter under time sharding.
+
+    Two halos: the demodulator needs the neighbor's last raw sample
+    (1-sample ppermute), and the overlap-save filter needs the neighbor's
+    *demodulated* chunk.  The latter is produced by recomputing the demod
+    locally with the same arithmetic the kernel uses (``_atan2_poly`` in
+    f32 planes) and ppermuting the result — one cheap elementwise pass vs.
+    a second kernel invocation.  Device 0 uses the carried state.
+    """
+    from ..ops.pallas_filter import _atan2_poly, fused_demod_filter
+    n = x.shape[-1]
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    first = _is_first(axis)
+    prev_last = _ring_left(x[:, -1], axis)
+    plr = jnp.where(first, state["plr"],
+                    jnp.real(prev_last).astype(jnp.float32))
+    pli = jnp.where(first, state["pli"],
+                    jnp.imag(prev_last).astype(jnp.float32))
+    have = jnp.where(first, state["have_prev"], jnp.ones_like(
+        state["have_prev"]))
+    last_out = state["last_out"]
+    # Local demod replica (same ops as the kernel) -> neighbor's prevd.
+    sr = jnp.concatenate([plr[:, None], xr[:, :-1]], axis=1)
+    si = jnp.concatenate([pli[:, None], xi[:, :-1]], axis=1)
+    pre = xr * sr + xi * si
+    pim = xi * sr - xr * si
+    d_local = _atan2_poly(pim, pre) * jnp.float32(block.factor)
+    d_local = d_local.at[:, 0].set(
+        jnp.where(have < 0.5, last_out, d_local[:, 0]))
+    prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
+    grid = jnp.swapaxes(
+        params["response"].reshape(128, (2 * n) // 128), 0, 1) / (2.0 * n)
+    y, dout = fused_demod_filter(
+        xr, xi, plr, pli, prevd, last_out, have,
+        jnp.real(grid).astype(jnp.float32),
+        jnp.imag(grid).astype(jnp.float32),
+        block.factor)
+    new_state = {
+        "plr": xr[:, -1],
+        "pli": xi[:, -1],
+        "prevd": dout,
+        "last_out": dout[:, -1],
+        "have_prev": jnp.ones_like(have),
+    }
+    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
 _HANDLERS = {
     _channelize._BoundChannelizer: _sharded_channelizer,
+    _frontend._BoundMixerDecimator: _sharded_mixer_decimator,
+    _frontend._BoundFmDemodFilter: _sharded_fm_demod_filter,
     _filters._BoundFilter: _sharded_filter,
     _resampling._BoundResampler: _sharded_resampler,
     _modulation._BoundFmDemod: _sharded_fm_demod,
