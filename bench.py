@@ -154,6 +154,13 @@ def main():
         assert np.isfinite(v) and v > 0.0, f"bad checksum {v}"
         best = min(best, dt)
 
+    # Optional device trace for per-stage breakdown (TensorBoard/xprof).
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        from radiorust_tpu.utils.profiling import device_trace
+        with device_trace(trace_dir):
+            float(bench(pparams, pstate, 0, 1))
+
     samples = batch * WFM_INPUT_CHUNK * T * reps
     msps = samples / best / 1e6
     print(json.dumps({

@@ -15,6 +15,7 @@ reduced ratio's ``p``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,8 +45,37 @@ class _BoundResampler(BoundBlock):
         return {"hist": np.zeros((self.in_sig.batch, self.plan.hist),
                                  np.complex64)}
 
+    def _use_pallas(self) -> bool:
+        from ..ops.pallas_frontend import decimate_supported
+        import jax as _jax
+        return (decimate_supported(self.in_sig.chunk_len, self.plan)
+                and self.plan.hist <= self.in_sig.chunk_len
+                and _jax.default_backend() not in ("cpu",))
+
     def process(self, params, state, x, reset):
         plan = self.plan
+        if self._use_pallas():
+            # Lane-aligned banded-GEMM kernel: XLA's strided-conv lowering
+            # collapses for long anti-alias FIRs (e.g. the WFM tail's
+            # 295-tap window dominated the whole chain).
+            from ..ops.pallas_frontend import pallas_decimate
+            if self.input_is_real:
+                planes = (jnp.real(x).astype(jnp.float32),)
+                hp = (jnp.real(state["hist"]).astype(jnp.float32),)
+            else:
+                planes = (jnp.real(x).astype(jnp.float32),
+                          jnp.imag(x).astype(jnp.float32))
+                hp = (jnp.real(state["hist"]).astype(jnp.float32),
+                      jnp.imag(state["hist"]).astype(jnp.float32))
+            outs, newhs = pallas_decimate(planes, hp, params["kernel"],
+                                          plan.p, plan.q)
+            if self.input_is_real:
+                y = jax.lax.complex(outs[0], jnp.zeros_like(outs[0]))
+                nh = jax.lax.complex(newhs[0], jnp.zeros_like(newhs[0]))
+            else:
+                y = jax.lax.complex(outs[0], outs[1])
+                nh = jax.lax.complex(newhs[0], newhs[1])
+            return {"hist": nh.astype(jnp.complex64)}, y
         if plan.hist:
             xp = jnp.concatenate([state["hist"], x], axis=-1)
             # History may exceed one chunk (long anti-alias FIRs), so carry

@@ -16,6 +16,7 @@ released, its storage returns to the pool (the analog of the
 
 from __future__ import annotations
 
+import sys
 import weakref
 from typing import List, Optional
 
@@ -36,7 +37,12 @@ class _Storage:
     def __del__(self):
         if self.pool_ref is not None:
             pool = self.pool_ref()
-            if pool is not None:
+            # Recycle only when no external view references the backing
+            # array (numpy views hold a base reference) — the analog of the
+            # reference's ``Arc::try_unwrap`` succeeding only for the last
+            # owner (``bufferpool.rs:82-90``).  Expected refs: our
+            # attribute + getrefcount's temporary.
+            if pool is not None and sys.getrefcount(self.array) <= 2:
                 pool._recycle(self.array)
 
 
@@ -71,6 +77,24 @@ class Chunk:
 
     def __getitem__(self, idx):
         return self.data[idx]
+
+    # ndarray-like arithmetic (operations yield plain numpy arrays, so
+    # user closures treat a Chunk exactly like the array it views).
+    def __add__(self, o): return self.data + o          # noqa: E704
+    def __radd__(self, o): return o + self.data         # noqa: E704
+    def __sub__(self, o): return self.data - o          # noqa: E704
+    def __rsub__(self, o): return o - self.data         # noqa: E704
+    def __mul__(self, o): return self.data * o          # noqa: E704
+    def __rmul__(self, o): return o * self.data         # noqa: E704
+    def __truediv__(self, o): return self.data / o      # noqa: E704
+    def __rtruediv__(self, o): return o / self.data     # noqa: E704
+    def __neg__(self): return -self.data                # noqa: E704
+    def __abs__(self): return abs(self.data)            # noqa: E704
+    def __iter__(self): return iter(self.data)          # noqa: E704
+
+    @property
+    def dtype(self):
+        return self._storage.array.dtype
 
     def discard_beginning(self, count: int) -> "Chunk":
         """Drop the first ``count`` samples (zero-copy,

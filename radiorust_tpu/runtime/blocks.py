@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from ..blocks.base import Block, StreamSig
+from ..bufferpool import Chunk, ChunkBuf, ChunkBufPool
 from ..signal import (BufferOverflow, Disconnection, Event, EventHandlers,
                       EventHandling, Samples, SamplesLost)
 from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
@@ -71,8 +72,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
     """
 
     def __init__(self, spec: Block, name: Optional[str] = None):
+        from ..utils.profiling import GLOBAL_STATS
         self.spec = spec
         self.name = name or type(spec).__name__
+        self.stats = GLOBAL_STATS.unique(self.name)
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._bindings: Dict[Tuple[int, float], Any] = {}
@@ -198,9 +201,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 if isinstance(msg, Event):
                     if msg.is_interrupt:
                         self._pending_reset = True
+                    self.stats.record_event()
                     await self.sender.send(msg)
                     continue
                 chunk = np.asarray(msg.chunk)
+                t0 = time.perf_counter()
                 bound = self._get_bound(len(chunk), msg.sample_rate)
                 if bound is not self._bound:
                     self._bound = bound
@@ -221,6 +226,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 y = np.asarray(unpack_wire(
                     jax.tree.map(np.asarray, py)))
                 self.chunks_processed += 1
+                # The np.asarray fetch above synchronizes the device, so
+                # the recorded wall time covers the real compute.
+                self.stats.record_chunk(len(chunk),
+                                        time.perf_counter() - t0)
                 await self.sender.send(
                     Samples(bound.out_sig.sample_rate, y[0]))
         except ChannelClosed:
@@ -473,11 +482,18 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
 
 class Rechunker(_ProducerMixin, _ConsumerMixin):
     """Regroup arbitrary chunk lengths into a fixed length
-    (``src/blocks/chunks.rs:42-177``)."""
+    (``src/blocks/chunks.rs:42-177``).
+
+    Zero-copy where the reference is: full output chunks are split off the
+    incoming chunk with ``separate_beginning`` (views into the same
+    storage, ``chunks.rs:119-127``); only boundary-straddling remainders go
+    through a pooled patchwork buffer (``chunks.rs:100-117``), whose
+    storage recycles once the consumer releases it."""
 
     def __init__(self, output_chunk_len: int):
         assert output_chunk_len > 0
         self.output_chunk_len = output_chunk_len
+        self.pool = ChunkBufPool(np.complex64)
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._task = _spawn(self._run(receiver))
@@ -487,7 +503,7 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
         self.output_chunk_len = n
 
     async def _run(self, receiver):
-        patchwork: Optional[Tuple[float, np.ndarray]] = None
+        patchwork: Optional[Tuple[float, ChunkBuf]] = None
         try:
             while True:
                 msg = await receiver.recv()
@@ -498,18 +514,36 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
                     await self.sender.send(msg)
                     continue
                 rate = msg.sample_rate
-                chunk = np.asarray(msg.chunk)
+                chunk = (msg.chunk if isinstance(msg.chunk, Chunk)
+                         else Chunk.from_array(np.asarray(msg.chunk)))
                 if patchwork is not None and patchwork[0] != rate \
                         and len(patchwork[1]):
                     await self.sender.send(SamplesLost())
                     patchwork = None
-                buf = chunk if patchwork is None \
-                    else np.concatenate([patchwork[1], chunk])
                 n = self.output_chunk_len
-                while len(buf) >= n:
-                    await self.sender.send(Samples(rate, buf[:n]))
-                    buf = buf[n:]
-                patchwork = (rate, buf) if len(buf) else None
+                # A live set_output_chunk_len shrink can strand a patchwork
+                # larger than the new length; signal the loss in-band.
+                if patchwork is not None and len(patchwork[1]) >= n:
+                    await self.sender.send(SamplesLost())
+                    patchwork = None
+                # Top up an in-progress patchwork first.
+                if patchwork is not None and len(patchwork[1]):
+                    buf = patchwork[1]
+                    take = min(n - len(buf), len(chunk))
+                    buf.extend(chunk.separate_beginning(take).data)
+                    chunk = chunk.discard_beginning(take)
+                    if len(buf) == n:
+                        await self.sender.send(Samples(rate, buf.finalize()))
+                        patchwork = None
+                # Full output chunks split off zero-copy.
+                while len(chunk) >= n:
+                    head = chunk.separate_beginning(n)
+                    chunk = chunk.discard_beginning(n)
+                    await self.sender.send(Samples(rate, head))
+                if len(chunk):
+                    if patchwork is None:
+                        patchwork = (rate, self.pool.get_with_capacity(n))
+                    patchwork[1].extend(chunk.data)
         except ChannelClosed:
             return
         finally:
@@ -564,11 +598,14 @@ class ArraySource(_ProducerMixin):
     async def _run(self):
         try:
             while True:
-                for i in range(0, len(self.data) - self.chunk_len + 1,
-                               self.chunk_len):
-                    await self.sender.send(Samples(
-                        self.sample_rate,
-                        self.data[i: i + self.chunk_len]))
+                # Chunks are zero-copy views split off one backing array
+                # (the reference's separate_beginning pattern,
+                # src/bufferpool.rs:70-79).
+                whole = Chunk.from_array(self.data)
+                while len(whole) >= self.chunk_len:
+                    head = whole.separate_beginning(self.chunk_len)
+                    whole = whole.discard_beginning(self.chunk_len)
+                    await self.sender.send(Samples(self.sample_rate, head))
                 if not self.repeat:
                     return
         except ChannelClosed:

@@ -182,11 +182,14 @@ class NativeGraph:
         import jax
         import jax.numpy as jnp
 
+        from ..utils.profiling import GLOBAL_STATS
         node = _Node(name or type(spec).__name__)
         node.out_channel = NativeChannel()
+        node.stats = GLOBAL_STATS.unique(node.name)
         in_ch = upstream.out_channel
 
         def run():
+            import time as _time
             from ..blocks.base import jit_step, pack_wire, unpack_wire
             rid = in_ch.subscribe()
             bindings: Dict = {}
@@ -202,10 +205,12 @@ class NativeGraph:
                     if isinstance(msg, Event):
                         if msg.is_interrupt:
                             pending_reset = True
+                        node.stats.record_event()
                         if not node.out_channel.send(msg):
                             return
                         continue
                     chunk = np.asarray(msg.chunk)
+                    t0 = _time.perf_counter()
                     key = (len(chunk), msg.sample_rate)
                     if key not in bindings:
                         b = spec.bind(StreamSig(1, *key))
@@ -221,6 +226,8 @@ class NativeGraph:
                     pstate, py = bound._jit(pack_wire(bound.params), pstate,
                                             pack_wire(chunk[None, :]), reset)
                     y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
+                    node.stats.record_chunk(len(chunk),
+                                            _time.perf_counter() - t0)
                     out = Samples(bound.out_sig.sample_rate, y[0])
                     if not node.out_channel.send(out):
                         return

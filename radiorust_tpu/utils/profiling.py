@@ -58,6 +58,15 @@ class StatsRegistry:
             self._stats[name] = BlockStats(name)
         return self._stats[name]
 
+    def unique(self, name: str) -> BlockStats:
+        """A fresh entry, suffixing ``#k`` on collision (several blocks of
+        the same type in one pipeline)."""
+        candidate, i = name, 1
+        while candidate in self._stats:
+            i += 1
+            candidate = f"{name}#{i}"
+        return self.get(candidate)
+
     def report(self) -> str:
         lines = [f"{'block':24s} {'chunks':>8s} {'samples':>12s} "
                  f"{'events':>7s} {'wall_s':>8s} {'Msps':>8s}"]

@@ -70,3 +70,6 @@ def test_native_graph_pipeline():
     g.run(timeout=60.0)
     np.testing.assert_allclose(out.samples, data * 0.5, atol=1e-6)
     assert out.sample_rate == 48000.0
+    # Per-block counters (tracing subsystem) record in the native graph too.
+    assert gain.stats.chunks == 4 and gain.stats.samples == 32
+    assert gain.stats.wall_seconds > 0.0

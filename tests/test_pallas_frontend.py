@@ -109,3 +109,47 @@ def test_fused_demod_filter_matches_blocks():
         have = np.ones(batch, np.float32)
     got = np.stack(outs)
     np.testing.assert_allclose(got, want.real, atol=2e-5)
+
+
+@pytest.mark.parametrize("rates,n", [
+    ((384000.0, 48000.0, 40000.0), 6144),   # WFM tail: 295-tap window, q=1
+    ((1024000.0, 384000.0, 200000.0), 2048),  # frontend ratio: q=3
+])
+def test_pallas_decimate_matches_rational_fir(rates, n):
+    in_rate, out_rate, bw = rates
+    batch = 4
+    plan = plan_downsample(in_rate, out_rate, bw)
+    assert pfe.decimate_supported(n, plan)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((batch, n))
+         + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    h = (rng.standard_normal((batch, plan.hist))
+         + 1j * rng.standard_normal((batch, plan.hist))).astype(np.complex64)
+    out_len = plan.out_len(n)
+    xp = np.concatenate([h, x], axis=-1)
+    want = np.asarray(rational_fir(jnp.asarray(xp), jnp.asarray(plan.kernel),
+                                   plan.p, plan.q, plan.s0, out_len))
+    outs, newhs = pfe.pallas_decimate(
+        (jnp.asarray(x.real), jnp.asarray(x.imag)),
+        (jnp.asarray(h.real), jnp.asarray(h.imag)),
+        jnp.asarray(plan.kernel), plan.p, plan.q)
+    got = np.asarray(outs[0]) + 1j * np.asarray(outs[1])
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(newhs[0]) + 1j * np.asarray(newhs[1]),
+                               xp[:, -plan.hist:], atol=1e-6)
+
+
+def test_pallas_decimate_real_single_plane():
+    plan = plan_downsample(384000.0, 48000.0, 40000.0)
+    n, batch = 6144, 2
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    h = rng.standard_normal((batch, plan.hist)).astype(np.float32)
+    out_len = plan.out_len(n)
+    xp = np.concatenate([h, x], axis=-1).astype(np.complex64)
+    want = np.asarray(rational_fir(jnp.asarray(xp), jnp.asarray(plan.kernel),
+                                   plan.p, plan.q, plan.s0, out_len,
+                                   real_input=True)).real
+    outs, _ = pfe.pallas_decimate((jnp.asarray(x),), (jnp.asarray(h),),
+                                  jnp.asarray(plan.kernel), plan.p, plan.q)
+    np.testing.assert_allclose(np.asarray(outs[0]), want, atol=5e-5)

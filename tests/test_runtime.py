@@ -449,3 +449,60 @@ def test_stop_releases_peers():
         assert src._task.done() and sink._task.done()
 
     run(main())
+
+
+def test_rechunker_zero_copy_and_pool_recycling():
+    """Steady-state rechunking is O(1) allocations: aligned splits are
+    zero-copy views; boundary-straddling outputs cycle through the pool
+    (``src/blocks/chunks.rs:61-160`` + ``src/bufferpool.rs:82-90``)."""
+    async def main():
+        import gc
+        # Aligned case: input multiple of output -> no pool allocations.
+        sender, connector = new_sender()
+        rk = Rechunker(32)
+        sink = Blackhole()
+        rk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rk)
+        for i in range(10):
+            await sender.send(Samples(1000.0, np.zeros(64, np.complex64)))
+        await until(lambda: sink.samples_seen >= 640)
+        assert rk.pool.allocated == 0, "aligned splits must be zero-copy"
+
+        # Straddling case: 48 -> 32 exercises the patchwork on every
+        # output; allocations must plateau (recycling), not grow per chunk.
+        sender2, connector2 = new_sender()
+        rk2 = Rechunker(32)
+        sink2 = Blackhole()
+        rk2.feed_from(type("P", (), {"sender_connector": connector2})())
+        sink2.feed_from(rk2)
+        for i in range(100):
+            await sender2.send(Samples(1000.0, np.zeros(48, np.complex64)))
+            if i % 10 == 0:
+                gc.collect()
+        await until(lambda: sink2.samples_seen >= 4780)
+        assert rk2.pool.allocated <= 4, (
+            f"pool must recycle: allocated {rk2.pool.allocated}")
+        assert rk2.pool.recycled > 0
+
+    run(main())
+
+
+def test_block_stats_recorded():
+    """RuntimeBlock wires per-block counters into the global stats registry
+    (the tracing subsystem the reference lacks, SURVEY.md §5)."""
+    from radiorust_tpu.utils.profiling import GLOBAL_STATS
+
+    async def main():
+        data = np.arange(64, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=16, sample_rate=1000.0)
+        gain = RuntimeBlock(GainControl(0.5))
+        sink = ArraySink()
+        gain.feed_from(src)
+        sink.feed_from(gain)
+        await until(lambda: len(sink.samples) >= 64)
+        assert gain.stats.chunks == 4
+        assert gain.stats.samples == 64
+        assert gain.stats.wall_seconds > 0.0
+        assert gain.stats.name in GLOBAL_STATS.report()
+
+    run(main())

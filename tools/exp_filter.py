@@ -1,0 +1,347 @@
+#!/usr/bin/env python
+"""On-chip filter/stage experiments (single process, in-session A/B).
+
+Usage: python tools/exp_filter.py VARIANT [VARIANT...]
+
+Each variant builds one jitted program `fn(seed, iters) -> checksum` that
+runs `iters` feedback-chained steps of a workload at batch 64 on-device and
+is timed by fetching the f32 checksum (the only trustworthy sync on the
+relay backend — see CLAUDE.md).  Feedback uses per-step energy
+normalization, a nonlinear op XLA cannot hoist, so each iteration truly
+depends on the previous one.
+
+Variants:
+  chain                 full fused WFM chain (bench reference point)
+  chain_unfused         literal block-for-block chain
+  frontend              fused mixer+decimator kernel alone  (16384 -> 6144)
+  filter1[:tileN][:high]  fused overlap-save kernel alone at 6144
+  filter1_xla           matmul-FFT (unfused) filter at 6144
+  demod[:tileN][:high]  fused demod+deemphasis kernel alone at 6144
+  tail                  final downsampler+gain (6144 -> 768, XLA)
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+    _cc.set_cache_dir(os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
+from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
+from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK, WFM_INPUT_RATE,
+                                      wfm_receiver, _lowpass_100k,
+                                      _deemphasis_band)
+
+BATCH = int(os.environ.get("EXP_BATCH", "64"))
+N_IN = WFM_INPUT_CHUNK          # 16384
+N_MID = 6144                    # after 1.024M -> 384k decimation
+MID_RATE = 384000.0
+
+
+def _norm(y):
+    # Nonlinear per-step renormalization: defeats algebraic hoisting and
+    # keeps the feedback loop numerically bounded.
+    e = jnp.mean(jnp.square(y)) + jnp.float32(1e-20)
+    return y * jax.lax.rsqrt(e)
+
+
+def _rand_planes(seed, shape):
+    key = jax.random.key(seed)
+    a = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    return a, b
+
+
+def _filter1_grid():
+    from radiorust_tpu.blocks.filters import design_response
+    from radiorust_tpu.ops.pallas_filter import response_to_grid
+    from radiorust_tpu.windowing import Kaiser
+    r = design_response(_lowpass_100k, Kaiser.with_null_at_bin(2.0), N_MID,
+                        MID_RATE)
+    return response_to_grid(r.astype(np.complex64))
+
+
+def _deemph_grid():
+    from radiorust_tpu.blocks.filters import design_response
+    from radiorust_tpu.ops.pallas_filter import response_to_grid
+    from radiorust_tpu.windowing import Rectangular
+    r = design_response(_deemphasis_band, Rectangular(), N_MID, MID_RATE)
+    return response_to_grid(r.astype(np.complex64))
+
+
+def build_chain(fused: bool, tail_pallas: bool = True):
+    sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
+    bound = wfm_receiver(fuse_frontend=fused, fuse_demod=fused).bind(sig)
+    if not tail_pallas:
+        from radiorust_tpu.blocks.resampling import _BoundResampler
+        for blk in bound.blocks:
+            if isinstance(blk, _BoundResampler):
+                blk._use_pallas = lambda: False
+    pparams = pack_wire(bound.params)
+    pstate = pack_wire(bound.init_state())
+
+    @jax.jit
+    def fn(seed, iters):
+        params = unpack_wire(pparams)
+        xr, xi = _rand_planes(seed, (BATCH, N_IN))
+        reset = jnp.zeros((BATCH,), bool)
+
+        def body(i, carry):
+            st, xr, xi, acc = carry
+            st, y = bound.process(params, st, jax.lax.complex(xr, xi),
+                                  reset)
+            yr = _norm(jnp.real(y))
+            yi = _norm(jnp.imag(y) + yr)     # demod output is real: mix in
+            rep = -(-N_IN // y.shape[-1])
+            nxr = jnp.tile(yr, (1, rep))[:, :N_IN]
+            nxi = jnp.tile(yi, (1, rep))[:, :N_IN]
+            return st, nxr, nxi, acc + jnp.sum(jnp.square(jnp.real(y)))
+
+        st = unpack_wire(pstate)
+        _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (st, xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_IN
+
+
+def build_frontend():
+    from radiorust_tpu.blocks.frontend import MixerDecimator
+    sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
+    bound = MixerDecimator(-57000.0, MID_RATE, 200000.0).bind(sig)
+    pparams = pack_wire(bound.params)
+    pstate = pack_wire(bound.init_state())
+
+    @jax.jit
+    def fn(seed, iters):
+        params = unpack_wire(pparams)
+        xr, xi = _rand_planes(seed, (BATCH, N_IN))
+        reset = jnp.zeros((BATCH,), bool)
+
+        def body(i, carry):
+            st, xr, xi, acc = carry
+            st, y = bound.process(params, st, jax.lax.complex(xr, xi),
+                                  reset)
+            yr = _norm(jnp.real(y))
+            yi = _norm(jnp.imag(y))
+            rep = -(-N_IN // y.shape[-1])
+            nxr = jnp.tile(yr, (1, rep))[:, :N_IN]
+            nxi = jnp.tile(yi, (1, rep))[:, :N_IN]
+            return st, nxr, nxi, acc + jnp.sum(yr)
+
+        st = unpack_wire(pstate)
+        _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (st, xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_IN
+
+
+def build_filter1(tile=8, precision="highest"):
+    from radiorust_tpu.ops.pallas_filter import fused_overlap_save
+    gr, gi = _filter1_grid()
+    prec = dict(highest=jax.lax.Precision.HIGHEST,
+                high=jax.lax.Precision.HIGH,
+                default=jax.lax.Precision.DEFAULT)[precision]
+
+    @jax.jit
+    def fn(seed, iters):
+        xr, xi = _rand_planes(seed, (BATCH, N_MID))
+        pr, pi = _rand_planes(seed + 1, (BATCH, N_MID))
+
+        def body(i, carry):
+            pr, pi, xr, xi, acc = carry
+            outr, outi = fused_overlap_save(
+                pr, pi, xr, xi, jnp.asarray(gr), jnp.asarray(gi),
+                tile=tile, precision=prec)
+            return (xr, xi, _norm(outr), _norm(outi),
+                    acc + jnp.sum(jnp.square(outr)))
+
+        _, _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (pr, pi, xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_MID
+
+
+def build_filter1_xla():
+    from radiorust_tpu.blocks.filters import design_response
+    from radiorust_tpu.ops.fft import fft, ifft
+    from radiorust_tpu.windowing import Kaiser
+    r = design_response(_lowpass_100k, Kaiser.with_null_at_bin(2.0), N_MID,
+                        MID_RATE).astype(np.complex64)
+    rp = pack_wire(r)
+
+    @jax.jit
+    def fn(seed, iters):
+        resp = unpack_wire(rp)
+        xr, xi = _rand_planes(seed, (BATCH, N_MID))
+        pr, pi = _rand_planes(seed + 1, (BATCH, N_MID))
+
+        def body(i, carry):
+            pr, pi, xr, xi, acc = carry
+            buf = jnp.concatenate(
+                [jax.lax.complex(pr, pi), jax.lax.complex(xr, xi)], axis=-1)
+            y = ifft(fft(buf) * resp)[..., :N_MID]
+            outr = jnp.real(y).astype(jnp.float32)
+            outi = jnp.imag(y).astype(jnp.float32)
+            return (xr, xi, _norm(outr), _norm(outi),
+                    acc + jnp.sum(jnp.square(outr)))
+
+        _, _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (pr, pi, xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_MID
+
+
+def build_demod(tile=8, precision="highest"):
+    from radiorust_tpu.ops.pallas_filter import fused_demod_filter
+    gr, gi = _deemph_grid()
+    prec = dict(highest=jax.lax.Precision.HIGHEST,
+                high=jax.lax.Precision.HIGH,
+                default=jax.lax.Precision.DEFAULT)[precision]
+    factor = MID_RATE / 150000.0 / (2 * np.pi)
+
+    @jax.jit
+    def fn(seed, iters):
+        xr, xi = _rand_planes(seed, (BATCH, N_MID))
+        prevd = jnp.zeros((BATCH, N_MID), jnp.float32)
+        zc = jnp.zeros((BATCH,), jnp.float32)
+
+        def body(i, carry):
+            xr, xi, prevd, acc = carry
+            y, d = fused_demod_filter(
+                xr, xi, xr[:, -1], xi[:, -1], prevd, zc,
+                jnp.ones((BATCH,), jnp.float32),
+                jnp.asarray(gr), jnp.asarray(gi), factor,
+                tile=tile, precision=prec)
+            yn = _norm(y)
+            return (yn, jnp.roll(yn, 1, axis=-1), d,
+                    acc + jnp.sum(jnp.square(y)))
+
+        _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (xr, xi, prevd, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_MID
+
+
+def build_tail(pallas=True):
+    from radiorust_tpu.blocks.base import Chain
+    from radiorust_tpu.blocks.resampling import Downsampler
+    from radiorust_tpu.blocks.transform import GainControl
+    sig = StreamSig(BATCH, N_MID, MID_RATE)
+    bound = Chain(Downsampler(48000.0, 40000.0), GainControl(1.0)).bind(sig)
+    bound.blocks[0].input_is_real = True  # as in the real chain
+    if not pallas:
+        bound.blocks[0]._use_pallas = lambda: False
+    pparams = pack_wire(bound.params)
+    pstate = pack_wire(bound.init_state())
+
+    @jax.jit
+    def fn(seed, iters):
+        params = unpack_wire(pparams)
+        xr, _ = _rand_planes(seed, (BATCH, N_MID))
+        reset = jnp.zeros((BATCH,), bool)
+
+        def body(i, carry):
+            st, xr, acc = carry
+            st, y = bound.process(
+                params, st,
+                jax.lax.complex(xr, jnp.zeros_like(xr)), reset)
+            yr = _norm(jnp.real(y))
+            rep = -(-N_MID // y.shape[-1])
+            nxr = jnp.tile(yr, (1, rep))[:, :N_MID]
+            return st, nxr, acc + jnp.sum(yr)
+
+        st = unpack_wire(pstate)
+        _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (st, xr, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * N_MID
+
+
+def parse(v):
+    parts = v.split(":")
+    name, opts = parts[0], parts[1:]
+    tile = 8
+    prec = "highest"
+    for o in opts:
+        if o.startswith("tile"):
+            tile = int(o[4:])
+        elif o in ("high", "highest", "default"):
+            prec = o
+    if name == "chain":
+        return build_chain(True)
+    if name == "chain_tail_xla":
+        return build_chain(True, tail_pallas=False)
+    if name == "chain_unfused":
+        return build_chain(False)
+    if name == "frontend":
+        return build_frontend()
+    if name == "filter1":
+        return build_filter1(tile, prec)
+    if name == "filter1_xla":
+        return build_filter1_xla()
+    if name == "demod":
+        return build_demod(tile, prec)
+    if name == "tail":
+        return build_tail()
+    if name == "tail_xla":
+        return build_tail(pallas=False)
+    raise SystemExit(f"unknown variant {v}")
+
+
+def main():
+    variants = sys.argv[1:]
+    if not variants:
+        raise SystemExit(__doc__)
+    iters = int(os.environ.get("EXP_ITERS", "256"))
+    built = [(v, *parse(v)) for v in variants]
+
+    # Warm up (compile) every program before timing any; the first fetch
+    # also pays the relay warmup.
+    for v, fn, _ in built:
+        t0 = time.perf_counter()
+        val = float(fn(0, 2))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(val), f"{v}: non-finite warmup checksum"
+        print(f"# warm {v}: {dt:.1f}s", flush=True)
+
+    results = {}
+    for v, fn, samples_per_iter in built:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            val = float(fn(0, iters))
+            dt = time.perf_counter() - t0
+            assert np.isfinite(val), f"{v}: non-finite checksum"
+            best = min(best, dt)
+        us_per_iter = best / iters * 1e6
+        results[v] = round(us_per_iter, 1)
+        print(json.dumps({
+            "variant": v,
+            "us_per_step": round(us_per_iter, 1),
+            "msps_equiv": round(samples_per_iter / (best / iters) / 1e6, 1),
+        }), flush=True)
+
+    print("# summary:", json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
