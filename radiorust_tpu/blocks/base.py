@@ -82,6 +82,12 @@ class BoundBlock:
     out_sig: StreamSig
     params: Any = ()
     input_is_real: bool = False
+    #: Output step index from which outputs are reference-comparable.
+    #: Blocks that pad zero history the reference would still be
+    #: accumulating (Filter's overlap-save tail, Overlapper's window) set
+    #: this > 0; consumers (and the runtime's Warmup event) use it to skip
+    #: warmup outputs.
+    valid_from: int = 0
 
     @property
     def output_is_real(self) -> bool:
@@ -114,6 +120,9 @@ class _BoundChain(BoundBlock):
         self.in_sig = bound[0].in_sig
         self.out_sig = bound[-1].out_sig
         self.params = tuple(b.params for b in bound)
+        # Steps map 1:1 through a chain (each block emits one chunk per
+        # step), so the chain is valid once its slowest-warming block is.
+        self.valid_from = max((b.valid_from for b in bound), default=0)
 
     def init_state(self):
         return tuple(b.init_state() for b in self.blocks)

@@ -107,6 +107,9 @@ class _BoundFilter(BoundBlock):
     def __init__(self, sig: StreamSig, freq_resp: Callable, window: Window):
         self.in_sig = self.out_sig = sig
         self.window = window
+        # First output is computed against a zero previous chunk the
+        # reference would still be buffering (filters.rs:79-82).
+        self.valid_from = 1
         n = sig.chunk_len
         ir = design_impulse_response(freq_resp, window, n, sig.sample_rate)
         peak = max(float(np.abs(ir.real).max()), 1e-30)

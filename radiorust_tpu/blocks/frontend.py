@@ -132,6 +132,7 @@ class _BoundFmDemodFilter(BoundBlock):
         from ..ops.pallas_filter import supported as _filt_supported
         from .filters import design_impulse_response
         self.in_sig = self.out_sig = sig
+        self.valid_from = 1  # overlap-save warmup, like _BoundFilter
         n = sig.chunk_len
         if not _filt_supported(n) or sig.batch % 2:
             raise ValueError("FmDemodFilter kernel constraints unmet "
@@ -144,11 +145,14 @@ class _BoundFmDemodFilter(BoundBlock):
                              "response (conjugate-symmetric gains)")
         ext = np.concatenate([np.zeros(n, np.complex128),
                               ir.astype(np.complex64).astype(np.complex128)])
-        self.params = {"response": np.fft.fft(ext).astype(np.complex64)}
-        # Demod factor is a compile-time constant of the kernel; changing
-        # the deviation rebinds (the reference recomputes per chunk from a
-        # watch channel — here it is one recompile per retune).
-        self.factor = float(sig.sample_rate / deviation / TAU)
+        # Both the response and the demod factor are traced params: a
+        # set_deviation retune swaps a scalar, no recompile — matching the
+        # reference's per-chunk watch-channel read
+        # (src/blocks/modulation.rs:154-157).
+        self.params = {
+            "response": np.fft.fft(ext).astype(np.complex64),
+            "factor": np.float32(sig.sample_rate / deviation / TAU),
+        }
 
     def init_state(self):
         b, n = self.in_sig.batch, self.in_sig.chunk_len
@@ -177,7 +181,7 @@ class _BoundFmDemodFilter(BoundBlock):
             state["last_out"], have,
             jnp.real(grid).astype(jnp.float32),
             jnp.imag(grid).astype(jnp.float32),
-            self.factor)
+            params["factor"])
         new_state = {
             "plr": jnp.real(x[:, -1]).astype(jnp.float32),
             "pli": jnp.imag(x[:, -1]).astype(jnp.float32),

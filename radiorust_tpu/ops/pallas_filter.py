@@ -216,7 +216,7 @@ def _atan2_poly(b, a):
     return jnp.where(big == 0.0, jnp.zeros_like(r), r)
 
 
-def _make_demod_filter_kernel(n1: int, n2: int, tile: int, factor: float,
+def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
                               precision=jax.lax.Precision.HIGHEST):
     """Kernel: quadrature-demodulate the chunk, then run the overlap-save
     filter on the (real) demodulated stream with stream *pairs* packed into
@@ -234,7 +234,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int, factor: float,
     def mm(a, b):
         return dot(a, b, (((1,), (0,)), ((), ())))
 
-    def kernel(curr, curi, plr, pli, prevd, lastout, havep, rr, ri,
+    def kernel(curr, curi, plr, pli, prevd, lastout, havep, fac, rr, ri,
                d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
                out, dout):
         # --- quadrature demod (src/blocks/modulation.rs:116-126) ---
@@ -248,7 +248,10 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int, factor: float,
         si = jnp.where(first, pli[:], si)
         pre = xr * sr + xi * si          # Re[x * conj(shifted)]
         pim = xi * sr - xr * si          # Im[x * conj(shifted)]
-        d = _atan2_poly(pim, pre) * jnp.float32(factor)
+        # Demod factor rides as a per-stream input so a set_deviation
+        # retune swaps a traced value instead of recompiling
+        # (src/blocks/modulation.rs:154-157).
+        d = _atan2_poly(pim, pre) * fac[:]
         d = jnp.where(first & (havep[:] < 0.5), lastout[:], d)
         dout[:] = d
         # --- overlap-save on [prev_d || d], stream pairs packed ---
@@ -311,7 +314,8 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     previous demodulated chunk; ``last_out``/``have_prev``: [batch] demod
     continuity state (have_prev as 0/1 float); ``resp_gr/gi``: response
     grid planes from :func:`response_to_grid` (real impulse response
-    required).  ``factor`` = sample_rate / deviation / 2pi.
+    required).  ``factor`` = sample_rate / deviation / 2pi — a Python
+    float or a traced scalar/[batch] array (retunable without recompile).
 
     Returns (y [batch, n] f32 demod-filtered output, d [batch, n] f32
     demodulated chunk for the next step's state).  Batch must be even.
@@ -324,7 +328,8 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     assert b % tile == 0
     consts = _factor_constants(2 * n)
     const_arrays = [jnp.asarray(c) for c in consts]
-    kernel = _make_demod_filter_kernel(n1, n2, tile, factor, precision)
+    kernel = _make_demod_filter_kernel(n1, n2, tile, precision)
+    fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
     grid = (b // tile,)
     row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -336,12 +341,12 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     out, dout = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row(n), row(n), col, col, row(n), col, col]
+        in_specs=[row(n), row(n), col, col, row(n), col, col, col]
                  + [const_spec] * 10,
         out_specs=[out3, row(n)],
         out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
                    jax.ShapeDtypeStruct((b, n), jnp.float32)],
     )(curr, curi, prev_last_r[:, None], prev_last_i[:, None], prevd,
-      last_out[:, None], have_prev[:, None], resp_gr, resp_gi,
+      last_out[:, None], have_prev[:, None], fac[:, None], resp_gr, resp_gi,
       *const_arrays)
     return out.reshape(b, n), dout

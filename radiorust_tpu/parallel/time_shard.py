@@ -23,9 +23,9 @@ analog of sequence parallelism with halo exchange.
 
 Blocks implement ``process_sharded(params, state, x, axis)`` (running
 inside ``shard_map``); :class:`TimeShardedChain` assembles the mesh
-program.  ``SlewRateLimiter`` is inherently sequential per sample and is
-rejected; ``Overlapper`` needs multi-hop halos (future work) — both remain
-channel-shardable.
+program.  ``Overlapper`` uses the generic multi-hop halo (its state is
+exactly a (k-1)-chunk halo).  ``SlewRateLimiter`` is inherently sequential
+per sample and is rejected; it remains channel-shardable.
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..blocks import analysis as _analysis
 from ..blocks import channelize as _channelize
+from ..blocks import chunks as _chunks
 from ..blocks import filters as _filters
 from ..blocks import frontend as _frontend
 from ..blocks import modulation as _modulation
@@ -173,6 +174,22 @@ def _sharded_fm_mod(block, params, state, x, axis):
     return {"phase": theta[:, -1]}, y
 
 
+def _sharded_overlapper(block, params, state, x, axis):
+    """Overlapper under time sharding: the analysis window's history is a
+    (k-1)-chunk halo, fetched with the generic multi-hop ppermute chain
+    (``_halo_tail`` hops ceil(hist/n) neighbors)."""
+    k = block.chunk_count
+    b, n = x.shape
+    if k == 1:
+        return {"hist": state["hist"]}, x
+    hist = (k - 1) * n
+    carry = state["hist"].reshape(b, hist)
+    h = _halo_tail(x, carry, hist, axis)
+    y = jnp.concatenate([h, x], axis=-1)
+    new_hist = y[:, -hist:].reshape(b, k - 1, n)
+    return {"hist": new_hist}, y
+
+
 def _sharded_channelizer(block, params, state, x, axis):
     from ..ops.channelizer import pfb_channelize
     hist = _halo_tail(x, state["hist"], block.hist_len, axis)
@@ -265,7 +282,7 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     si = jnp.concatenate([pli[:, None], xi[:, :-1]], axis=1)
     pre = xr * sr + xi * si
     pim = xi * sr - xr * si
-    d_local = _atan2_poly(pim, pre) * jnp.float32(block.factor)
+    d_local = _atan2_poly(pim, pre) * params["factor"].astype(jnp.float32)
     d_local = d_local.at[:, 0].set(
         jnp.where(have < 0.5, last_out, d_local[:, 0]))
     prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
@@ -275,7 +292,7 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
         xr, xi, plr, pli, prevd, last_out, have,
         jnp.real(grid).astype(jnp.float32),
         jnp.imag(grid).astype(jnp.float32),
-        block.factor)
+        params["factor"])
     new_state = {
         "plr": xr[:, -1],
         "pli": xi[:, -1],
@@ -288,6 +305,7 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
 
 _HANDLERS = {
     _channelize._BoundChannelizer: _sharded_channelizer,
+    _chunks._BoundOverlapper: _sharded_overlapper,
     _frontend._BoundMixerDecimator: _sharded_mixer_decimator,
     _frontend._BoundFmDemodFilter: _sharded_fm_demod_filter,
     _filters._BoundFilter: _sharded_filter,

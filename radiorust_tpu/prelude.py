@@ -14,7 +14,7 @@ from .blocks.transform import FreqShifter, GainControl, MapSample
 from .metering import bandwidth, bandwidth_jax, level, level_jax, \
     rescale_energy, rescale_energy_jax
 from .signal import (BufferOverflow, Disconnection, Event, Samples,
-                     SamplesLost)
+                     SamplesLost, Warmup)
 from .windowing import CustomWindow, Kaiser, Rectangular, Window
 
 __all__ = [
@@ -27,5 +27,6 @@ __all__ = [
     "bandwidth", "bandwidth_jax", "level", "level_jax",
     "rescale_energy", "rescale_energy_jax",
     "Event", "Samples", "Disconnection", "SamplesLost", "BufferOverflow",
+    "Warmup",
     "Kaiser", "Rectangular", "CustomWindow", "Window",
 ]

@@ -23,7 +23,7 @@ import numpy as np
 from ..blocks.base import Block, StreamSig
 from ..bufferpool import Chunk, ChunkBuf, ChunkBufPool
 from ..signal import (BufferOverflow, Disconnection, Event, EventHandlers,
-                      EventHandling, Samples, SamplesLost)
+                      EventHandling, Samples, SamplesLost, Warmup)
 from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
                    SenderConnector, new_receiver, new_sender)
 
@@ -183,6 +183,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         (src/blocks/modulation.rs:76-79,154-157)."""
         import numpy as _np
         from ..numbers import TAU as _TAU
+        from ..blocks.frontend import _BoundFmDemodFilter
         from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
 
         def fn(blk, p):
@@ -190,6 +191,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 return _np.float32(deviation / blk.in_sig.sample_rate * _TAU)
             if isinstance(blk, _BoundFmDemod):
                 return _np.float32(blk.in_sig.sample_rate / deviation / _TAU)
+            if isinstance(blk, _BoundFmDemodFilter):
+                # Traced scalar: no recompile on retune.
+                return {**p, "factor": _np.float32(
+                    blk.in_sig.sample_rate / deviation / _TAU)}
             return None
 
         self._apply_typed(fn)
@@ -207,7 +212,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 chunk = np.asarray(msg.chunk)
                 t0 = time.perf_counter()
                 bound = self._get_bound(len(chunk), msg.sample_rate)
-                if bound is not self._bound:
+                fresh = bound is not self._bound
+                if fresh:
                     self._bound = bound
                     if self._param_override is not None:
                         bound.params = self._param_override(bound,
@@ -216,6 +222,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     self._pstate = None
                     self._pending_reset = False
                 reset = np.asarray([self._pending_reset])
+                if (fresh or self._pending_reset) and bound.valid_from > 0:
+                    # Zero-primed history: warn consumers the next
+                    # valid_from outputs are not reference-comparable.
+                    await self.sender.send(Warmup(bound.valid_from))
                 self._pending_reset = False
                 from ..blocks.base import pack_wire, unpack_wire
                 if self._pstate is None:

@@ -46,6 +46,22 @@ class Disconnection(Event):
         return True
 
 
+class Warmup(Event):
+    """The next ``steps`` output chunks contain zero-primed history.
+
+    The reference's Filter/Overlapper emit *nothing* until their history
+    fills (``src/blocks/filters.rs:79-82``, ``src/blocks/chunks.rs:198-
+    235``); the fixed-shape compiled path emits every step instead, so this
+    event warns bulk consumers (e.g. metering) not to trust the first
+    ``steps`` chunks after a (re)start."""
+
+    def __init__(self, steps: int):
+        self.steps = int(steps)
+
+    def __repr__(self):
+        return f"Warmup({self.steps})"
+
+
 class SamplesLost(Event):
     """Samples were dropped (``src/blocks/chunks.rs:19-28``)."""
 

@@ -303,3 +303,25 @@ def test_make_scan_wire_safe():
     from radiorust_tpu.blocks.base import scan as plain_scan
     _, want = plain_scan(bound, bound.params, bound.init_state(), jnp.asarray(xs))
     np.testing.assert_allclose(ys, np.asarray(want), atol=1e-6)
+
+
+def test_fm_demod_filter_set_deviation_traced():
+    """FmDemodFilter deviation retune swaps a traced scalar (no rebind),
+    matching semantics of rebinding with the new deviation."""
+    import numpy as np
+    from radiorust_tpu.blocks.base import StreamSig
+    from radiorust_tpu.blocks.frontend import FmDemodFilter
+    from radiorust_tpu.models.wfm import _deemphasis_band
+
+    sig = StreamSig(2, 512, 384000.0)
+    b1 = FmDemodFilter(150000.0, _deemphasis_band).bind(sig)
+    b2 = FmDemodFilter(75000.0, _deemphasis_band).bind(sig)
+    p_retuned = {**b1.params, "factor": np.float32(
+        sig.sample_rate / 75000.0 / (2 * np.pi))}
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 512))
+         + 1j * rng.standard_normal((2, 512))).astype(np.complex64)
+    s1, y1 = b1.process(p_retuned, b1.init_state(), x,
+                        np.zeros(2, bool))
+    s2, y2 = b2.process(b2.params, b2.init_state(), x, np.zeros(2, bool))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)

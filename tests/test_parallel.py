@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+from radiorust_tpu.blocks.analysis import Fourier
+from radiorust_tpu.blocks.chunks import Overlapper
 from radiorust_tpu.blocks.filters import Filter
 from radiorust_tpu.blocks.modulation import FmDemod, FmMod
 from radiorust_tpu.blocks.resampling import Downsampler
@@ -73,6 +75,11 @@ CASES = [
     ("mixed", Chain(FreqShifter.with_shift(500.0), Filter.new(lowpass(2000.0)),
                     FmDemod(1000.0), GainControl(2.0)),
      StreamSig(2, 64, 8000.0)),
+    # Overlapper needs a multi-hop halo: chunk_count 4 spans 3 neighbor
+    # chunks (the bandwidth_meter analysis front end).
+    ("overlap_fourier", Chain(Overlapper(4), Fourier()),
+     StreamSig(2, 64, 8000.0)),
+    ("overlap_deep", Chain(Overlapper(6)), StreamSig(2, 64, 8000.0)),
 ]
 
 

@@ -506,3 +506,28 @@ def test_block_stats_recorded():
         assert gain.stats.name in GLOBAL_STATS.report()
 
     run(main())
+
+
+def test_warmup_event_on_zero_primed_history():
+    """Blocks whose fixed-shape formulation emits zero-primed warmup chunks
+    (Filter's overlap-save) announce it with a Warmup event, so bulk
+    consumers can't silently meter garbage."""
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.signal import Warmup
+    import numpy as _np
+
+    def lp(bins, freqs):
+        return _np.where(_np.abs(freqs) <= 200.0, 1.0 + 0.0j, 0.0j)
+
+    async def main():
+        data = np.ones(64, np.complex64)
+        src = ArraySource(data, chunk_len=16, sample_rate=1000.0)
+        filt = RuntimeBlock(Filter.new(lp))
+        sink = ArraySink()
+        filt.feed_from(src)
+        sink.feed_from(filt)
+        await until(lambda: len(sink.chunks) >= 4)
+        warms = [e for e in sink.events if isinstance(e, Warmup)]
+        assert len(warms) == 1 and warms[0].steps == 1
+
+    run(main())

@@ -315,16 +315,24 @@ def main():
     built = [(v, *parse(v)) for v in variants]
 
     # Warm up (compile) every program before timing any; the first fetch
-    # also pays the relay warmup.
-    for v, fn, _ in built:
+    # also pays the relay warmup.  One failing variant must not kill the
+    # batch (compiles are expensive through the relay).
+    ok = []
+    for v, fn, spi in built:
         t0 = time.perf_counter()
-        val = float(fn(0, 2))
+        try:
+            val = float(fn(0, 2))
+            assert np.isfinite(val), f"{v}: non-finite warmup checksum"
+        except Exception as e:
+            print(f"# FAILED {v}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
         dt = time.perf_counter() - t0
-        assert np.isfinite(val), f"{v}: non-finite warmup checksum"
         print(f"# warm {v}: {dt:.1f}s", flush=True)
+        ok.append((v, fn, spi))
 
     results = {}
-    for v, fn, samples_per_iter in built:
+    for v, fn, samples_per_iter in ok:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
