@@ -41,8 +41,8 @@ from .flow import ChannelClosed, new_receiver, new_sender
 
 __all__ = [
     "SdrDriver", "SyntheticSdrDriver", "FileSdrDriver", "LoopbackSdrDriver",
-    "SdrRx", "SdrTx", "AudioDriver", "LoopbackAudioDriver", "AudioPlayer",
-    "AudioRecorder", "SdrError",
+    "SoapySdrDriver", "SdrRx", "SdrTx", "AudioDriver", "LoopbackAudioDriver",
+    "SounddeviceAudioDriver", "AudioPlayer", "AudioRecorder", "SdrError",
 ]
 
 
@@ -157,6 +157,71 @@ class LoopbackSdrDriver(SdrDriver):
                     raise SdrError("loopback read timeout")
             out = self._buf.pop(0)
         return out[:n] if len(out) > n else out
+
+
+class SoapySdrDriver(SdrDriver):
+    """Real-hardware driver over the SoapySDR Python bindings
+    (import-guarded, like the reference's ``soapysdr`` cargo feature,
+    ``Cargo.toml:11-17`` / ``src/blocks/io/rf/soapysdr.rs:39-125``).
+
+    ``args`` go to ``SoapySDR.Device`` (e.g. ``dict(driver="rtlsdr")``);
+    set frequency/rate/bandwidth before constructing blocks, as the
+    reference's examples do (``examples/bandwidth_meter/main.rs:43-52``).
+    """
+
+    def __init__(self, args, sample_rate: float, frequency: float,
+                 bandwidth: float = 0.0, channel: int = 0,
+                 direction: str = "rx"):
+        try:
+            import SoapySDR  # type: ignore
+            from SoapySDR import SOAPY_SDR_CF32, SOAPY_SDR_RX, SOAPY_SDR_TX
+        except ImportError as e:  # pragma: no cover - hardware-gated
+            raise ImportError(
+                "SoapySdrDriver requires the SoapySDR python bindings "
+                "(python3-soapysdr)") from e
+        self._soapy = SoapySDR
+        self.sample_rate = float(sample_rate)
+        self._dir = SOAPY_SDR_RX if direction == "rx" else SOAPY_SDR_TX
+        self._dev = SoapySDR.Device(args)
+        self._dev.setSampleRate(self._dir, channel, self.sample_rate)
+        self._dev.setFrequency(self._dir, channel, float(frequency))
+        if bandwidth:
+            self._dev.setBandwidth(self._dir, channel, float(bandwidth))
+        self._stream = self._dev.setupStream(self._dir, SOAPY_SDR_CF32,
+                                             [channel])
+        self._mtu = int(self._dev.getStreamMTU(self._stream))
+        self._buf = np.zeros(self._mtu, np.complex64)
+
+    def mtu(self) -> int:
+        return self._mtu
+
+    def activate(self) -> None:
+        self._dev.activateStream(self._stream)
+
+    def deactivate(self) -> None:
+        self._dev.deactivateStream(self._stream)
+
+    def read(self, n: int) -> np.ndarray:
+        # Blocking MTU-sized read (soapysdr.rs:99-125); driver errors
+        # surface as SdrError -> State::Closed(err).
+        sr = self._dev.readStream(self._stream, [self._buf], min(n, self._mtu))
+        if sr.ret < 0:
+            raise SdrError(f"readStream error {sr.ret}")
+        return self._buf[: sr.ret].copy()
+
+    def write(self, chunk: np.ndarray) -> None:
+        # write_all loop (soapysdr.rs:322-356).
+        data = np.ascontiguousarray(chunk, np.complex64)
+        off = 0
+        while off < len(data):
+            sr = self._dev.writeStream(self._stream, [data[off:]],
+                                       len(data) - off)
+            if sr.ret < 0:
+                raise SdrError(f"writeStream error {sr.ret}")
+            off += sr.ret
+
+    def close(self) -> None:
+        self._dev.closeStream(self._stream)
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +459,46 @@ class LoopbackAudioDriver(AudioDriver):
                     return np.zeros(n, np.float32)
             out = self._buf.pop(0)
         return out
+
+
+class SounddeviceAudioDriver(AudioDriver):
+    """Real audio device via the ``sounddevice`` (PortAudio) package
+    (import-guarded, the reference's ``cpal`` feature analog,
+    ``src/blocks/io/audio/cpal.rs:84-246``)."""
+
+    def __init__(self, sample_rate: float = 48000.0, device=None,
+                 channels: int = 1):
+        try:
+            import sounddevice as sd  # type: ignore
+        except ImportError as e:  # pragma: no cover - hardware-gated
+            raise ImportError(
+                "SounddeviceAudioDriver requires the sounddevice package"
+            ) from e
+        self._sd = sd
+        self.sample_rate = float(sample_rate)
+        self._out = None
+        self._in = None
+        self._device = device
+        self._channels = channels
+
+    def play(self, samples: np.ndarray) -> None:
+        # Mono f32 blocking write, like the cpal output callback path
+        # (cpal.rs:131-164); the stream opens lazily on first use.
+        if self._out is None:
+            self._out = self._sd.OutputStream(
+                samplerate=self.sample_rate, channels=self._channels,
+                dtype="float32", device=self._device)
+            self._out.start()
+        self._out.write(np.ascontiguousarray(samples, np.float32))
+
+    def record(self, n: int) -> np.ndarray:
+        if self._in is None:
+            self._in = self._sd.InputStream(
+                samplerate=self.sample_rate, channels=self._channels,
+                dtype="float32", device=self._device)
+            self._in.start()
+        data, _overflowed = self._in.read(n)
+        return data[:, 0].copy() if data.ndim == 2 else data
 
 
 class AudioPlayer(_ConsumerMixin, EventHandling):

@@ -136,3 +136,39 @@ def test_audio_player_rate_mismatch_raises():
         assert isinstance(player._task.exception(), AssertionError)
 
     run(main())
+
+
+def test_hardware_drivers_import_guarded():
+    """SoapySdrDriver / SounddeviceAudioDriver exist and raise a clean
+    ImportError when their backing packages are absent (the reference
+    feature-gates these, Cargo.toml:11-17); with the packages installed
+    they take over the same driver protocol."""
+    import pytest
+    from radiorust_tpu.runtime.io import (SdrDriver, AudioDriver,
+                                          SoapySdrDriver,
+                                          SounddeviceAudioDriver)
+    assert issubclass(SoapySdrDriver, SdrDriver)
+    assert issubclass(SounddeviceAudioDriver, AudioDriver)
+    try:
+        import SoapySDR  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            SoapySdrDriver(dict(driver="rtlsdr"), 1024000.0, 100e6)
+    try:
+        import sounddevice  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            SounddeviceAudioDriver(48000.0)
+
+
+def test_audiopipe_example_runs():
+    import pathlib
+    import subprocess
+    import sys
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "audiopipe.py")],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert "piped" in out.stdout or "real audio" in out.stdout
