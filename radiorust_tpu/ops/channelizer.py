@@ -14,7 +14,7 @@ convention) and decimated to ``rate / M``.
 
 from __future__ import annotations
 
-import math
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,12 @@ def design_prototype(num_channels: int, taps_per_branch: int,
     return (h / np.sum(h)).astype(np.float64)
 
 
+@functools.lru_cache(maxsize=16)
+def _dft_planes(m: int):
+    w = np.exp(-2j * np.pi * np.outer(np.arange(m), np.arange(m)) / m)
+    return (w.real.astype(np.float32), w.imag.astype(np.float32))
+
+
 def pfb_channelize(xp: jax.Array, taps: jax.Array,
                    num_channels: int) -> jax.Array:
     """Critically sampled analysis filterbank.
@@ -55,24 +61,38 @@ def pfb_channelize(xp: jax.Array, taps: jax.Array,
     ``taps``: [K, M] float32 — prototype reshaped so ``taps[k, m] =
     h[k*M + m]``.
     Returns [batch, M, n/M] complex64: per-channel decimated streams.
+
+    TPU mapping: the K-tap branch FIR is K shifted fused multiply-adds on
+    the VPU (XLA's grouped-conv lowering is slow for depthwise filters),
+    and the M-point branch DFT is a complex matmul on the MXU (XLA's FFT
+    HLO runs ~10x below matmul throughput at these sizes — same trade as
+    ops/fft.py).
     """
     b = xp.shape[0]
     k, m = taps.shape
     total = xp.shape[-1]
+    t_out = total // m - (k - 1)
     frames = xp.reshape(b, total // m, m)            # [b, T+K-1, M]
-    # Depthwise causal FIR along the frame axis, one filter per branch.
-    lhs = jnp.concatenate([frames.real, frames.imag], axis=0)
-    lhs = jnp.swapaxes(lhs, 1, 2)                    # [2b, M, T+K-1]
-    rhs = jnp.swapaxes(taps, 0, 1)[:, None, :]       # [M, 1, K]
-    v = jax.lax.conv_general_dilated(
-        lhs.astype(jnp.float32), rhs.astype(jnp.float32),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=m,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # f32-accurate on the MXU
-    )                                                # [2b, M, T]
-    vc = jax.lax.complex(v[:b], v[b:])               # [b, M, T]
-    # DFT across branches -> channels (numpy bin convention).
-    y = jnp.fft.fft(jnp.swapaxes(vc, 1, 2), axis=-1)  # [b, T, M]
+    fr = jnp.real(frames).astype(jnp.float32)
+    fi = jnp.imag(frames).astype(jnp.float32)
+    # Branch FIR: v[b, t, m] = sum_k frames[b, t+k, m] * taps[k, m] —
+    # K shifted elementwise FMAs (K is small, typically 4-16).
+    vr = jnp.zeros((b, t_out, m), jnp.float32)
+    vi = jnp.zeros((b, t_out, m), jnp.float32)
+    for j in range(k):
+        tj = taps[j][None, None, :].astype(jnp.float32)
+        vr = vr + fr[:, j: j + t_out, :] * tj
+        vi = vi + fi[:, j: j + t_out, :] * tj
+    # DFT across branches -> channels (numpy bin convention) as a complex
+    # matmul: Y[.., c] = sum_m V[.., m] * W[m, c].
+    dr, di = _dft_planes(m)
+    dr = jnp.asarray(dr)
+    di = jnp.asarray(di)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    yr = (jnp.einsum("btm,mc->btc", vr, dr, **kw)
+          - jnp.einsum("btm,mc->btc", vi, di, **kw))
+    yi = (jnp.einsum("btm,mc->btc", vr, di, **kw)
+          + jnp.einsum("btm,mc->btc", vi, dr, **kw))
+    y = jax.lax.complex(yr, yi)                      # [b, T, M]
     return jnp.swapaxes(y, 1, 2).astype(jnp.complex64)  # [b, M, T]

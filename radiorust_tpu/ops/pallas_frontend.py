@@ -176,10 +176,13 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
         tile = 1
     kernel = _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs,
                                 precision)
-    w3 = np.zeros((slabs * LANES, jper * q), np.float32)
-    wt = np.asarray(kernel_matrix).T
+    # Banded weight assembly is trace-safe (the taps may arrive as traced
+    # params through a jit boundary); static indices, so XLA constant-folds
+    # it when the taps are constants.
+    wt = jnp.asarray(kernel_matrix, jnp.float32).T
+    w3 = jnp.zeros((slabs * LANES, jper * q), jnp.float32)
     for j in range(jper):
-        w3[j * p: j * p + Kw, j * q: (j + 1) * q] = wt
+        w3 = jax.lax.dynamic_update_slice(w3, wt, (j * p, j * q))
     M = n // p
     nrow = M // jper
     grid = (b // tile,)
@@ -196,7 +199,7 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
         out_shape=[jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32)
                    ] * nplanes
         + [jax.ShapeDtypeStruct((b, hist), jnp.float32)] * nplanes,
-    )(*planes, *hplanes, jnp.asarray(w3))
+    )(*planes, *hplanes, w3)
     outs = tuple(r.reshape(b, M * q) for r in results[:nplanes])
     return outs, tuple(results[nplanes:])
 
