@@ -83,3 +83,57 @@ def test_batch_folding():
     power = np.mean(np.abs(ys[1:]) ** 2, axis=(0, 2))
     assert np.argmax(power[:m]) == 2
     assert np.argmax(power[m:]) == 6
+
+
+def test_pfb_channel_matches_shift_downsample_chain():
+    """Parity oracle: PFB channel c equals the construction it replaces —
+    FreqShifter(-c*rate/M) -> Downsampler(rate/M) — up to one fixed complex
+    gain (the two anti-alias filters differ in shape/delay inside the
+    passband; for a steady in-band tone that is a constant complex scalar).
+    Residual after the scalar fit must be < -30 dB; cross-channel leakage
+    < -30 dB."""
+    from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+    from radiorust_tpu.blocks.channelize import Channelizer
+    from radiorust_tpu.blocks.resampling import Downsampler
+    from radiorust_tpu.blocks.transform import FreqShifter
+
+    m, rate, n, c = 8, 80000.0, 2048, 3
+    sig = StreamSig(1, n, rate)
+    steps = 6
+    df = 0.12 * rate / m          # in-band offset from the channel center
+    f = c * rate / m + df
+    t = np.arange(steps * n) / rate
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    xs = x.reshape(steps, 1, n)
+
+    pfb = Channelizer(m, taps_per_branch=16).bind(sig)
+    _, y_pfb = scan(pfb, pfb.params, pfb.init_state(), jnp.asarray(xs))
+    # [T, m, n/m]: channel c, steady-state chunks only.
+    got = np.asarray(y_pfb)[2:, c, :].ravel()
+
+    chain = Chain(FreqShifter.with_shift(-c * rate / m),
+                  Downsampler(rate / m, 0.5 * rate / m)).bind(sig)
+    _, y_ch = scan(chain, chain.params, chain.init_state(), jnp.asarray(xs))
+    want = np.asarray(y_ch)[2:, 0, :].ravel()
+
+    # Complex least-squares gain between the two outputs.  The PFB is
+    # unit-gain at a channel center; the reference-style Downsampler has
+    # energy-normalized taps (resampling.rs:97-101), whose passband gain is
+    # the tap sum — so the fixed gain between the two is sum(taps).
+    a = np.vdot(got, want) / np.vdot(got, got)
+    expected_gain = float(np.sum(chain.blocks[1].plan.kernel[0]))
+    resid = want - a * got
+    sig_e = float(np.sum(np.abs(want) ** 2))
+    res_e = float(np.sum(np.abs(resid) ** 2))
+    assert abs(abs(a) - expected_gain) < 0.05 * expected_gain, (
+        f"gain {abs(a)} vs designed {expected_gain}")
+    assert res_e < 1e-3 * sig_e, (
+        f"residual {10 * np.log10(res_e / sig_e):.1f} dB")
+
+    # Rejection: the tone leaks into other channels far below channel c.
+    main_e = float(np.sum(np.abs(np.asarray(y_pfb)[2:, c, :]) ** 2))
+    for other in range(m):
+        if other in (c, (c - 1) % m, (c + 1) % m):
+            continue  # adjacent channels see transition-band energy
+        leak = float(np.sum(np.abs(np.asarray(y_pfb)[2:, other, :]) ** 2))
+        assert leak < 1e-3 * main_e, (other, leak / main_e)
