@@ -1,0 +1,66 @@
+"""Global numeric-mode knobs for the device kernels.
+
+The MXU multiplies in bfloat16; float32 accuracy is recovered by
+multi-pass decomposition, selected via ``jax.lax.Precision``:
+
+- ``DEFAULT``  — single pass (~3e-3 relative on a 12288-pt transform;
+  outside the framework's f32 SNR bound, do not use for filters),
+- ``HIGH``     — 3 passes (bf16_3x),
+- ``HIGHEST``  — 6 passes (bf16_6x, f32-equivalent).
+
+``matmul_precision()`` is read at *trace* time by every kernel builder, so
+flipping it between ``jax.jit`` traces (or via the environment variable
+``RRTPU_MATMUL_PRECISION``) selects the mode without code changes.
+
+``complex_mm_3mul()`` selects the Gauss/Karatsuba 3-multiplication complex
+product (m1 = ar·br, m2 = ai·bi, m3 = (ar+ai)·(br+bi)) instead of the
+4-multiplication form — 25% fewer MXU FLOPs per complex matmul at the cost
+of one extra VPU add per operand and mild cancellation (measured ~1e-6
+relative on the WFM transforms, inside the f32 SNR bound).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = ["matmul_precision", "set_matmul_precision", "complex_mm_3mul",
+           "set_complex_mm_3mul"]
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+_matmul_precision: str | None = None
+_cmm_3mul: bool | None = None
+
+
+def matmul_precision() -> jax.lax.Precision:
+    """Precision for all device matmuls (trace-time)."""
+    if _matmul_precision is not None:
+        return _PRECISIONS[_matmul_precision]
+    return _PRECISIONS[
+        os.environ.get("RRTPU_MATMUL_PRECISION", "highest").lower()]
+
+
+def set_matmul_precision(name: str | None) -> None:
+    """Override the matmul precision (``None`` restores the env default)."""
+    global _matmul_precision
+    if name is not None and name.lower() not in _PRECISIONS:
+        raise ValueError(f"unknown precision {name!r}")
+    _matmul_precision = None if name is None else name.lower()
+
+
+def complex_mm_3mul() -> bool:
+    """Whether complex matmuls use the 3-multiplication Gauss form."""
+    if _cmm_3mul is not None:
+        return _cmm_3mul
+    return os.environ.get("RRTPU_CMM", "4mul").lower() == "3mul"
+
+
+def set_complex_mm_3mul(enabled: bool | None) -> None:
+    global _cmm_3mul
+    _cmm_3mul = enabled

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radiorust_tpu import config
+
 from ..math import sinc
 from ..windowing import Kaiser
 
@@ -89,7 +91,7 @@ def pfb_channelize(xp: jax.Array, taps: jax.Array,
     dr = jnp.asarray(dr)
     di = jnp.asarray(di)
     kw = dict(preferred_element_type=jnp.float32,
-              precision=jax.lax.Precision.HIGHEST)
+              precision=config.matmul_precision())
     yr = (jnp.einsum("btm,mc->btc", vr, dr, **kw)
           - jnp.einsum("btm,mc->btc", vi, di, **kw))
     yi = (jnp.einsum("btm,mc->btc", vr, di, **kw)

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radiorust_tpu import config
+
 __all__ = ["fft", "ifft", "plan_factors"]
 
 
@@ -65,17 +67,22 @@ def _constants(n: int, inverse: bool):
 
 
 def _cmatmul(ar, ai, br, bi, contract):
-    """Complex matmul via four real einsums (MXU path).
+    """Complex matmul via real einsums (MXU path).
 
-    HIGHEST precision: the MXU's default single-pass bf16 rounding costs
-    ~3e-3 relative error on a 12288-point transform — outside the f32 SNR
-    bound the framework guarantees against the reference.  The multi-pass
-    f32-accurate mode keeps the MXU win while preserving SNR.
+    Multi-pass precision (config.matmul_precision, default HIGHEST): the
+    MXU's single-pass bf16 rounding costs ~3e-3 relative error on a
+    12288-point transform — outside the f32 SNR bound the framework
+    guarantees against the reference.  The multi-pass f32-accurate mode
+    keeps the MXU win while preserving SNR.  config.complex_mm_3mul
+    selects the Gauss 3-multiplication form (25% fewer MXU FLOPs).
     """
     kw = dict(preferred_element_type=jnp.float32,
-              precision=jax.lax.Precision.HIGHEST)
+              precision=config.matmul_precision())
     rr = jnp.einsum(contract, ar, br, **kw)
     ii = jnp.einsum(contract, ai, bi, **kw)
+    if config.complex_mm_3mul():
+        m3 = jnp.einsum(contract, ar + ai, br + bi, **kw)
+        return rr - ii, m3 - rr - ii
     ri = jnp.einsum(contract, ar, bi, **kw)
     ir = jnp.einsum(contract, ai, br, **kw)
     return rr - ii, ri + ir

@@ -1,0 +1,71 @@
+"""MXU dot-product helpers shared by the Pallas kernels.
+
+The MXU multiplies in bfloat16; ``jax.lax.Precision`` selects a multi-pass
+f32 recovery (HIGH = 3 passes, HIGHEST = 6).  Mosaic (the Pallas TPU
+compiler) only lowers DEFAULT and HIGHEST, so the 3-pass mode is
+implemented manually here: split each f32 operand into a bf16 hi part and
+a bf16 lo remainder and accumulate
+
+    a·b  ≈  ahi·bhi + ahi·blo + alo·bhi        (the alo·blo term is
+                                                ~2^-16 relative — dropped)
+
+with DEFAULT-precision bf16 matmuls and f32 accumulation.  Measured
+~1.5e-6 max/rms error on the WFM transforms (HIGHEST: ~1e-7), inside the
+framework's ~1e-3 parity bound, at half HIGHEST's MXU cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from radiorust_tpu import config
+
+__all__ = ["make_dot", "resolve_mode"]
+
+_MODES = {
+    jax.lax.Precision.DEFAULT: "default",
+    jax.lax.Precision.HIGH: "high",
+    jax.lax.Precision.HIGHEST: "highest",
+}
+
+
+def resolve_mode(precision=None) -> str:
+    """Normalize a precision argument (None | str | jax.lax.Precision) to
+    a mode string, defaulting to the global config."""
+    if precision is None:
+        return _MODES[config.matmul_precision()]
+    if isinstance(precision, str):
+        return precision.lower()
+    return _MODES[precision]
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def make_dot(precision=None):
+    """Return ``dot(a, b, dimension_numbers)`` honoring the precision mode
+    (usable inside Pallas kernels and plain XLA alike)."""
+    mode = resolve_mode(precision)
+    if mode == "high":
+        base = functools.partial(jax.lax.dot_general,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
+
+        def dot(a, b, dimension_numbers):
+            ahi, alo = _split_bf16(a)
+            bhi, blo = _split_bf16(b)
+            d = lambda x, y: base(x, y, dimension_numbers)
+            return d(ahi, bhi) + (d(ahi, blo) + d(alo, bhi))
+
+        return dot
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[mode]
+    return functools.partial(jax.lax.dot_general,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)

@@ -33,7 +33,27 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from radiorust_tpu import config
+from radiorust_tpu.ops.mxu import make_dot
+
 __all__ = ["fused_overlap_save", "response_to_grid", "supported"]
+
+
+def _make_cmm(mm):
+    """Complex matmul (ar+i·ai)(br+i·bi) -> (re, im) on top of a real
+    matmul ``mm``.  The 3-multiplication Gauss form saves 25% MXU FLOPs
+    (config.complex_mm_3mul); conjugation is a negated ``bi`` at the call
+    site."""
+    if config.complex_mm_3mul():
+        def cmm(ar, ai, br, bi):
+            m1 = mm(ar, br)
+            m2 = mm(ai, bi)
+            m3 = mm(ar + ai, br + bi)
+            return m1 - m2, m3 - m1 - m2
+    else:
+        def cmm(ar, ai, br, bi):
+            return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
+    return cmm
 
 
 def _pallas_call(*args, **kw):
@@ -84,16 +104,15 @@ def response_to_grid(response: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rg.real.astype(np.float32), rg.imag.astype(np.float32)
 
 
-def _make_kernel(n1: int, n2: int, tile: int,
-                 precision=jax.lax.Precision.HIGHEST):
+def _make_kernel(n1: int, n2: int, tile: int, precision=None):
     half = n1 // 2
     n = half * n2
-    dot = functools.partial(jax.lax.dot_general,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+    dot = make_dot(precision)
 
     def mm(a, b):  # [m, k] @ [k, l]
         return dot(a, b, (((1,), (0,)), ((), ())))
+
+    cmm = _make_cmm(mm)
 
     def kernel(prevr, previ, curr, curi, rr, ri,
                d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
@@ -109,8 +128,7 @@ def _make_kernel(n1: int, n2: int, tile: int,
         # Stage 1: contract i1 with D1 -> [s, k1, i2] via [n1, s*n2] matmul.
         xr2 = jnp.swapaxes(xr, 0, 1).reshape(n1, s * n2)
         xi2 = jnp.swapaxes(xi, 0, 1).reshape(n1, s * n2)
-        tr = mm(d1r[:], xr2) - mm(d1i[:], xi2)
-        ti = mm(d1r[:], xi2) + mm(d1i[:], xr2)
+        tr, ti = cmm(d1r[:], d1i[:], xr2, xi2)
         # Twiddle (broadcast over streams): reshape to [k1, s, n2].
         tr = tr.reshape(n1, s, n2)
         ti = ti.reshape(n1, s, n2)
@@ -121,8 +139,7 @@ def _make_kernel(n1: int, n2: int, tile: int,
         # Stage 2: contract i2 with D2 -> grid [k1, s, k2].
         ur2 = ur.reshape(n1 * s, n2)
         ui2 = ui.reshape(n1 * s, n2)
-        vr = mm(ur2, d2r[:]) - mm(ui2, d2i[:])
-        vi = mm(ur2, d2i[:]) + mm(ui2, d2r[:])
+        vr, vi = cmm(ur2, ui2, d2r[:], d2i[:])
         # Frequency response (grid layout, 1/(2n) folded in).
         vr = vr.reshape(n1, s, n2)
         vi = vi.reshape(n1, s, n2)
@@ -134,8 +151,7 @@ def _make_kernel(n1: int, n2: int, tile: int,
         # symmetric: conj + transpose == conj).
         pr2 = pr.reshape(n1 * s, n2)
         pi2 = pi.reshape(n1 * s, n2)
-        qr = mm(pr2, d2r[:]) + mm(pi2, d2i[:])       # Re[(pr+ipi)(d2r-id2i)]
-        qi = mm(pi2, d2r[:]) - mm(pr2, d2i[:])
+        qr, qi = cmm(pr2, pi2, d2r[:], -d2i[:])      # (pr+i·pi)·conj(d2)
         # Inverse twiddle (conjugate).
         qr = qr.reshape(n1, s, n2)
         qi = qi.reshape(n1, s, n2)
@@ -147,8 +163,7 @@ def _make_kernel(n1: int, n2: int, tile: int,
         si2 = si.reshape(n1, s * n2)
         e1rt = jnp.swapaxes(e1r[:], 0, 1)            # [half, k1]
         e1it = jnp.swapaxes(e1i[:], 0, 1)
-        yr = mm(e1rt, sr2) - mm(e1it, si2)
-        yi = mm(e1rt, si2) + mm(e1it, sr2)
+        yr, yi = cmm(e1rt, e1it, sr2, si2)
         yr = jnp.swapaxes(yr.reshape(half, s, n2), 0, 1).reshape(s, n)
         yi = jnp.swapaxes(yi.reshape(half, s, n2), 0, 1).reshape(s, n)
         outr[:] = yr
@@ -158,8 +173,7 @@ def _make_kernel(n1: int, n2: int, tile: int,
 
 
 def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
-                       tile: int = 8,
-                       precision=jax.lax.Precision.HIGHEST):
+                       tile: int = 8, precision=None):
     """Filter one chunk step for all streams.
 
     Inputs: float32 planes [batch, n] for the previous and current chunks,
@@ -216,8 +230,7 @@ def _atan2_poly(b, a):
     return jnp.where(big == 0.0, jnp.zeros_like(r), r)
 
 
-def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
-                              precision=jax.lax.Precision.HIGHEST):
+def _make_demod_filter_kernel(n1: int, n2: int, tile: int, precision=None):
     """Kernel: quadrature-demodulate the chunk, then run the overlap-save
     filter on the (real) demodulated stream with stream *pairs* packed into
     single complex transforms (exact for real impulse responses).
@@ -227,12 +240,12 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
     half = n1 // 2
     n = half * n2
     pair = tile // 2
-    dot = functools.partial(jax.lax.dot_general,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+    dot = make_dot(precision)
 
     def mm(a, b):
         return dot(a, b, (((1,), (0,)), ((), ())))
+
+    cmm = _make_cmm(mm)
 
     def kernel(curr, curi, plr, pli, prevd, lastout, havep, fac, rr, ri,
                d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
@@ -262,8 +275,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
         # forward stage 1
         zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, pair * n2)
         zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, pair * n2)
-        tr = mm(d1r[:], zr2) - mm(d1i[:], zi2)
-        ti = mm(d1r[:], zi2) + mm(d1i[:], zr2)
+        tr, ti = cmm(d1r[:], d1i[:], zr2, zi2)
         tr = tr.reshape(n1, pair, n2)
         ti = ti.reshape(n1, pair, n2)
         wr_ = twr[:][:, None, :]
@@ -272,8 +284,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
         ui = tr * wi_ + ti * wr_
         ur2 = ur.reshape(n1 * pair, n2)
         ui2 = ui.reshape(n1 * pair, n2)
-        vr = mm(ur2, d2r[:]) - mm(ui2, d2i[:])
-        vi = mm(ur2, d2i[:]) + mm(ui2, d2r[:])
+        vr, vi = cmm(ur2, ui2, d2r[:], d2i[:])
         vr = vr.reshape(n1, pair, n2)
         vi = vi.reshape(n1, pair, n2)
         gr = rr[:][:, None, :]
@@ -282,8 +293,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
         pi = vr * gi + vi * gr
         pr2 = pr.reshape(n1 * pair, n2)
         pi2 = pi.reshape(n1 * pair, n2)
-        qr = mm(pr2, d2r[:]) + mm(pi2, d2i[:])
-        qi = mm(pi2, d2r[:]) - mm(pr2, d2i[:])
+        qr, qi = cmm(pr2, pi2, d2r[:], -d2i[:])
         qr = qr.reshape(n1, pair, n2)
         qi = qi.reshape(n1, pair, n2)
         sr_ = qr * wr_ + qi * wi_
@@ -292,8 +302,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
         si2 = si_.reshape(n1, pair * n2)
         e1rt = jnp.swapaxes(e1r[:], 0, 1)
         e1it = jnp.swapaxes(e1i[:], 0, 1)
-        yr = mm(e1rt, sr2) - mm(e1it, si2)
-        yi = mm(e1rt, si2) + mm(e1it, sr2)
+        yr, yi = cmm(e1rt, e1it, sr2, si2)
         # y real part = even streams, imag = odd streams; un-pair via a
         # stacked [pair, 2, n] store (lane dim preserved).
         yr3 = jnp.swapaxes(yr.reshape(half, pair, n2), 0, 1).reshape(pair, n)
@@ -305,8 +314,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int,
 
 def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
                        last_out, have_prev, resp_gr, resp_gi,
-                       factor: float, tile: int = 8,
-                       precision=jax.lax.Precision.HIGHEST):
+                       factor: float, tile: int = 8, precision=None):
     """FM demod + overlap-save filter in one kernel.
 
     ``curr/curi``: [batch, n] pre-demod planes; ``prev_last_*``: [batch]

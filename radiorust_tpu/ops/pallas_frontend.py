@@ -19,13 +19,14 @@ the input) plus a tiny history slab are written back.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from radiorust_tpu.ops.mxu import make_dot
 
 __all__ = ["fused_mix_decimate", "pallas_decimate", "decimate_supported"]
 
@@ -85,9 +86,7 @@ def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
         P1i = padi[:, : nrow * LANES].reshape(tile * nrow, LANES)
         P2r = padr[:, LANES:].reshape(tile * nrow, LANES)
         P2i = padi[:, LANES:].reshape(tile * nrow, LANES)
-        dot = functools.partial(jax.lax.dot_general,
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
+        dot = make_dot(precision)
         wa = w3[:][:LANES]                          # [LANES, jper*q]
         wb = w3[:][LANES:]                          # [LANES, jper*q]
         yr = (dot(P1r, wa, (((1,), (0,)), ((), ())))
@@ -127,9 +126,7 @@ def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
         w3 = refs[2 * nplanes]
         outs = refs[2 * nplanes + 1: 2 * nplanes + 1 + nplanes]
         newhs = refs[2 * nplanes + 1 + nplanes:]
-        dot = functools.partial(jax.lax.dot_general,
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
+        dot = make_dot(precision)
         w = w3[:]
         for ix in range(nplanes):
             buf = jnp.concatenate([hs[ix][:], xs[ix][:]], axis=-1)
@@ -152,8 +149,7 @@ def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
 
 
 def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
-                    tile: int = 8,
-                    precision=jax.lax.Precision.HIGHEST):
+                    tile: int = 8, precision=None):
     """Rational decimation as a lane-aligned banded GEMM.
 
     ``planes``: tuple of [batch, n] float32 arrays (one for real streams,
@@ -206,8 +202,7 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
 
 def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
                        kernel_matrix, p: int, q: int,
-                       tile: int = 8,
-                       precision=jax.lax.Precision.HIGHEST):
+                       tile: int = 8, precision=None):
     """Mix + decimate one chunk step.
 
     ``xr/xi``: [batch, n] raw input planes; ``ar..bi``: factored oscillator

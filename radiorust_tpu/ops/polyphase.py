@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radiorust_tpu import config
+
 from ..math import sinc
 from ..windowing import Kaiser
 
@@ -185,7 +187,7 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
             window_strides=(p,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=config.matmul_precision(),
         )
         m = out_len // q
         yr = jnp.swapaxes(out[:, :, :m], 1, 2).reshape(b, out_len)
@@ -199,7 +201,7 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
         window_strides=(p,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # f32-accurate on the MXU
+        precision=config.matmul_precision(),  # f32-accurate on the MXU
     )  # [2b, q, M']
     m = out_len // q
     out = out[:, :, :m]

@@ -52,3 +52,76 @@ def test_fused_filter_matches_reference(n, batch):
 def test_supported_sizes():
     assert supported(6144)      # 2n=12288 = 96*128
     assert supported(2048)      # 4096 = 64... plan_factors(4096)=(64,64)?
+
+
+def test_3mul_complex_matmul_matches_4mul():
+    """Gauss 3-multiplication mode is numerically equivalent to the
+    4-multiplication form (exact on CPU f32 up to association order)."""
+    from radiorust_tpu import config
+
+    n, batch = 2048, 4
+    rng = np.random.default_rng(7)
+    mk = lambda: (rng.standard_normal((batch, n))
+                  + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    prev, cur = mk(), mk()
+    resp = (rng.standard_normal(2 * n)
+            + 1j * rng.standard_normal(2 * n)).astype(np.complex64)
+    gr, gi = response_to_grid(resp)
+    args = (jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(gr), jnp.asarray(gi))
+
+    base = fused_overlap_save(*args)
+    config.set_complex_mm_3mul(True)
+    try:
+        fast = fused_overlap_save(*args)
+    finally:
+        config.set_complex_mm_3mul(None)
+    for a, b in zip(base, fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_3mul_fft_matches_numpy():
+    from radiorust_tpu import config
+    from radiorust_tpu.ops.fft import fft as matfft
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((3, 12288))
+         + 1j * rng.standard_normal((3, 12288))).astype(np.complex64)
+    config.set_complex_mm_3mul(True)
+    try:
+        got = np.asarray(matfft(jnp.asarray(x)))
+    finally:
+        config.set_complex_mm_3mul(None)
+    want = np.fft.fft(x)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-2)
+
+
+def test_high_mode_manual_bf16_3pass():
+    """'high' precision lowers as a manual bf16 hi/lo 3-pass decomposition
+    (Mosaic rejects lax.Precision.HIGH); error must be ~1e-5 relative."""
+    from radiorust_tpu import config
+
+    n, batch = 2048, 4
+    rng = np.random.default_rng(13)
+    mk = lambda: (rng.standard_normal((batch, n))
+                  + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    prev, cur = mk(), mk()
+    resp = (rng.standard_normal(2 * n)
+            + 1j * rng.standard_normal(2 * n)).astype(np.complex64)
+    gr, gi = response_to_grid(resp)
+    args = (jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(gr), jnp.asarray(gi))
+
+    base = fused_overlap_save(*args)
+    config.set_matmul_precision("high")
+    try:
+        fast = fused_overlap_save(*args)
+    finally:
+        config.set_matmul_precision(None)
+    rms = float(np.sqrt(np.mean(np.square(np.asarray(base[0])))))
+    for a, b in zip(base, fast):
+        err = np.max(np.abs(np.asarray(a) - np.asarray(b))) / rms
+        assert err < 5e-4, err

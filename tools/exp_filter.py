@@ -10,7 +10,8 @@ relay backend — see CLAUDE.md).  Feedback uses per-step energy
 normalization, a nonlinear op XLA cannot hoist, so each iteration truly
 depends on the previous one.
 
-Variants:
+Variants (options after ':'): tileN | high/highest/default (matmul
+precision passes) | 3mul (Gauss 3-multiplication complex matmuls):
   chain                 full fused WFM chain (bench reference point)
   chain_unfused         literal block-for-block chain
   frontend              fused mixer+decimator kernel alone  (16384 -> 6144)
@@ -276,18 +277,39 @@ def build_tail(pallas=True):
     return fn, BATCH * N_MID
 
 
+def _with_modes(built, prec, cmm):
+    """Set the numeric-mode config for the duration of each call; jit
+    traces on the first (warmup) call, baking the modes into the program."""
+    from radiorust_tpu import config
+    fn, spi = built
+    if prec == "highest" and not cmm:
+        return fn, spi
+
+    def wrapped(seed, iters):
+        config.set_matmul_precision(prec)
+        config.set_complex_mm_3mul(cmm or None)
+        try:
+            return fn(seed, iters)
+        finally:
+            config.set_matmul_precision(None)
+            config.set_complex_mm_3mul(None)
+
+    return wrapped, spi
+
+
 def parse(v):
     parts = v.split(":")
     name, opts = parts[0], parts[1:]
     tile = 8
     prec = "highest"
+    cmm = "3mul" in opts
     for o in opts:
         if o.startswith("tile"):
             tile = int(o[4:])
         elif o in ("high", "highest", "default"):
             prec = o
     if name == "chain":
-        return build_chain(True)
+        return _with_modes(build_chain(True), prec, cmm)
     if name == "chain_tail_xla":
         return build_chain(True, tail_pallas=False)
     if name == "chain_unfused":
@@ -295,11 +317,11 @@ def parse(v):
     if name == "frontend":
         return build_frontend()
     if name == "filter1":
-        return build_filter1(tile, prec)
+        return _with_modes(build_filter1(tile, prec), prec, cmm)
     if name == "filter1_xla":
         return build_filter1_xla()
     if name == "demod":
-        return build_demod(tile, prec)
+        return _with_modes(build_demod(tile, prec), prec, cmm)
     if name == "tail":
         return build_tail()
     if name == "tail_xla":
