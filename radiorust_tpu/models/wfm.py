@@ -26,10 +26,13 @@ from ..blocks.modulation import FmDemod
 from ..blocks.resampling import Downsampler
 from ..blocks.transform import FreqShifter, GainControl
 
-__all__ = ["wfm_receiver", "WFM_INPUT_RATE", "WFM_INPUT_CHUNK"]
+__all__ = ["wfm_receiver", "wfm_transmitter", "WFM_INPUT_RATE",
+           "WFM_INPUT_CHUNK", "WFM_AUDIO_RATE", "WFM_AUDIO_CHUNK"]
 
 WFM_INPUT_RATE = 1024000.0
 WFM_INPUT_CHUNK = 16384
+WFM_AUDIO_RATE = 48000.0
+WFM_AUDIO_CHUNK = 768
 
 
 def _lowpass_100k(bins, freqs):
@@ -42,6 +45,42 @@ def _deemphasis_band(bins, freqs):
     keep = (np.abs(bins) >= 1) & (np.abs(freqs) >= 20.0) \
         & (np.abs(freqs) <= 16000.0)
     return np.where(keep, deemphasis_factor(50e-6, freqs), 0.0j)
+
+
+def _preemphasis_band(bins, freqs):
+    # Inverse of the receiver's deemphasis inside the audio band, so a
+    # TX -> RX roundtrip is spectrally flat over 20 Hz - 16 kHz.
+    keep = (np.abs(bins) >= 1) & (np.abs(freqs) >= 20.0) \
+        & (np.abs(freqs) <= 16000.0)
+    return np.where(keep, 1.0 / deemphasis_factor(50e-6, freqs), 0.0j)
+
+
+def wfm_transmitter(deviation: float = 150000.0,
+                    gain: float = 1.0) -> Chain:
+    """WFM broadcast transmitter: the receive chain's inverse.
+
+    The reference has no WFM TX example, but all its pieces are reference
+    blocks (``FmMod`` ``src/blocks/modulation.rs:13-80``, ``Upsampler``
+    ``src/blocks/resampling.rs:149-280``, preemphasis = inverse of
+    ``examples/relm_app/simple_receiver.rs:43-50``'s deemphasis):
+
+        audio 48 kHz [batch, 768]
+          -> Filter rectangular: preemphasis 50 us, 20 Hz - 16 kHz band
+          -> GainControl (modulation depth)
+          -> Upsampler to 1.024 MHz (bw 40 kHz)   [chunk 16384]
+          -> FmMod (deviation 150 kHz)
+
+    Output is 1.024 Msps IQ, chunk-compatible with :func:`wfm_receiver`
+    (roundtrip-tested in tests/test_models.py).
+    """
+    from ..blocks.modulation import FmMod
+    from ..blocks.resampling import Upsampler
+    return Chain(
+        Filter.new_rectangular(_preemphasis_band),
+        GainControl(gain),
+        Upsampler(WFM_INPUT_RATE, 2.0 * 20000.0),
+        FmMod(deviation),
+    )
 
 
 def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,

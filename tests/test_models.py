@@ -182,3 +182,44 @@ def test_wfm_fused_demod_matches_unfused():
         np.testing.assert_allclose(ys_fused[1:], ys_ref[1:], atol=3e-4)
     finally:
         pfl.pl.pallas_call = orig
+
+
+def test_wfm_tx_rx_roundtrip():
+    """wfm_transmitter -> wfm_receiver recovers the audio tone: TX
+    preemphasis cancels RX deemphasis, FmMod/FmDemod invert, and the
+    resamplers return to 48 kHz."""
+    from radiorust_tpu.models.wfm import (WFM_AUDIO_CHUNK, WFM_AUDIO_RATE,
+                                          wfm_transmitter)
+
+    t_chunks = 8
+    n = WFM_AUDIO_CHUNK
+    t = np.arange(t_chunks * n) / WFM_AUDIO_RATE
+    amp = 0.3
+    audio = amp * np.sin(2 * np.pi * 1000.0 * t)
+    chunks = (audio.astype(np.complex64)).reshape(t_chunks, 1, n)
+
+    sig = StreamSig(1, n, WFM_AUDIO_RATE)
+    iq, tx = run_chain(wfm_transmitter(), sig, chunks)
+    assert tx.out_sig.sample_rate == WFM_INPUT_RATE
+    assert tx.out_sig.chunk_len == WFM_INPUT_CHUNK
+    # FM has constant envelope (steady state; FmMod output is e^{j.phase}).
+    env = np.abs(iq[2:, 0, :])
+    np.testing.assert_allclose(env, 1.0, atol=1e-3)
+
+    ys, rx = run_chain(wfm_receiver(), StreamSig(1, WFM_INPUT_CHUNK,
+                                                 WFM_INPUT_RATE), iq)
+    out = ys[:, 0, :].reshape(-1).real
+    settled = out[3 * n:]
+    win = np.hanning(len(settled))
+    spec = np.abs(np.fft.rfft(settled * win))
+    freqs = np.fft.rfftfreq(len(settled), 1 / WFM_AUDIO_RATE)
+    peak = freqs[np.argmax(spec)]
+    assert abs(peak - 1000.0) < 30.0, f"peak at {peak} Hz"
+    # The tone dominates everything else by > 20 dB (spectral purity of
+    # the whole TX->RX path).
+    mask = np.abs(freqs - 1000.0) > 100.0
+    assert spec[mask].max() < 0.1 * spec.max()
+    # Amplitude survives within resampler passband-gain factors.
+    tone_amp = 2 * np.abs(np.fft.rfft(settled * win))[np.argmax(spec)] \
+        / np.sum(win)
+    assert 0.05 < tone_amp / amp < 20.0, tone_amp

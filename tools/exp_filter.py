@@ -83,9 +83,16 @@ def _deemph_grid():
     return response_to_grid(r.astype(np.complex64))
 
 
-def build_chain(fused: bool, tail_pallas: bool = True):
+def build_chain(fused: bool, tail_pallas: bool = True, drop=()):
+    """``drop``: indexes into the chain's spec list to remove (subtractive
+    profiling — e.g. fused chain is [MixerDecimator, Filter, FmDemodFilter,
+    Downsampler, GainControl]; dropping Filter is shape-preserving)."""
+    from radiorust_tpu.blocks.base import Chain
     sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
-    bound = wfm_receiver(fuse_frontend=fused, fuse_demod=fused).bind(sig)
+    spec = wfm_receiver(fuse_frontend=fused, fuse_demod=fused)
+    if drop:
+        spec = Chain(*[b for i, b in enumerate(spec.specs) if i not in drop])
+    bound = spec.bind(sig)
     if not tail_pallas:
         from radiorust_tpu.blocks.resampling import _BoundResampler
         for blk in bound.blocks:
@@ -310,6 +317,14 @@ def parse(v):
             prec = o
     if name == "chain":
         return _with_modes(build_chain(True), prec, cmm)
+    if name == "chain_no_filter1":
+        return _with_modes(build_chain(True, drop=(1,)), prec, cmm)
+    if name == "chain_no_tail":
+        return _with_modes(build_chain(True, drop=(3,)), prec, cmm)
+    if name == "chain_no_demod":
+        # NB: approximate — without demod the tail sees a complex stream
+        # (two conv planes instead of one), overcounting the tail.
+        return _with_modes(build_chain(True, drop=(2,)), prec, cmm)
     if name == "chain_tail_xla":
         return build_chain(True, tail_pallas=False)
     if name == "chain_unfused":
