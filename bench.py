@@ -149,7 +149,11 @@ def main():
         warm = float(bench(pparams, pstate, 0, 1))
         assert np.isfinite(warm) and warm > 0.0, f"bad warmup {warm}"
 
-    reps = int(os.environ.get("BENCH_REPS", "16"))
+    # The relay adds a FIXED ~31 ms dispatch+fetch cost per timed call
+    # (measured via an identity-loop variant in tools/exp_filter.py); at
+    # T*reps = 256 steps that inflated every step by ~120 us and
+    # under-reported throughput ~40%.  4096 steps/call keeps the bias <2%.
+    reps = int(os.environ.get("BENCH_REPS", "256"))
     best = float("inf")
     # Cross-process throughput varies +-30% with relay load; take the best
     # of several in-process measurements.

@@ -126,10 +126,36 @@ def build_chain(fused: bool, tail_pallas: bool = True, drop=()):
     return fn, BATCH * N_IN
 
 
-def build_frontend():
+def build_feedback(width):
+    """Pure harness overhead: the feedback loop body (norm + tile) with an
+    identity stage.  Subtract from isolated stage variants of the same
+    width to get the stage's net cost."""
+    @jax.jit
+    def fn(seed, iters):
+        xr, xi = _rand_planes(seed, (BATCH, width))
+
+        def body(i, carry):
+            xr, xi, acc = carry
+            yr = _norm(xr)
+            yi = _norm(xi + yr)
+            return yr, yi, acc + jnp.sum(jnp.square(yr))
+
+        _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * width
+
+
+def build_frontend(which="fused"):
     from radiorust_tpu.blocks.frontend import MixerDecimator
+    from radiorust_tpu.blocks.resampling import Downsampler
+    from radiorust_tpu.blocks.transform import FreqShifter
     sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
-    bound = MixerDecimator(-57000.0, MID_RATE, 200000.0).bind(sig)
+    spec = {"fused": lambda: MixerDecimator(-57000.0, MID_RATE, 200000.0),
+            "mixer": lambda: FreqShifter.with_shift(-57000.0),
+            "decim": lambda: Downsampler(MID_RATE, 200000.0)}[which]()
+    bound = spec.bind(sig)
     pparams = pack_wire(bound.params)
     pstate = pack_wire(bound.init_state())
 
@@ -331,6 +357,12 @@ def parse(v):
         return build_chain(False)
     if name == "frontend":
         return build_frontend()
+    if name == "mixer":
+        return build_frontend("mixer")
+    if name == "decim":
+        return _with_modes(build_frontend("decim"), prec, cmm)
+    if name == "feedback":
+        return build_feedback(tile if tile > 128 else N_IN)
     if name == "filter1":
         return _with_modes(build_filter1(tile, prec), prec, cmm)
     if name == "filter1_xla":
@@ -348,7 +380,11 @@ def main():
     variants = sys.argv[1:]
     if not variants:
         raise SystemExit(__doc__)
-    iters = int(os.environ.get("EXP_ITERS", "256"))
+    # The relay adds a FIXED ~31 ms dispatch+fetch cost per timed call
+    # (measured: the identity `feedback` variant at 256 iters reads as
+    # ~123 us/step at every width).  Amortize it: >= 2048 steps per call
+    # keeps the bias under ~8%, 8192 under 2%.
+    iters = int(os.environ.get("EXP_ITERS", "4096"))
     built = [(v, *parse(v)) for v in variants]
 
     # Warm up (compile) every program before timing any; the first fetch
