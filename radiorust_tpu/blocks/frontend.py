@@ -25,7 +25,7 @@ from ..ops.polyphase import plan_downsample
 from .base import Block, BoundBlock, StreamSig
 from .transform import _inner_block, _shift_tables
 
-__all__ = ["MixerDecimator", "FmDemodFilter"]
+__all__ = ["MixerDecimator", "FmDemodFilter", "FilterDemodFilter"]
 
 
 class _BoundMixerDecimator(BoundBlock):
@@ -190,6 +190,130 @@ class _BoundFmDemodFilter(BoundBlock):
             "have_prev": jnp.ones_like(have),
         }
         return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
+class _BoundFilterDemodFilter(BoundBlock):
+    @property
+    def output_is_real(self):
+        return True
+
+    def __init__(self, sig: StreamSig, freq_resp, window, deviation: float,
+                 deemph_resp, deemph_window):
+        from ..ops.pallas_filter import supported as _filt_supported
+        from .filters import design_response, design_impulse_response
+        self.in_sig = self.out_sig = sig
+        # Two cascaded overlap-save warmups: output chunk 0 sees a zero
+        # channel-filter tail AND a zero deemphasis tail; chunk 1 still
+        # sees chunk 0's (warmup-tainted) demod as its filter tail.
+        self.valid_from = 2
+        self.window = window
+        self.deemph_window = deemph_window
+        n = sig.chunk_len
+        if not _filt_supported(n) or sig.batch % 2:
+            raise ValueError("FilterDemodFilter kernel constraints unmet "
+                             "(chunk size / even batch); use Filter + "
+                             "FmDemod + Filter")
+        ir2 = design_impulse_response(deemph_resp, deemph_window, n,
+                                      sig.sample_rate)
+        peak = max(float(np.abs(ir2.real).max()), 1e-30)
+        if np.abs(ir2.imag).max() > 1e-9 * peak:
+            raise ValueError("FilterDemodFilter requires a real deemphasis "
+                             "impulse response (conjugate-symmetric gains)")
+        # Both responses and the demod factor are traced params: Filter
+        # update (src/blocks/filters.rs:279-297) and set_deviation
+        # (src/blocks/modulation.rs:154-157) retunes swap values, no
+        # recompile.
+        self.params = {
+            "response1": design_response(freq_resp, window, n,
+                                         sig.sample_rate).astype(np.complex64),
+            "response2": design_response(deemph_resp, deemph_window, n,
+                                         sig.sample_rate).astype(np.complex64),
+            "factor": np.float32(sig.sample_rate / deviation / TAU),
+        }
+
+    def init_state(self):
+        b, n = self.in_sig.batch, self.in_sig.chunk_len
+        return {
+            "prev": np.zeros((b, n), np.complex64),
+            "plr": np.zeros((b,), np.float32),
+            "pli": np.zeros((b,), np.float32),
+            "prevd": np.zeros((b, n), np.float32),
+            "last_out": np.zeros((b,), np.float32),
+            "have_prev": np.zeros((b,), np.float32),
+        }
+
+    @staticmethod
+    def _grid(response, n):
+        n1 = (2 * n) // 128
+        return jnp.swapaxes(response.reshape(128, n1), 0, 1) / (2.0 * n)
+
+    def process(self, params, state, x, reset):
+        from ..ops.pallas_filter import fused_filter_demod_filter
+        n = self.in_sig.chunk_len
+        g1 = self._grid(params["response1"], n)
+        g2 = self._grid(params["response2"], n)
+        # An interrupt clears both filter tails and the demod continuity
+        # (the reference's Filter drops previous_chunk, FmDemod repeats the
+        # last output on the first post-gap sample).
+        prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
+                         state["prev"])
+        prevd = jnp.where(reset[:, None], jnp.zeros_like(state["prevd"]),
+                          state["prevd"])
+        have = jnp.where(reset, 0.0, state["have_prev"])
+        y, d, flr, fli = fused_filter_demod_filter(
+            jnp.real(prev), jnp.imag(prev),
+            jnp.real(x), jnp.imag(x),
+            state["plr"], state["pli"], prevd,
+            state["last_out"], have,
+            jnp.real(g1).astype(jnp.float32),
+            jnp.imag(g1).astype(jnp.float32),
+            jnp.real(g2).astype(jnp.float32),
+            jnp.imag(g2).astype(jnp.float32),
+            params["factor"])
+        new_state = {
+            "prev": x,
+            "plr": flr,
+            "pli": fli,
+            "prevd": d,
+            "last_out": d[:, -1],
+            "have_prev": jnp.ones_like(have),
+        }
+        return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+    def update_filter_params(self, freq_resp, window=None):
+        """Redesign the channel-filter response host-side (analog of
+        ``Filter::update``, src/blocks/filters.rs:279-297)."""
+        from .filters import design_response
+        w = window if window is not None else self.window
+        r = design_response(freq_resp, w, self.in_sig.chunk_len,
+                            self.in_sig.sample_rate)
+        return {**self.params, "response1": r.astype(np.complex64)}
+
+
+class FilterDemodFilter(Block):
+    """Fused channel filter + FM demodulator + deemphasis filter.
+
+    Equals ``Chain(Filter.new(resp), FmDemod(dev),
+    Filter.with_window(deemph, win2))`` in a single VMEM-resident Pallas
+    kernel: both overlap-save filters share one set of DFT factor matrices
+    and the filtered complex intermediate never touches HBM.
+    """
+
+    def __init__(self, freq_resp, deviation: float, deemph_resp,
+                 window=None, deemph_window=None):
+        from ..windowing import Kaiser, Rectangular
+        self.freq_resp = freq_resp
+        self.deviation = float(deviation)
+        self.deemph_resp = deemph_resp
+        self.window = (window if window is not None
+                       else Kaiser.with_null_at_bin(2.0))
+        self.deemph_window = (deemph_window if deemph_window is not None
+                              else Rectangular())
+
+    def bind(self, sig: StreamSig) -> _BoundFilterDemodFilter:
+        return _BoundFilterDemodFilter(sig, self.freq_resp, self.window,
+                                       self.deviation, self.deemph_resp,
+                                       self.deemph_window)
 
 
 class FmDemodFilter(Block):

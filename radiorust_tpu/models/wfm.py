@@ -87,15 +87,18 @@ def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
                  deviation: float = 150000.0,
                  fuse_deemphasis: bool = False,
                  fuse_frontend: bool = False,
-                 fuse_demod: bool = False) -> Chain:
+                 fuse_demod: bool = False,
+                 fuse_mid: bool = False) -> Chain:
     """The WFM receive chain as a composable block spec.
 
     ``fuse_frontend=True`` replaces the first two blocks with the fused
-    mixer+decimator Pallas kernel (same math, ~4x faster front end on TPU;
-    not yet time-shardable).  ``fuse_deemphasis=True`` folds the deemphasis
-    filter's impulse response into the final decimating FIR (an exact LTI
-    composition).  Defaults keep the literal block-for-block chain of the
-    reference.
+    mixer+decimator Pallas kernel (same math, ~4x faster front end on TPU).
+    ``fuse_demod=True`` fuses FmDemod with the deemphasis filter;
+    ``fuse_mid=True`` goes further and merges the channel filter, demod,
+    and deemphasis filter into one kernel (``FilterDemodFilter``).
+    ``fuse_deemphasis=True`` folds the deemphasis filter's impulse response
+    into the final decimating FIR (an exact LTI composition).  Defaults
+    keep the literal block-for-block chain of the reference.
     """
     from ..windowing import Rectangular
     if fuse_frontend:
@@ -104,21 +107,26 @@ def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
     else:
         head = [FreqShifter.with_shift(tune_shift),
                 Downsampler(384000.0, 200000.0)]
-    if fuse_demod:
+    if fuse_mid:
+        from ..blocks.frontend import FilterDemodFilter
+        mid = [FilterDemodFilter(_lowpass_100k, deviation,
+                                 _deemphasis_band)]
+        tail = [Downsampler(48000.0, 2.0 * 20000.0)]
+    elif fuse_demod:
         from ..blocks.frontend import FmDemodFilter
-        mid = [FmDemodFilter(deviation, _deemphasis_band)]
+        mid = [Filter.new(_lowpass_100k),
+               FmDemodFilter(deviation, _deemphasis_band)]
         tail = [Downsampler(48000.0, 2.0 * 20000.0)]
     elif fuse_deemphasis:
-        mid = [FmDemod(deviation)]
+        mid = [Filter.new(_lowpass_100k), FmDemod(deviation)]
         tail = [Downsampler(48000.0, 2.0 * 20000.0,
                             prefilter=(_deemphasis_band, Rectangular()))]
     else:
-        mid = [FmDemod(deviation)]
+        mid = [Filter.new(_lowpass_100k), FmDemod(deviation)]
         tail = [Filter.new_rectangular(_deemphasis_band),
                 Downsampler(48000.0, 2.0 * 20000.0)]
     return Chain(
         *head,
-        Filter.new(_lowpass_100k),
         *mid,
         *tail,
         GainControl(volume),

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from radiorust_tpu import config
 from radiorust_tpu.ops.mxu import make_dot
 
-__all__ = ["fused_overlap_save", "response_to_grid", "supported"]
+__all__ = ["fused_overlap_save", "fused_demod_filter",
+           "fused_filter_demod_filter", "response_to_grid", "supported"]
 
 
 def _make_cmm(mm):
@@ -104,6 +105,62 @@ def response_to_grid(response: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rg.real.astype(np.float32), rg.imag.astype(np.float32)
 
 
+def _os_pipeline(cmm, n1, n2, X):
+    """The overlap-save transform pipeline on X packed streams: forward
+    four-step DFT -> response multiply -> inverse with the stage-1
+    contraction truncated to the first n output samples.  Operates on
+    [X, n1, n2] grids; returns [X, n] planes.  Shared by the filter, the
+    demod+filter, and the merged filter+demod+filter kernels."""
+    half = n1 // 2
+    n = half * n2
+
+    def pipeline(zr, zi, rr, ri, d1r, d1i, d2r, d2i, twr, twi, e1r, e1i):
+        # Stage 1: contract i1 with D1 -> [k1, X, i2] via [n1, X*n2] matmul.
+        zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, X * n2)
+        zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, X * n2)
+        tr, ti = cmm(d1r, d1i, zr2, zi2)
+        # Twiddle (broadcast over streams): reshape to [k1, X, n2].
+        tr = tr.reshape(n1, X, n2)
+        ti = ti.reshape(n1, X, n2)
+        wr = twr[:, None, :]
+        wi = twi[:, None, :]
+        ur = tr * wr - ti * wi
+        ui = tr * wi + ti * wr
+        # Stage 2: contract i2 with D2 -> grid [k1, X, k2].
+        ur2 = ur.reshape(n1 * X, n2)
+        ui2 = ui.reshape(n1 * X, n2)
+        vr, vi = cmm(ur2, ui2, d2r, d2i)
+        # Frequency response (grid layout, 1/(2n) folded in).
+        vr = vr.reshape(n1, X, n2)
+        vi = vi.reshape(n1, X, n2)
+        gr = rr[:, None, :]
+        gi = ri[:, None, :]
+        pr = vr * gr - vi * gi
+        pi = vr * gi + vi * gr
+        # Inverse stage 2: contract k2 with conj(D2) (= D2^H since D2 is
+        # symmetric: conj + transpose == conj).
+        pr2 = pr.reshape(n1 * X, n2)
+        pi2 = pi.reshape(n1 * X, n2)
+        qr, qi = cmm(pr2, pi2, d2r, -d2i)            # (pr+i·pi)·conj(d2)
+        # Inverse twiddle (conjugate).
+        qr = qr.reshape(n1, X, n2)
+        qi = qi.reshape(n1, X, n2)
+        sr = qr * wr + qi * wi
+        si = qi * wr - qr * wi
+        # Inverse stage 1, truncated to the first n samples (i1 < half):
+        # x[i1, X, i2] = sum_k1 conj(D1)[k1, i1] * S[k1, X, i2].
+        sr2 = sr.reshape(n1, X * n2)
+        si2 = si.reshape(n1, X * n2)
+        e1rt = jnp.swapaxes(e1r, 0, 1)               # [half, k1]
+        e1it = jnp.swapaxes(e1i, 0, 1)
+        yr, yi = cmm(e1rt, e1it, sr2, si2)
+        yr = jnp.swapaxes(yr.reshape(half, X, n2), 0, 1).reshape(X, n)
+        yi = jnp.swapaxes(yi.reshape(half, X, n2), 0, 1).reshape(X, n)
+        return yr, yi
+
+    return pipeline
+
+
 def _make_kernel(n1: int, n2: int, tile: int, precision=None):
     half = n1 // 2
     n = half * n2
@@ -113,6 +170,7 @@ def _make_kernel(n1: int, n2: int, tile: int, precision=None):
         return dot(a, b, (((1,), (0,)), ((), ())))
 
     cmm = _make_cmm(mm)
+    pipe = _os_pipeline(cmm, n1, n2, tile)
 
     def kernel(prevr, previ, curr, curi, rr, ri,
                d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
@@ -125,47 +183,8 @@ def _make_kernel(n1: int, n2: int, tile: int, precision=None):
         xi = jnp.concatenate(
             [previ[:].reshape(s, half, n2), curi[:].reshape(s, half, n2)],
             axis=1)
-        # Stage 1: contract i1 with D1 -> [s, k1, i2] via [n1, s*n2] matmul.
-        xr2 = jnp.swapaxes(xr, 0, 1).reshape(n1, s * n2)
-        xi2 = jnp.swapaxes(xi, 0, 1).reshape(n1, s * n2)
-        tr, ti = cmm(d1r[:], d1i[:], xr2, xi2)
-        # Twiddle (broadcast over streams): reshape to [k1, s, n2].
-        tr = tr.reshape(n1, s, n2)
-        ti = ti.reshape(n1, s, n2)
-        wr = twr[:][:, None, :]
-        wi = twi[:][:, None, :]
-        ur = tr * wr - ti * wi
-        ui = tr * wi + ti * wr
-        # Stage 2: contract i2 with D2 -> grid [k1, s, k2].
-        ur2 = ur.reshape(n1 * s, n2)
-        ui2 = ui.reshape(n1 * s, n2)
-        vr, vi = cmm(ur2, ui2, d2r[:], d2i[:])
-        # Frequency response (grid layout, 1/(2n) folded in).
-        vr = vr.reshape(n1, s, n2)
-        vi = vi.reshape(n1, s, n2)
-        gr = rr[:][:, None, :]
-        gi = ri[:][:, None, :]
-        pr = vr * gr - vi * gi
-        pi = vr * gi + vi * gr
-        # Inverse stage 2: contract k2 with conj(D2) (= D2^H since D2 is
-        # symmetric: conj + transpose == conj).
-        pr2 = pr.reshape(n1 * s, n2)
-        pi2 = pi.reshape(n1 * s, n2)
-        qr, qi = cmm(pr2, pi2, d2r[:], -d2i[:])      # (pr+i·pi)·conj(d2)
-        # Inverse twiddle (conjugate).
-        qr = qr.reshape(n1, s, n2)
-        qi = qi.reshape(n1, s, n2)
-        sr = qr * wr + qi * wi
-        si = qi * wr - qr * wi
-        # Inverse stage 1, truncated to the first n samples (i1 < half):
-        # x[i1, s, i2] = sum_k1 conj(D1)[k1, i1] * S[k1, s, i2].
-        sr2 = sr.reshape(n1, s * n2)
-        si2 = si.reshape(n1, s * n2)
-        e1rt = jnp.swapaxes(e1r[:], 0, 1)            # [half, k1]
-        e1it = jnp.swapaxes(e1i[:], 0, 1)
-        yr, yi = cmm(e1rt, e1it, sr2, si2)
-        yr = jnp.swapaxes(yr.reshape(half, s, n2), 0, 1).reshape(s, n)
-        yi = jnp.swapaxes(yi.reshape(half, s, n2), 0, 1).reshape(s, n)
+        yr, yi = pipe(xr, xi, rr[:], ri[:], d1r[:], d1i[:], d2r[:], d2i[:],
+                      twr[:], twi[:], e1r[:], e1i[:])
         outr[:] = yr
         outi[:] = yi
 
@@ -230,6 +249,46 @@ def _atan2_poly(b, a):
     return jnp.where(big == 0.0, jnp.zeros_like(r), r)
 
 
+def _make_demod(rows: int, n: int):
+    """Quadrature FM demodulation on [rows, n] value planes
+    (src/blocks/modulation.rs:116-126).  ``plr/pli``: last sample of the
+    previous chunk per stream ([rows, 1]); ``lastout``/``havep``: demod
+    continuity state; ``fac``: per-stream demod factor (rides as a traced
+    input so a set_deviation retune swaps a value instead of recompiling,
+    src/blocks/modulation.rs:154-157)."""
+    def demod(xr, xi, plr, pli, lastout, havep, fac):
+        sr = pltpu.roll(xr, 1, 1)
+        si = pltpu.roll(xi, 1, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+        first = col == 0
+        sr = jnp.where(first, plr, sr)
+        si = jnp.where(first, pli, si)
+        pre = xr * sr + xi * si          # Re[x * conj(shifted)]
+        pim = xi * sr - xr * si          # Im[x * conj(shifted)]
+        d = _atan2_poly(pim, pre) * fac
+        return jnp.where(first & (havep < 0.5), lastout, d)
+
+    return demod
+
+
+def _make_pair_filter(pipe, pair: int, n1: int, n2: int):
+    """Overlap-save on [prev_d || d] real planes with stream *pairs* packed
+    into single complex transforms (exact for real impulse responses).
+    Returns a stacked [pair, 2, n] plane (real part = even streams, imag =
+    odd; the stack keeps the lane dim)."""
+    n = (n1 // 2) * n2
+
+    def pair_filter(prevd, d, rr, ri, consts):
+        buf = jnp.concatenate([prevd, d], axis=-1)          # [tile, 2n]
+        v = buf.reshape(pair, 2, 2 * n)
+        zr = v[:, 0, :].reshape(pair, n1, n2)
+        zi = v[:, 1, :].reshape(pair, n1, n2)
+        yr, yi = pipe(zr, zi, rr, ri, *consts)
+        return jnp.stack([yr, yi], axis=1)                  # [pair, 2, n]
+
+    return pair_filter
+
+
 def _make_demod_filter_kernel(n1: int, n2: int, tile: int, precision=None):
     """Kernel: quadrature-demodulate the chunk, then run the overlap-save
     filter on the (real) demodulated stream with stream *pairs* packed into
@@ -246,75 +305,26 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int, precision=None):
         return dot(a, b, (((1,), (0,)), ((), ())))
 
     cmm = _make_cmm(mm)
+    pipe = _os_pipeline(cmm, n1, n2, pair)
+    demod = _make_demod(tile, n)
+    pair_filter = _make_pair_filter(pipe, pair, n1, n2)
 
     def kernel(curr, curi, plr, pli, prevd, lastout, havep, fac, rr, ri,
                d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
                out, dout):
-        # --- quadrature demod (src/blocks/modulation.rs:116-126) ---
-        xr = curr[:]
-        xi = curi[:]
-        sr = pltpu.roll(xr, 1, 1)
-        si = pltpu.roll(xi, 1, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
-        first = col == 0
-        sr = jnp.where(first, plr[:], sr)
-        si = jnp.where(first, pli[:], si)
-        pre = xr * sr + xi * si          # Re[x * conj(shifted)]
-        pim = xi * sr - xr * si          # Im[x * conj(shifted)]
-        # Demod factor rides as a per-stream input so a set_deviation
-        # retune swaps a traced value instead of recompiling
-        # (src/blocks/modulation.rs:154-157).
-        d = _atan2_poly(pim, pre) * fac[:]
-        d = jnp.where(first & (havep[:] < 0.5), lastout[:], d)
+        d = demod(curr[:], curi[:], plr[:], pli[:], lastout[:], havep[:],
+                  fac[:])
         dout[:] = d
-        # --- overlap-save on [prev_d || d], stream pairs packed ---
-        buf = jnp.concatenate([prevd[:], d], axis=-1)       # [tile, 2n]
-        v = buf.reshape(pair, 2, 2 * n)
-        zr = v[:, 0, :].reshape(pair, n1, n2)
-        zi = v[:, 1, :].reshape(pair, n1, n2)
-        # forward stage 1
-        zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, pair * n2)
-        zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, pair * n2)
-        tr, ti = cmm(d1r[:], d1i[:], zr2, zi2)
-        tr = tr.reshape(n1, pair, n2)
-        ti = ti.reshape(n1, pair, n2)
-        wr_ = twr[:][:, None, :]
-        wi_ = twi[:][:, None, :]
-        ur = tr * wr_ - ti * wi_
-        ui = tr * wi_ + ti * wr_
-        ur2 = ur.reshape(n1 * pair, n2)
-        ui2 = ui.reshape(n1 * pair, n2)
-        vr, vi = cmm(ur2, ui2, d2r[:], d2i[:])
-        vr = vr.reshape(n1, pair, n2)
-        vi = vi.reshape(n1, pair, n2)
-        gr = rr[:][:, None, :]
-        gi = ri[:][:, None, :]
-        pr = vr * gr - vi * gi
-        pi = vr * gi + vi * gr
-        pr2 = pr.reshape(n1 * pair, n2)
-        pi2 = pi.reshape(n1 * pair, n2)
-        qr, qi = cmm(pr2, pi2, d2r[:], -d2i[:])
-        qr = qr.reshape(n1, pair, n2)
-        qi = qi.reshape(n1, pair, n2)
-        sr_ = qr * wr_ + qi * wi_
-        si_ = qi * wr_ - qr * wi_
-        sr2 = sr_.reshape(n1, pair * n2)
-        si2 = si_.reshape(n1, pair * n2)
-        e1rt = jnp.swapaxes(e1r[:], 0, 1)
-        e1it = jnp.swapaxes(e1i[:], 0, 1)
-        yr, yi = cmm(e1rt, e1it, sr2, si2)
-        # y real part = even streams, imag = odd streams; un-pair via a
-        # stacked [pair, 2, n] store (lane dim preserved).
-        yr3 = jnp.swapaxes(yr.reshape(half, pair, n2), 0, 1).reshape(pair, n)
-        yi3 = jnp.swapaxes(yi.reshape(half, pair, n2), 0, 1).reshape(pair, n)
-        out[:] = jnp.stack([yr3, yi3], axis=1)              # [pair, 2, n]
+        out[:] = pair_filter(prevd[:], d, rr[:], ri[:],
+                             (d1r[:], d1i[:], d2r[:], d2i[:],
+                              twr[:], twi[:], e1r[:], e1i[:]))
 
     return kernel
 
 
 def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
                        last_out, have_prev, resp_gr, resp_gi,
-                       factor: float, tile: int = 8, precision=None):
+                       factor: float, tile: int = 16, precision=None):
     """FM demod + overlap-save filter in one kernel.
 
     ``curr/curi``: [batch, n] pre-demod planes; ``prev_last_*``: [batch]
@@ -358,3 +368,121 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
       last_out[:, None], have_prev[:, None], fac[:, None], resp_gr, resp_gi,
       *const_arrays)
     return out.reshape(b, n), dout
+
+
+# ---------------------------------------------------------------------------
+# Fully-merged mid-chain kernel: filter -> FM demod -> filter
+# ---------------------------------------------------------------------------
+
+def _make_filter_demod_filter_kernel(n1: int, n2: int, tile: int,
+                                     precision=None):
+    """One kernel for the whole WFM mid-chain at constant rate: overlap-save
+    channel filter on the complex stream, quadrature FM demod, overlap-save
+    deemphasis filter on the (real) demodulated stream with stream pairs
+    packed.  Both filters share the chunk length, so the DFT factor
+    matrices are loaded once and the filtered complex intermediate never
+    leaves VMEM (vs. two kernels: one [tile, n] complex HBM round-trip and
+    one launch saved per tile).
+
+    The last filtered sample per stream is emitted as a [tile, 1] output —
+    the next step's demod continuity state (the intermediate it belongs to
+    is otherwise never materialized).  Extracted with a masked reduction:
+    lane-offset slices are a Mosaic lowering hazard.
+    """
+    half = n1 // 2
+    n = half * n2
+    pair = tile // 2
+    dot = make_dot(precision)
+
+    def mm(a, b):
+        return dot(a, b, (((1,), (0,)), ((), ())))
+
+    cmm = _make_cmm(mm)
+    pipe_full = _os_pipeline(cmm, n1, n2, tile)
+    pipe_pair = _os_pipeline(cmm, n1, n2, pair)
+    demod = _make_demod(tile, n)
+    pair_filter = _make_pair_filter(pipe_pair, pair, n1, n2)
+
+    def kernel(prevr, previ, curr, curi, plr, pli, prevd, lastout, havep,
+               fac, r1r, r1i, r2r, r2i,
+               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
+               out, dout, flr, fli):
+        consts = (d1r[:], d1i[:], d2r[:], d2i[:], twr[:], twi[:],
+                  e1r[:], e1i[:])
+        # --- channel filter: overlap-save on [prev || cur] (complex) ---
+        xr = jnp.concatenate(
+            [prevr[:].reshape(tile, half, n2),
+             curr[:].reshape(tile, half, n2)], axis=1)
+        xi = jnp.concatenate(
+            [previ[:].reshape(tile, half, n2),
+             curi[:].reshape(tile, half, n2)], axis=1)
+        f1r, f1i = pipe_full(xr, xi, r1r[:], r1i[:], *consts)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        lastcol = col == (n - 1)
+        zero = jnp.zeros_like(f1r)
+        flr[:] = jnp.sum(jnp.where(lastcol, f1r, zero), axis=1,
+                         keepdims=True)
+        fli[:] = jnp.sum(jnp.where(lastcol, f1i, zero), axis=1,
+                         keepdims=True)
+        # --- quadrature demod on the in-register filtered stream ---
+        d = demod(f1r, f1i, plr[:], pli[:], lastout[:], havep[:], fac[:])
+        dout[:] = d
+        # --- deemphasis filter, stream pairs packed ---
+        out[:] = pair_filter(prevd[:], d, r2r[:], r2i[:], consts)
+
+    return kernel
+
+
+def fused_filter_demod_filter(prevr, previ, curr, curi,
+                              prev_last_r, prev_last_i, prevd,
+                              last_out, have_prev,
+                              r1_gr, r1_gi, r2_gr, r2_gi,
+                              factor, tile: int = 16, precision=None):
+    """Channel filter + FM demod + deemphasis filter in one kernel.
+
+    ``prevr/previ``/``curr/curi``: [batch, n] previous/current chunk planes
+    of the pre-filter complex stream (overlap-save state = previous input
+    chunk, src/blocks/filters.rs:240-259); ``prev_last_*``: [batch] last
+    sample of the previous *filtered* chunk (demod continuity — returned by
+    the previous call); ``prevd``: [batch, n] previous demodulated chunk;
+    ``last_out``/``have_prev``: [batch] demod output continuity;
+    ``r1_*``/``r2_*``: response grid planes from :func:`response_to_grid`
+    (the deemphasis response must come from a real impulse response);
+    ``factor``: demod factor (float or traced scalar/[batch]).
+
+    Returns (y [batch, n] filtered audio, d [batch, n] demod chunk,
+    f1_last_r, f1_last_i [batch] last filtered sample).  Batch must be
+    even.
+    """
+    b, n = curr.shape
+    n1, n2 = kernel_factors(2 * n)
+    tile = min(tile, b)
+    if b % tile or tile % 2:
+        tile = 2
+    assert b % tile == 0
+    consts = _factor_constants(2 * n)
+    const_arrays = [jnp.asarray(c) for c in consts]
+    kernel = _make_filter_demod_filter_kernel(n1, n2, tile, precision)
+    fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
+    grid = (b // tile,)
+    row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pair = tile // 2
+    out3 = pl.BlockSpec((pair, 2, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out, dout, flr, fli = _pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row(n)] * 4 + [col, col, row(n), col, col, col]
+                 + [const_spec] * 12,
+        out_specs=[out3, row(n), col, col],
+        out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32)],
+    )(prevr, previ, curr, curi, prev_last_r[:, None], prev_last_i[:, None],
+      prevd, last_out[:, None], have_prev[:, None], fac[:, None],
+      r1_gr, r1_gi, r2_gr, r2_gi, *const_arrays)
+    return out.reshape(b, n), dout, flr[:, 0], fli[:, 0]

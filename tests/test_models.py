@@ -184,6 +184,27 @@ def test_wfm_fused_demod_matches_unfused():
         pfl.pl.pallas_call = orig
 
 
+def test_wfm_fuse_mid_matches_unfused():
+    # Fully-merged mid-chain kernel (channel filter + demod + deemphasis in
+    # one Pallas call) equals the separate blocks; valid from chunk 2 (two
+    # cascaded overlap-save warmups).
+    import radiorust_tpu.ops.pallas_filter as pfl
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    pfl.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        iq1, _ = synth_wfm_iq(900.0, 4)
+        iq2, _ = synth_wfm_iq(2100.0, 4)
+        iq = np.concatenate([iq1, iq2], axis=1)
+        sig = StreamSig(2, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+        ys_ref, _ = run_chain(wfm_receiver(fuse_mid=False), sig, iq)
+        ys_fused, bound = run_chain(wfm_receiver(fuse_mid=True), sig, iq)
+        assert bound.valid_from == 2
+        np.testing.assert_allclose(ys_fused[2:], ys_ref[2:], atol=3e-4)
+    finally:
+        pfl.pl.pallas_call = orig
+
+
 def test_wfm_tx_rx_roundtrip():
     """wfm_transmitter -> wfm_receiver recovers the audio tone: TX
     preemphasis cancels RX deemphasis, FmMod/FmDemod invert, and the

@@ -111,6 +111,76 @@ def test_fused_demod_filter_matches_blocks():
     np.testing.assert_allclose(got, want.real, atol=2e-5)
 
 
+def test_fused_filter_demod_filter_matches_composition():
+    """The merged filter+demod+filter kernel equals the composition of the
+    separate fused kernels (fused_overlap_save then fused_demod_filter)
+    over several chunks, including the continuity state handoff."""
+    from radiorust_tpu.blocks.filters import design_response
+    from radiorust_tpu.models.wfm import _deemphasis_band, _lowpass_100k
+    from radiorust_tpu.windowing import Kaiser, Rectangular
+
+    batch, n, rate, dev = 4, 2048, 384000.0, 150000.0
+    factor = rate / dev / (2 * np.pi)
+    rng = np.random.default_rng(5)
+    ph = np.cumsum(rng.standard_normal((batch, 3 * n)) * 0.3, axis=-1)
+    x = np.exp(1j * ph).astype(np.complex64)
+    chunks = x.reshape(batch, 3, n).transpose(1, 0, 2)
+
+    r1 = design_response(_lowpass_100k, Kaiser.with_null_at_bin(2.0), n,
+                         rate).astype(np.complex64)
+    r2 = design_response(_deemphasis_band, Rectangular(), n,
+                         rate).astype(np.complex64)
+    g1r, g1i = pfl.response_to_grid(r1)
+    g2r, g2i = pfl.response_to_grid(r2)
+
+    # Reference: separate kernels with hand-carried state.
+    prev = np.zeros((batch, n), np.complex64)
+    plr = pli = last = have = np.zeros(batch, np.float32)
+    prevd = np.zeros((batch, n), np.float32)
+    want = []
+    for t in range(3):
+        cur = chunks[t]
+        fr, fi = pfl.fused_overlap_save(
+            jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(g1r), jnp.asarray(g1i))
+        fr, fi = np.asarray(fr), np.asarray(fi)
+        y, d = pfl.fused_demod_filter(
+            jnp.asarray(fr), jnp.asarray(fi),
+            jnp.asarray(plr), jnp.asarray(pli), jnp.asarray(prevd),
+            jnp.asarray(last), jnp.asarray(have),
+            jnp.asarray(g2r), jnp.asarray(g2i), factor)
+        y, d = np.asarray(y), np.asarray(d)
+        want.append(y)
+        prev = cur
+        plr, pli = fr[:, -1], fi[:, -1]
+        prevd, last = d, d[:, -1]
+        have = np.ones(batch, np.float32)
+
+    # Merged kernel.
+    prev = np.zeros((batch, n), np.complex64)
+    plr = pli = last = have = np.zeros(batch, np.float32)
+    prevd = np.zeros((batch, n), np.float32)
+    got = []
+    for t in range(3):
+        cur = chunks[t]
+        y, d, flr, fli = pfl.fused_filter_demod_filter(
+            jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(plr), jnp.asarray(pli), jnp.asarray(prevd),
+            jnp.asarray(last), jnp.asarray(have),
+            jnp.asarray(g1r), jnp.asarray(g1i),
+            jnp.asarray(g2r), jnp.asarray(g2i), factor)
+        y, d = np.asarray(y), np.asarray(d)
+        got.append(y)
+        prev = cur
+        plr, pli = np.asarray(flr), np.asarray(fli)
+        prevd, last = d, d[:, -1]
+        have = np.ones(batch, np.float32)
+
+    np.testing.assert_allclose(np.stack(got), np.stack(want), atol=2e-5)
+
+
 @pytest.mark.parametrize("rates,n", [
     ((384000.0, 48000.0, 40000.0), 6144),   # WFM tail: 295-tap window, q=1
     ((1024000.0, 384000.0, 200000.0), 2048),  # frontend ratio: q=3
