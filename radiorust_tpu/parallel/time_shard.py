@@ -303,8 +303,65 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     return new_state, jax.lax.complex(y, jnp.zeros_like(y))
 
 
+def _sharded_filter_demod_filter(block, params, state, x, axis):
+    """Merged channel-filter + demod + deemphasis block under time
+    sharding.  The merged kernel's inputs include the last *filtered*
+    sample and the neighbor's demodulated chunk — both derived from the
+    neighbor's in-kernel intermediate, which a shard cannot see.  So the
+    sharded path decomposes into the two constituent kernels: the channel
+    filter runs locally with the neighbor's input-chunk halo, its output's
+    continuity state travels by ppermute (plus a cheap local demod replica
+    for the deemphasis filter's halo), exactly like the separate
+    _sharded_filter + _sharded_fm_demod_filter.  Same math, one extra
+    launch — only in sharded mode."""
+    from ..ops.pallas_filter import (_atan2_poly, fused_demod_filter,
+                                     fused_overlap_save)
+    n = x.shape[-1]
+    n1 = (2 * n) // 128
+
+    def grid(resp):
+        return jnp.swapaxes(resp.reshape(128, n1), 0, 1) / (2.0 * n)
+
+    g1 = grid(params["response1"])
+    g2 = grid(params["response2"])
+    prev = _halo_tail(x, state["prev"], n, axis)
+    f1r, f1i = fused_overlap_save(
+        jnp.real(prev), jnp.imag(prev), jnp.real(x), jnp.imag(x),
+        jnp.real(g1).astype(jnp.float32), jnp.imag(g1).astype(jnp.float32))
+    first = _is_first(axis)
+    plr = jnp.where(first, state["plr"], _ring_left(f1r[:, -1], axis))
+    pli = jnp.where(first, state["pli"], _ring_left(f1i[:, -1], axis))
+    have = jnp.where(first, state["have_prev"],
+                     jnp.ones_like(state["have_prev"]))
+    last_out = state["last_out"]
+    # Local demod replica (same ops as the kernel) -> neighbor's prevd.
+    sr = jnp.concatenate([plr[:, None], f1r[:, :-1]], axis=1)
+    si = jnp.concatenate([pli[:, None], f1i[:, :-1]], axis=1)
+    pre = f1r * sr + f1i * si
+    pim = f1i * sr - f1r * si
+    d_local = _atan2_poly(pim, pre) * params["factor"].astype(jnp.float32)
+    d_local = d_local.at[:, 0].set(
+        jnp.where(have < 0.5, last_out, d_local[:, 0]))
+    prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
+    y, dout = fused_demod_filter(
+        f1r, f1i, plr, pli, prevd, last_out, have,
+        jnp.real(g2).astype(jnp.float32),
+        jnp.imag(g2).astype(jnp.float32),
+        params["factor"])
+    new_state = {
+        "prev": x,
+        "plr": f1r[:, -1],
+        "pli": f1i[:, -1],
+        "prevd": dout,
+        "last_out": dout[:, -1],
+        "have_prev": jnp.ones_like(have),
+    }
+    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
 _HANDLERS = {
     _channelize._BoundChannelizer: _sharded_channelizer,
+    _frontend._BoundFilterDemodFilter: _sharded_filter_demod_filter,
     _chunks._BoundOverlapper: _sharded_overlapper,
     _frontend._BoundMixerDecimator: _sharded_mixer_decimator,
     _frontend._BoundFmDemodFilter: _sharded_fm_demod_filter,

@@ -83,13 +83,17 @@ def _deemph_grid():
     return response_to_grid(r.astype(np.complex64))
 
 
-def build_chain(fused: bool, tail_pallas: bool = True, drop=()):
+def build_chain(fused: bool, tail_pallas: bool = True, drop=(),
+                mid: bool = False):
     """``drop``: indexes into the chain's spec list to remove (subtractive
     profiling — e.g. fused chain is [MixerDecimator, Filter, FmDemodFilter,
-    Downsampler, GainControl]; dropping Filter is shape-preserving)."""
+    Downsampler, GainControl]; dropping Filter is shape-preserving).
+    ``mid``: merge filter1+demod+deemph into the single FilterDemodFilter
+    kernel."""
     from radiorust_tpu.blocks.base import Chain
     sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
-    spec = wfm_receiver(fuse_frontend=fused, fuse_demod=fused)
+    spec = wfm_receiver(fuse_frontend=fused, fuse_demod=fused,
+                        fuse_mid=mid)
     if drop:
         spec = Chain(*[b for i, b in enumerate(spec.specs) if i not in drop])
     bound = spec.bind(sig)
@@ -343,6 +347,8 @@ def parse(v):
             prec = o
     if name == "chain":
         return _with_modes(build_chain(True), prec, cmm)
+    if name == "chain_mid":
+        return _with_modes(build_chain(True, mid=True), prec, cmm)
     if name == "chain_no_filter1":
         return _with_modes(build_chain(True, drop=(1,)), prec, cmm)
     if name == "chain_no_tail":
