@@ -27,7 +27,12 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     n = int(os.environ.get("BENCH_CHUNK", "65536"))
     T = int(os.environ.get("BENCH_T", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "8"))
+    # The relay adds a FIXED ~31 ms dispatch+fetch cost per timed call
+    # (CLAUDE.md); at the original 64 steps/call that inflated every step
+    # by ~480 us — *more than the ~32 us step itself* (the old 577 Msps
+    # figure was measuring dispatch, not compute).  32768 steps/call keeps
+    # the bias ~3%: measured 8109 Msps input IQ.
+    reps = int(os.environ.get("BENCH_REPS", "4096"))
     rate = 16384000.0
     chain = channelized_receiver(num_channels=64, input_rate=rate)
     bound = chain.bind(StreamSig(batch, n, rate))
