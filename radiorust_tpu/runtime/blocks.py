@@ -71,11 +71,21 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
     resets on interrupt events or rebinds.
     """
 
-    def __init__(self, spec: Block, name: Optional[str] = None):
+    def __init__(self, spec: Block, name: Optional[str] = None,
+                 pipeline_depth: int = 0):
         from ..utils.profiling import GLOBAL_STATS
         self.spec = spec
         self.name = name or type(spec).__name__
         self.stats = GLOBAL_STATS.unique(self.name)
+        # TPU-idiomatic pipeline parallelism: with depth d > 0 the actor
+        # keeps up to d chunks' device work in flight (JAX async dispatch)
+        # and fetches d chunks behind, overlapping device compute with
+        # downstream host work — the analog of the reference's
+        # task-per-block pipelining across cores (src/blocks/mod.rs:27-34,
+        # one in-flight chunk per edge).  Events flush the pipeline so
+        # sample/event ordering is preserved exactly.  Depth 0 fetches
+        # synchronously (adds no latency).
+        self.pipeline_depth = pipeline_depth
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._bindings: Dict[Tuple[int, float], Any] = {}
@@ -199,11 +209,49 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
 
         self._apply_typed(fn)
 
+    async def _fetch_send(self, entry) -> None:
+        """Fetch one in-flight device result and emit it downstream.
+
+        With ``pipeline_depth > 0`` the recorded wall time is
+        dispatch-to-fetch latency (it includes device queue wait);
+        throughput numbers remain correct, per-chunk times read higher.
+        """
+        from ..blocks.base import unpack_wire
+        py, out_rate, n_in, t0 = entry
+        y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
+        self.chunks_processed += 1
+        # The np.asarray fetch above synchronizes the device, so the
+        # recorded wall time covers the real compute.
+        self.stats.record_chunk(n_in, time.perf_counter() - t0)
+        await self.sender.send(Samples(out_rate, y[0]))
+
+    async def _flush(self, inflight) -> None:
+        while inflight:
+            await self._fetch_send(inflight.popleft())
+
     async def _run(self, receiver: Receiver):
+        from collections import deque
+        inflight = deque()
+        recv_task = None
         try:
             while True:
-                msg = await receiver.recv()
+                # Under sustained load the next message is already waiting
+                # and the pipeline holds `depth` chunks; when input goes
+                # idle, drain in-flight work instead of withholding it
+                # (capacity-1 channel semantics: peers never starve).
+                recv_task = asyncio.ensure_future(receiver.recv())
+                while inflight:
+                    await asyncio.sleep(0)  # let a ready recv complete
+                    done, _ = await asyncio.wait({recv_task}, timeout=0)
+                    if done:
+                        break
+                    await self._fetch_send(inflight.popleft())
+                msg = await recv_task
+                recv_task = None
                 if isinstance(msg, Event):
+                    # Events flush pending device work first: ordering
+                    # between samples and events is part of the contract.
+                    await self._flush(inflight)
                     if msg.is_interrupt:
                         self._pending_reset = True
                     self.stats.record_event()
@@ -225,26 +273,30 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 if (fresh or self._pending_reset) and bound.valid_from > 0:
                     # Zero-primed history: warn consumers the next
                     # valid_from outputs are not reference-comparable.
+                    # Flush so the event lands before those outputs' peers.
+                    await self._flush(inflight)
                     await self.sender.send(Warmup(bound.valid_from))
                 self._pending_reset = False
-                from ..blocks.base import pack_wire, unpack_wire
+                from ..blocks.base import pack_wire
                 if self._pstate is None:
                     self._pstate = pack_wire(self._state)
                 self._pstate, py = bound._jit(
                     pack_wire(bound.params), self._pstate,
                     pack_wire(chunk[None, :]), reset)
-                y = np.asarray(unpack_wire(
-                    jax.tree.map(np.asarray, py)))
-                self.chunks_processed += 1
-                # The np.asarray fetch above synchronizes the device, so
-                # the recorded wall time covers the real compute.
-                self.stats.record_chunk(len(chunk),
-                                        time.perf_counter() - t0)
-                await self.sender.send(
-                    Samples(bound.out_sig.sample_rate, y[0]))
+                inflight.append(
+                    (py, bound.out_sig.sample_rate, len(chunk), t0))
+                while len(inflight) > self.pipeline_depth:
+                    await self._fetch_send(inflight.popleft())
         except ChannelClosed:
+            # Input closed: drain whatever is still in flight downstream.
+            try:
+                await self._flush(inflight)
+            except ChannelClosed:
+                pass
             return
         finally:
+            if recv_task is not None:
+                recv_task.cancel()
             # Task exit drops the task-owned endpoints (reference: the task
             # owns Receiver/Sender, src/blocks/mod.rs:213-230), so teardown
             # cascades down the chain instead of leaving peers parked.

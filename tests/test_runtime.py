@@ -531,3 +531,42 @@ def test_warmup_event_on_zero_primed_history():
         assert len(warms) == 1 and warms[0].steps == 1
 
     run(main())
+
+
+def test_runtime_pipeline_depth_matches_sync():
+    """``pipeline_depth`` keeps device work in flight (JAX async dispatch)
+    without changing values or sample/event ordering: the TPU analog of the
+    reference's task-per-block pipelining (src/blocks/mod.rs:27-34)."""
+    rng = np.random.default_rng(7)
+    data = (rng.standard_normal((8, 16))
+            + 1j * rng.standard_normal((8, 16))).astype(np.complex64)
+
+    async def drive(depth):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(FreqShifter.with_shift(100.0),
+                           pipeline_depth=depth)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        chunks_at_event = []
+        guard = sink.on_event(
+            lambda e: chunks_at_event.append(len(sink.chunks)))
+        for i in range(4):
+            await sender.send(Samples(1000.0, data[i]))
+        await sender.send(Disconnection())
+        for i in range(4, 8):
+            await sender.send(Samples(1000.0, data[i]))
+        await until(lambda: len(sink.chunks) >= 8)
+        del guard
+        return sink.samples, chunks_at_event
+
+    async def main():
+        got_sync, order_sync = await drive(0)
+        got_pipe, order_pipe = await drive(3)
+        np.testing.assert_array_equal(got_pipe, got_sync)
+        # The interrupt event flushes the pipeline: in both modes it is
+        # delivered after exactly the 4 chunks that preceded it.
+        assert order_sync == [4]
+        assert order_pipe == [4]
+
+    run(main())
