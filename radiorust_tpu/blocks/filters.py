@@ -235,7 +235,12 @@ class _BoundSlewRateLimiter(BoundBlock):
             out = prev + diff * scale.astype(jnp.complex64)
             return out, out
 
-        prev, ys = jax.lax.scan(step, state["prev"], jnp.swapaxes(x, 0, 1))
+        # unroll=8 amortizes scan-iteration overhead (2x on-chip; 32 was 5x WORSE); the recurrence itself
+        # has no O(1)-state associative form (the per-step map
+        # y -> min(y+d, max(y-d, x)) composes into ever-larger min-max
+        # trees), so log-depth parallelization is not available.
+        prev, ys = jax.lax.scan(step, state["prev"], jnp.swapaxes(x, 0, 1),
+                                unroll=8)
         return {"prev": prev}, jnp.swapaxes(ys, 0, 1)
 
 

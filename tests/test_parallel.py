@@ -182,3 +182,45 @@ def test_time_sharded_fused_frontend_only(devices):
     got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
     want = sequential_reference(chain.bind(sig), xs)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def _random_chain(rng):
+    """Random composition with tracked (rate, chunk_len); exercises halo
+    handler composition in orders the fixed CASES don't."""
+    rate, n = 8000.0, 64
+    specs = []
+    n_down = 0
+    for _ in range(int(rng.integers(2, 5))):
+        kind = rng.choice(["shift", "filter", "gain", "demod", "mod",
+                           "down"])
+        if kind == "shift":
+            specs.append(FreqShifter.with_shift(float(rate) / 16.0))
+        elif kind == "filter":
+            specs.append(Filter.new(lowpass(rate / 4.0)))
+        elif kind == "gain":
+            specs.append(GainControl(1.5))
+        elif kind == "demod":
+            specs.append(FmDemod(rate / 8.0))
+        elif kind == "mod":
+            specs.append(FmMod(rate / 8.0))
+        elif kind == "down":
+            if n_down >= 1 or n < 32:
+                specs.append(GainControl(0.5))
+            else:
+                specs.append(Downsampler(rate / 2.0, rate / 4.0))
+                rate, n = rate / 2.0, n // 2
+                n_down += 1
+    return Chain(*specs)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_time_sharded_random_chains(devices, seed):
+    rng = np.random.default_rng(seed)
+    chain = _random_chain(rng)
+    sig = StreamSig(2, 64, 8000.0)
+    mesh = jax.make_mesh((4,), ("t",))
+    steps = 3
+    xs = make_iq(steps * 4, sig.batch, sig.chunk_len, seed=seed + 50)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
