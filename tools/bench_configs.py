@@ -50,6 +50,10 @@ def build(name):
         from radiorust_tpu.models.morse_tx import morse_audio_chain
         chain, n, rate = morse_audio_chain(), 4096, 48000.0
         post = None
+    elif name == "morse_rf":
+        from radiorust_tpu.models.morse_tx import morse_rf_chain
+        chain, n, rate = morse_rf_chain(), 4096, 128000.0
+        post = None
     elif name == "audiopipe":
         from radiorust_tpu.blocks.base import Chain
         from radiorust_tpu.blocks.filters import Filter
