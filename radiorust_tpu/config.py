@@ -26,7 +26,7 @@ import os
 import jax
 
 __all__ = ["matmul_precision", "set_matmul_precision", "complex_mm_3mul",
-           "set_complex_mm_3mul"]
+           "set_complex_mm_3mul", "pallas_tile", "set_pallas_tile"]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -52,6 +52,22 @@ def set_matmul_precision(name: str | None) -> None:
     if name is not None and name.lower() not in _PRECISIONS:
         raise ValueError(f"unknown precision {name!r}")
     _matmul_precision = None if name is None else name.lower()
+
+
+_pallas_tile: int | None = None
+
+
+def pallas_tile() -> int:
+    """Stream-tile (batch rows per Pallas grid step) for the fused kernels
+    (trace-time; larger tiles = fewer grid steps but more VMEM per step)."""
+    if _pallas_tile is not None:
+        return _pallas_tile
+    return int(os.environ.get("RRTPU_PALLAS_TILE", "8"))
+
+
+def set_pallas_tile(tile: int | None) -> None:
+    global _pallas_tile
+    _pallas_tile = tile
 
 
 def complex_mm_3mul() -> bool:

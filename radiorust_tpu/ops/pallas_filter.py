@@ -192,7 +192,7 @@ def _make_kernel(n1: int, n2: int, tile: int, precision=None):
 
 
 def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
-                       tile: int = 8, precision=None):
+                       tile: int = None, precision=None):
     """Filter one chunk step for all streams.
 
     Inputs: float32 planes [batch, n] for the previous and current chunks,
@@ -201,6 +201,8 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
     """
     b, n = curr.shape
     n1, n2 = kernel_factors(2 * n)
+    if tile is None:
+        tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
@@ -324,7 +326,7 @@ def _make_demod_filter_kernel(n1: int, n2: int, tile: int, precision=None):
 
 def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
                        last_out, have_prev, resp_gr, resp_gi,
-                       factor: float, tile: int = 16, precision=None):
+                       factor: float, tile: int = None, precision=None):
     """FM demod + overlap-save filter in one kernel.
 
     ``curr/curi``: [batch, n] pre-demod planes; ``prev_last_*``: [batch]
@@ -340,6 +342,8 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     """
     b, n = curr.shape
     n1, n2 = kernel_factors(2 * n)
+    if tile is None:
+        tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2
@@ -437,7 +441,7 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
                               prev_last_r, prev_last_i, prevd,
                               last_out, have_prev,
                               r1_gr, r1_gi, r2_gr, r2_gi,
-                              factor, tile: int = 16, precision=None):
+                              factor, tile: int = None, precision=None):
     """Channel filter + FM demod + deemphasis filter in one kernel.
 
     ``prevr/previ``/``curr/curi``: [batch, n] previous/current chunk planes
@@ -456,6 +460,8 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
     """
     b, n = curr.shape
     n1, n2 = kernel_factors(2 * n)
+    if tile is None:
+        tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2

@@ -26,6 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from radiorust_tpu import config
 from radiorust_tpu.ops.mxu import make_dot
 
 __all__ = ["fused_mix_decimate", "pallas_decimate", "decimate_supported"]
@@ -149,7 +150,7 @@ def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
 
 
 def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
-                    tile: int = 8, precision=None):
+                    tile: int = None, precision=None):
     """Rational decimation as a lane-aligned banded GEMM.
 
     ``planes``: tuple of [batch, n] float32 arrays (one for real streams,
@@ -167,6 +168,8 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
     Kw = kernel_matrix.shape[-1]
     jper = LANES // p
     slabs = 1 + -(-(Kw - p) // LANES)
+    if tile is None:
+        tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
@@ -202,7 +205,7 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
 
 def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
                        kernel_matrix, p: int, q: int,
-                       tile: int = 8, precision=None):
+                       tile: int = None, precision=None):
     """Mix + decimate one chunk step.
 
     ``xr/xi``: [batch, n] raw input planes; ``ar..bi``: factored oscillator
@@ -216,6 +219,8 @@ def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
     Kw = kernel_matrix.shape[-1]
     outer = ar.shape[-1]
     inner = br.shape[-1]
+    if tile is None:
+        tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1

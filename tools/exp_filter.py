@@ -314,22 +314,24 @@ def build_tail(pallas=True):
     return fn, BATCH * N_MID
 
 
-def _with_modes(built, prec, cmm):
+def _with_modes(built, prec, cmm, tile=None):
     """Set the numeric-mode config for the duration of each call; jit
     traces on the first (warmup) call, baking the modes into the program."""
     from radiorust_tpu import config
     fn, spi = built
-    if prec == "highest" and not cmm:
+    if prec == "highest" and not cmm and tile is None:
         return fn, spi
 
     def wrapped(seed, iters):
         config.set_matmul_precision(prec)
         config.set_complex_mm_3mul(cmm or None)
+        config.set_pallas_tile(tile)
         try:
             return fn(seed, iters)
         finally:
             config.set_matmul_precision(None)
             config.set_complex_mm_3mul(None)
+            config.set_pallas_tile(None)
 
     return wrapped, spi
 
@@ -338,17 +340,20 @@ def parse(v):
     parts = v.split(":")
     name, opts = parts[0], parts[1:]
     tile = 8
+    chain_tile = None       # whole-chain kernels keep defaults unless set
     prec = "highest"
     cmm = "3mul" in opts
     for o in opts:
         if o.startswith("tile"):
             tile = int(o[4:])
+            chain_tile = tile
         elif o in ("high", "highest", "default"):
             prec = o
     if name == "chain":
-        return _with_modes(build_chain(True), prec, cmm)
+        return _with_modes(build_chain(True), prec, cmm, chain_tile)
     if name == "chain_mid":
-        return _with_modes(build_chain(True, mid=True), prec, cmm)
+        return _with_modes(build_chain(True, mid=True), prec, cmm,
+                           chain_tile)
     if name == "chain_no_filter1":
         return _with_modes(build_chain(True, drop=(1,)), prec, cmm)
     if name == "chain_no_tail":
