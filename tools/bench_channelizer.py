@@ -10,13 +10,40 @@ scalar-fetch sync).
 import json
 import os
 import pathlib
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+BASELINE_FILE = REPO / "CHANNELIZER_BASELINE.json"
+
+
+def get_cpu_baseline():
+    """Reference-style CPU rate: 64 per-sample mixer+decimator+demod chains
+    in lock-step broadcast (native/baseline/channelizer_baseline.cpp)."""
+    if BASELINE_FILE.exists():
+        try:
+            return json.loads(BASELINE_FILE.read_text())
+        except json.JSONDecodeError:
+            pass
+    src = REPO / "native" / "baseline" / "channelizer_baseline.cpp"
+    exe = REPO / "native" / "baseline" / "channelizer_baseline"
+    if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-o", str(exe),
+             str(src), "-lm"], check=True)
+    out = subprocess.run([str(exe), "16"], check=True, capture_output=True,
+                         text=True).stdout
+    data = json.loads(out.strip().splitlines()[-1])
+    BASELINE_FILE.write_text(json.dumps(data, indent=1))
+    return data
 
 
 def main():
+    baseline = get_cpu_baseline()
+    baseline_msps = float(baseline["channelizer_pipelined_msps"])
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,11 +98,13 @@ def main():
         best = min(best, time.perf_counter() - t0)
         assert np.isfinite(v) and v > 0.0
     samples = batch * n * T * reps
+    msps = samples / best / 1e6
     print(json.dumps({
         "metric": "channelizer64_input_throughput",
-        "value": round(samples / best / 1e6, 2),
+        "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "channels": 64,
+        "vs_baseline": round(msps / baseline_msps, 2),
     }))
 
 
