@@ -53,12 +53,15 @@ class GainControl(Block):
 # ---------------------------------------------------------------------------
 
 class _BoundMap(BoundBlock):
-    def __init__(self, sig: StreamSig, fn: Callable):
+    def __init__(self, sig: StreamSig, fn: Callable, fn_params=None):
         self.in_sig = self.out_sig = sig
         self.fn = fn
-        self.params = ()
+        self._parameterized = fn_params is not None
+        self.params = fn_params if self._parameterized else ()
 
     def process(self, params, state, x, reset):
+        if self._parameterized:
+            return state, self.fn(x, params)
         return state, self.fn(x)
 
 
@@ -68,14 +71,28 @@ class MapSample(Block):
 
     Unlike the reference's boxed ``FnMut`` closure, the function must be a
     pure jax-traceable elementwise map (it is fused into the compiled
-    chain); swap it by rebinding.
+    chain); swap it by rebinding — or, for the common case of *tuning* a
+    map rather than replacing it, use :meth:`with_params`: the closure's
+    parameters become a traced pytree updated per chunk without recompile
+    (the analog of the reference's mpsc closure hot-swap at
+    ``src/blocks/transform.rs:132-179`` for parameter changes).
     """
 
     def __init__(self, fn: Callable = lambda x: x):
         self.fn = fn
+        self.fn_params = None
+
+    @classmethod
+    def with_params(cls, fn: Callable, params) -> "MapSample":
+        """``fn(x, params) -> y`` with ``params`` a traced pytree (numpy
+        leaves; complex leaves stay numpy until wire-packed)."""
+        self = cls.__new__(cls)
+        self.fn = fn
+        self.fn_params = params
+        return self
 
     def bind(self, sig: StreamSig) -> _BoundMap:
-        return _BoundMap(sig, self.fn)
+        return _BoundMap(sig, self.fn, self.fn_params)
 
 
 # ---------------------------------------------------------------------------

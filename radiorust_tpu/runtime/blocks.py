@@ -188,6 +188,20 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         self._apply_typed(lambda blk, p: blk.update_params(freq_resp, window)
                           if isinstance(blk, _BoundFilter) else None)
 
+    def set_map_params(self, new_params) -> None:
+        """Retune a parameterized ``MapSample.with_params`` closure without
+        recompiling (the reference hot-swaps map closures over an mpsc,
+        src/blocks/transform.rs:132-179; parameter updates are the
+        compiled-path equivalent)."""
+        from ..blocks.transform import _BoundMap
+
+        def fn(blk, p):
+            if isinstance(blk, _BoundMap) and blk._parameterized:
+                return new_params
+            return None
+
+        self._apply_typed(fn)
+
     def set_deviation(self, deviation: float) -> None:
         """``FmMod/FmDemod::set_deviation`` analog
         (src/blocks/modulation.rs:76-79,154-157)."""

@@ -325,3 +325,23 @@ def test_fm_demod_filter_set_deviation_traced():
                         np.zeros(2, bool))
     s2, y2 = b2.process(b2.params, b2.init_state(), x, np.zeros(2, bool))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_map_sample_with_params():
+    """Parameterized map: closure params are a traced pytree, retunable
+    without rebinding (src/blocks/transform.rs:132-179 closure swap)."""
+    from radiorust_tpu.blocks.transform import MapSample
+
+    blk = MapSample.with_params(lambda x, p: x * p["scale"] + p["offset"],
+                                {"scale": np.float32(2.0),
+                                 "offset": np.float32(1.0)})
+    b = blk.bind(sig(chunk_len=8))
+    x = (np.arange(8, dtype=np.complex64))[None, :]
+    _, y = b.process(b.params, b.init_state(), jnp.asarray(x),
+                     np.zeros((1,), bool))
+    np.testing.assert_allclose(np.asarray(y), x * 2.0 + 1.0)
+    # Same bound block, new params — no rebind.
+    _, y2 = b.process({"scale": np.float32(-1.0),
+                       "offset": np.float32(0.0)},
+                      b.init_state(), jnp.asarray(x), np.zeros((1,), bool))
+    np.testing.assert_allclose(np.asarray(y2), -x)

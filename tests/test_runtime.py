@@ -570,3 +570,25 @@ def test_runtime_pipeline_depth_matches_sync():
         assert order_pipe == [4]
 
     run(main())
+
+
+def test_runtime_set_map_params():
+    from radiorust_tpu.blocks.transform import MapSample
+
+    async def main():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(
+            MapSample.with_params(lambda x, p: x * p, np.float32(3.0)))
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        ones = np.ones(8, np.complex64)
+        await sender.send(Samples(1000.0, ones))
+        await until(lambda: len(sink.chunks) >= 1)
+        blk.set_map_params(np.float32(5.0))
+        await sender.send(Samples(1000.0, ones))
+        await until(lambda: len(sink.chunks) >= 2)
+        np.testing.assert_allclose(sink.chunks[0], ones * 3.0)
+        np.testing.assert_allclose(sink.chunks[1], ones * 5.0)
+
+    run(main())
