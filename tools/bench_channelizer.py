@@ -16,6 +16,9 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+# 3-pass bf16 matmuls (see bench.py / docs/PERF.md numeric-mode table).
+os.environ.setdefault("RRTPU_MATMUL_PRECISION", "high")
 
 BASELINE_FILE = REPO / "CHANNELIZER_BASELINE.json"
 
