@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
@@ -85,7 +86,11 @@ class _BoundFmDemod(BoundBlock):
         have_prev = jnp.where(reset, False, state["have_prev"])
         shifted = jnp.concatenate([state["prev"][:, None], x[:, :-1]], axis=1)
         prod = x * jnp.conj(shifted)
-        demod = jnp.arctan2(prod.imag, prod.real) * params
+        if config.atan2_poly():
+            from ..ops.pallas_filter import _atan2_poly
+            demod = _atan2_poly(prod.imag, prod.real) * params
+        else:
+            demod = jnp.arctan2(prod.imag, prod.real) * params
         # Sample 0 uses the carried previous sample only when the stream is
         # continuous; otherwise it repeats the last emitted value.
         first = jnp.where(have_prev, demod[:, 0], state["last_out"])

@@ -70,6 +70,24 @@ def set_pallas_tile(tile: int | None) -> None:
     _pallas_tile = tile
 
 
+_atan2_poly: bool | None = None
+
+
+def atan2_poly() -> bool:
+    """Whether XLA-path FM demodulation uses the Cephes-style polynomial
+    atan2 (the same one the Pallas demod kernel uses, ~1.2e-7 rad max
+    error) instead of the backend's native lowering (trace-time;
+    ``RRTPU_ATAN2=poly``)."""
+    if _atan2_poly is not None:
+        return _atan2_poly
+    return os.environ.get("RRTPU_ATAN2", "native").lower() == "poly"
+
+
+def set_atan2_poly(enabled: bool | None) -> None:
+    global _atan2_poly
+    _atan2_poly = enabled
+
+
 def complex_mm_3mul() -> bool:
     """Whether complex matmuls use the 3-multiplication Gauss form."""
     if _cmm_3mul is not None:

@@ -345,3 +345,25 @@ def test_map_sample_with_params():
                        "offset": np.float32(0.0)},
                       b.init_state(), jnp.asarray(x), np.zeros((1,), bool))
     np.testing.assert_allclose(np.asarray(y2), -x)
+
+
+def test_fm_demod_poly_atan2_matches_native():
+    """RRTPU_ATAN2=poly uses the Cephes polynomial atan2 (~1.2e-7 rad max
+    error, f32-libm class) — outputs must match the native lowering."""
+    from radiorust_tpu import config
+    from radiorust_tpu.blocks.modulation import FmDemod
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 256))
+         + 1j * rng.standard_normal((2, 256))).astype(np.complex64)
+    b = FmDemod(1000.0).bind(sig(batch=2, chunk_len=256, rate=8000.0))
+    _, want = b.process(b.params, b.init_state(), jnp.asarray(x),
+                        np.zeros((2,), bool))
+    config.set_atan2_poly(True)
+    try:
+        _, got = b.process(b.params, b.init_state(), jnp.asarray(x),
+                           np.zeros((2,), bool))
+    finally:
+        config.set_atan2_poly(None)
+    np.testing.assert_allclose(np.asarray(got).real, np.asarray(want).real,
+                               atol=5e-7)
