@@ -200,6 +200,32 @@ def _sharded_channelizer(block, params, state, x, axis):
     return {"hist": xp[:, -block.hist_len:]}, y
 
 
+def _sharded_channelizer_demod(block, params, state, x, axis):
+    """Fused PFB+demod under time sharding.  The kernel recomputes demod
+    continuity from raw-input history (HIST_FRAMES extra frames), so the
+    only halo is the channelizer's raw-input tail — identical mechanics to
+    ``_sharded_channelizer``; ``last_out``/``have_prev`` matter only on
+    device 0 (later devices always have a real predecessor frame)."""
+    from ..ops.pallas_channelizer import HIST_FRAMES, fused_pfb_demod
+    b, m = x.shape[0], block.m
+    t_out = block.out_sig.chunk_len
+    hist = _halo_tail(x, state["hist"], block.hist_len, axis)
+    have = jnp.where(_is_first(axis), state["have_prev"], True)
+    xp = jnp.concatenate([hist, x], axis=-1)
+    d = fused_pfb_demod(jnp.real(xp), jnp.imag(xp), params["factor"],
+                        params["taps"])
+    d = d[:, HIST_FRAMES * m:]
+    first_frame = jnp.where(have[:, None], d[:, :m], state["last_out"])
+    d = jnp.concatenate([first_frame, d[:, m:]], axis=-1)
+    y = jnp.swapaxes(d.reshape(b, t_out, m), 1, 2).reshape(b * m, t_out)
+    new_state = {
+        "hist": xp[:, -block.hist_len:],
+        "last_out": d[:, -m:],
+        "have_prev": jnp.ones_like(have),
+    }
+    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+
+
 def _sharded_mixer_decimator(block, params, state, x, axis):
     """Fused mixer+decimator under time sharding.
 
@@ -361,6 +387,7 @@ def _sharded_filter_demod_filter(block, params, state, x, axis):
 
 _HANDLERS = {
     _channelize._BoundChannelizer: _sharded_channelizer,
+    _channelize._BoundChannelizerDemod: _sharded_channelizer_demod,
     _frontend._BoundFilterDemodFilter: _sharded_filter_demod_filter,
     _chunks._BoundOverlapper: _sharded_overlapper,
     _frontend._BoundMixerDecimator: _sharded_mixer_decimator,

@@ -115,6 +115,21 @@ def test_time_and_channel_sharded_wfm(devices):
     np.testing.assert_allclose(got[2:], want[2:], atol=5e-4)
 
 
+def test_time_sharded_fused_channelizer_demod(devices):
+    """Fused PFB+demod kernel under time sharding == sequential scan of the
+    same fused chain (raw-input halo only; interpret-mode Pallas on CPU)."""
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    mesh = jax.make_mesh((4,), ("t",))
+    m, n, rate = 64, 1024, 1024000.0
+    sig = StreamSig(1, n, rate)
+    chain = channelized_receiver(num_channels=m, input_rate=rate, fuse=True)
+    steps = 2
+    xs = make_iq(steps * 4, 1, n, seed=13)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 def test_time_sharded_channelized_receiver(devices):
     from radiorust_tpu.models.channelizer import channelized_receiver
     mesh = jax.make_mesh((4,), ("t",))

@@ -45,6 +45,9 @@ def build(which):
     from radiorust_tpu.models.channelizer import channelized_receiver
     if which == "chan":
         chain = Chain(Channelizer(64, 8))
+    elif which == "fused":
+        chain = channelized_receiver(num_channels=64, input_rate=RATE,
+                                     fuse=True)
     else:
         chain = channelized_receiver(num_channels=64, input_rate=RATE)
     poly = which == "full_poly"
