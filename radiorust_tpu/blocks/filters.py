@@ -46,7 +46,19 @@ __all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor",
 
 def deemphasis_factor(tau: float, frequency):
     """Complex gain of a first-order RC deemphasis low-pass
-    (``src/blocks/filters.rs:20-27``): ``1 / (1 + j*2*pi*f*tau)``."""
+    (``src/blocks/filters.rs:20-27``): ``1 / (1 + j*2*pi*f*tau)``.
+
+    Unity at DC, -3 dB at the corner ``1/(2*pi*tau)`` (the reference's
+    doc example composes this into Filter closures,
+    ``src/blocks/filters.rs:47-58``):
+
+    >>> complex(deemphasis_factor(50e-6, 0.0))
+    (1+0j)
+    >>> import numpy as np
+    >>> corner = 1.0 / (2.0 * np.pi * 50e-6)
+    >>> round(float(abs(deemphasis_factor(50e-6, corner))) ** 2, 9)
+    0.5
+    """
     frequency = np.asarray(frequency, dtype=np.float64)
     return 1.0 / (1.0 + 1j * (tau * TAU * frequency))
 

@@ -12,6 +12,19 @@ is a thin wrapper adding the reference's split API and pool-recycling of
 the backing storage: when the last view of a recyclable buffer is
 released, its storage returns to the pool (the analog of the
 ``Arc::try_unwrap`` + mpsc return at ``bufferpool.rs:82-90``).
+
+Usage (the reference's doc-test, ``bufferpool.rs:176-186``):
+
+>>> pool = ChunkBufPool(dtype=float)
+>>> buf = pool.get()
+>>> buf.extend([1.0, 2.0, 3.0])
+>>> chunk = buf.finalize()
+>>> len(chunk), float(chunk[1])
+(3, 2.0)
+>>> head = chunk.separate_beginning(1)
+>>> rest = chunk.discard_beginning(1)
+>>> len(head), len(rest)
+(1, 2)
 """
 
 from __future__ import annotations

@@ -35,7 +35,16 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 def level(chunk) -> float:
-    """Mean squared norm of a complex chunk (``src/metering.rs:21-30``)."""
+    """Mean squared norm of a complex chunk (``src/metering.rs:21-30``).
+
+    A unit-circle oscillator meters at 0 dB (the reference's doc-test,
+    ``src/metering.rs:7-20``):
+
+    >>> import numpy as np
+    >>> x = np.exp(1j * np.linspace(0.0, 6.0, 100))
+    >>> round(float(10.0 * np.log10(level(x))), 9)
+    0.0
+    """
     chunk = np.asarray(chunk)
     return float(np.mean(np.abs(chunk.astype(np.complex128)) ** 2))
 

@@ -1,4 +1,18 @@
-"""Flat re-export of the common API surface (``src/prelude.rs`` analog)."""
+"""Flat re-export of the common API surface (``src/prelude.rs`` analog).
+
+Hello-world (the compiled-path analog of the reference's front-page
+doc-test, ``src/lib.rs:13-36``): declare a chain, bind it to a stream
+signature, process chunk batches through one fused XLA program:
+
+>>> import numpy as np
+>>> sig = StreamSig(batch=1, chunk_len=16, sample_rate=48000.0)
+>>> chain = Chain(GainControl(0.5), FreqShifter.with_shift(0.0)).bind(sig)
+>>> state = chain.init_state()
+>>> x = np.ones((1, 16), np.complex64)
+>>> state, y = chain.process(chain.params, state, x, np.asarray([False]))
+>>> complex(np.asarray(y)[0, 0])
+(0.5+0j)
+"""
 
 from .blocks.analysis import Fourier
 from .blocks.base import (Block, BoundBlock, Chain, StreamSig, jit_step,

@@ -66,9 +66,14 @@ def _spawn(coro):
 class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
     """Streaming actor around a compiled block spec.
 
-    The device-side program recompiles only when (chunk_len, sample_rate)
-    changes; bindings are cached.  Stream state carries across chunks and
-    resets on interrupt events or rebinds.
+    The device-side program recompiles only when (batch, chunk_len,
+    sample_rate) changes; bindings are cached.  Stream state carries
+    across chunks and resets on interrupt events or rebinds.
+
+    Chunks may be 1-D ``[n]`` (one stream, the reference's model) or 2-D
+    ``[streams, n]`` — batched serving: one message carries a chunk step
+    of many independent streams through one device program, amortizing
+    the per-dispatch cost across the batch (outputs stay 2-D downstream).
     """
 
     def __init__(self, spec: Block, name: Optional[str] = None,
@@ -97,12 +102,13 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         self.chunks_processed = 0
         self._task = _spawn(self._run(receiver))
 
-    def _get_bound(self, chunk_len: int, sample_rate: float):
-        key = (chunk_len, sample_rate)
+    def _get_bound(self, chunk_len: int, sample_rate: float,
+                   batch: int = 1):
+        key = (batch, chunk_len, sample_rate)
         bound = self._bindings.get(key)
         if bound is None:
             from ..blocks.base import jit_step
-            bound = self.spec.bind(StreamSig(1, chunk_len, sample_rate))
+            bound = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
             bound._jit = jit_step(bound)
@@ -231,13 +237,13 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         throughput numbers remain correct, per-chunk times read higher.
         """
         from ..blocks.base import unpack_wire
-        py, out_rate, n_in, t0 = entry
+        py, out_rate, n_in, batched, t0 = entry
         y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
         self.chunks_processed += 1
         # The np.asarray fetch above synchronizes the device, so the
         # recorded wall time covers the real compute.
         self.stats.record_chunk(n_in, time.perf_counter() - t0)
-        await self.sender.send(Samples(out_rate, y[0]))
+        await self.sender.send(Samples(out_rate, y if batched else y[0]))
 
     async def _flush(self, inflight) -> None:
         while inflight:
@@ -273,7 +279,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     continue
                 chunk = np.asarray(msg.chunk)
                 t0 = time.perf_counter()
-                bound = self._get_bound(len(chunk), msg.sample_rate)
+                # 2-D [streams, n] chunks batch independent streams through
+                # one device program — the TPU-native serving axis (the
+                # reference is one stream per block task; batching is the
+                # deliberate widening that amortizes per-dispatch cost).
+                batched = chunk.ndim == 2
+                x = chunk if batched else chunk[None, :]
+                bound = self._get_bound(x.shape[1], msg.sample_rate,
+                                        x.shape[0])
                 fresh = bound is not self._bound
                 if fresh:
                     self._bound = bound
@@ -283,7 +296,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     self._state = bound.init_state()
                     self._pstate = None
                     self._pending_reset = False
-                reset = np.asarray([self._pending_reset])
+                reset = np.full((x.shape[0],), self._pending_reset)
                 if (fresh or self._pending_reset) and bound.valid_from > 0:
                     # Zero-primed history: warn consumers the next
                     # valid_from outputs are not reference-comparable.
@@ -296,9 +309,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     self._pstate = pack_wire(self._state)
                 self._pstate, py = bound._jit(
                     pack_wire(bound.params), self._pstate,
-                    pack_wire(chunk[None, :]), reset)
+                    pack_wire(x), reset)
                 inflight.append(
-                    (py, bound.out_sig.sample_rate, len(chunk), t0))
+                    (py, bound.out_sig.sample_rate, x.size, batched, t0))
                 while len(inflight) > self.pipeline_depth:
                     await self._fetch_send(inflight.popleft())
         except ChannelClosed:
@@ -311,6 +324,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         finally:
             if recv_task is not None:
                 recv_task.cancel()
+                try:
+                    await recv_task
+                except (asyncio.CancelledError, ChannelClosed):
+                    pass
             # Task exit drops the task-owned endpoints (reference: the task
             # owns Receiver/Sender, src/blocks/mod.rs:213-230), so teardown
             # cascades down the chain instead of leaving peers parked.
@@ -703,7 +720,8 @@ class ArraySink(_ConsumerMixin, EventHandling):
 
     @property
     def samples(self) -> np.ndarray:
-        return (np.concatenate(self.chunks) if self.chunks
+        # axis=-1: time axis for both 1-D chunks and batched [streams, n].
+        return (np.concatenate(self.chunks, axis=-1) if self.chunks
                 else np.zeros(0, np.complex64))
 
     async def _run(self, receiver):

@@ -259,9 +259,21 @@ class Receiver(Generic[T]):
                 continue
             recv_task = asyncio.ensure_future(self._sub.recv())
             change_task = asyncio.ensure_future(c._changed.wait())
-            done, pending = await asyncio.wait(
-                [recv_task, change_task],
-                return_when=asyncio.FIRST_COMPLETED)
+            try:
+                done, pending = await asyncio.wait(
+                    [recv_task, change_task],
+                    return_when=asyncio.FIRST_COMPLETED)
+            except asyncio.CancelledError:
+                # The caller's task was cancelled while we were parked:
+                # reap both inner tasks so a late ChannelClosed completion
+                # can't surface as 'Task exception was never retrieved'.
+                for t in (recv_task, change_task):
+                    t.cancel()
+                    try:
+                        await t
+                    except (asyncio.CancelledError, ChannelClosed):
+                        pass
+                raise
             if recv_task in done:
                 change_task.cancel()
                 return recv_task.result()

@@ -16,6 +16,8 @@ import asyncio
 from dataclasses import dataclass
 from typing import Any, Callable, List
 
+import numpy as np
+
 __all__ = [
     "Samples", "Event", "Disconnection", "SamplesLost", "BufferOverflow",
     "EventHandlers", "EventHandlerGuard",
@@ -83,7 +85,10 @@ class BufferOverflow(Event):
 class Samples:
     """A chunk of samples with its sample rate (``src/signal.rs:170-183``).
 
-    ``chunk`` is a 1-D array (numpy on host, jax on device).
+    ``chunk`` is a 1-D array (numpy on host, jax on device), or a 2-D
+    ``[streams, n]`` array for the batched serving path (a TPU-native
+    widening: one message carries one chunk step of many independent
+    streams; see :class:`runtime.blocks.RuntimeBlock`).
     """
 
     sample_rate: float
@@ -91,7 +96,7 @@ class Samples:
 
     @property
     def duration(self) -> float:
-        return len(self.chunk) / self.sample_rate
+        return np.shape(self.chunk)[-1] / self.sample_rate
 
 
 def is_event(msg) -> bool:

@@ -533,6 +533,46 @@ def test_warmup_event_on_zero_primed_history():
     run(main())
 
 
+def test_runtime_batched_serving_matches_per_stream():
+    """2-D [streams, n] chunks (batched serving) through a RuntimeBlock
+    produce exactly what each stream gets when served alone, and outputs
+    stay 2-D with per-stream state carried across chunks."""
+    rng = np.random.default_rng(3)
+    data = (rng.standard_normal((3, 4, 16))
+            + 1j * rng.standard_normal((3, 4, 16))).astype(np.complex64)
+
+    def spec():
+        return FreqShifter.with_shift(125.0)
+
+    async def batched():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(4):
+            await sender.send(Samples(1000.0, data[:, t, :]))
+        await until(lambda: len(sink.chunks) >= 4)
+        assert all(c.shape == (3, 16) for c in sink.chunks)
+        return sink.samples                                # [3, 64]
+
+    async def single(s):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(4):
+            await sender.send(Samples(1000.0, data[s, t, :]))
+        await until(lambda: len(sink.chunks) >= 4)
+        return sink.samples                                # [64]
+
+    got = run(batched())
+    for s in range(3):
+        want = run(single(s))
+        np.testing.assert_allclose(got[s], want, atol=1e-6)
+
+
 def test_runtime_pipeline_depth_matches_sync():
     """``pipeline_depth`` keeps device work in flight (JAX async dispatch)
     without changing values or sample/event ordering: the TPU analog of the
