@@ -120,9 +120,13 @@ class _BoundChain(BoundBlock):
         self.in_sig = bound[0].in_sig
         self.out_sig = bound[-1].out_sig
         self.params = tuple(b.params for b in bound)
-        # Steps map 1:1 through a chain (each block emits one chunk per
-        # step), so the chain is valid once its slowest-warming block is.
-        self.valid_from = max((b.valid_from for b in bound), default=0)
+        # Warmup taint is CUMULATIVE through a chain: a block with
+        # valid_from=v emits reference-comparable chunks only v steps
+        # after its *input* became comparable, so cascaded zero-primed
+        # histories add (e.g. two overlap-save Filters -> 2 tainted
+        # chunks, matching _BoundFilterDemodFilter's fused valid_from=2
+        # and the skip_out=2 used by test_models/test_parallel).
+        self.valid_from = sum(b.valid_from for b in bound)
 
     def init_state(self):
         return tuple(b.init_state() for b in self.blocks)

@@ -86,7 +86,11 @@ class Chunk:
 
     def __array__(self, dtype=None, copy=None):
         v = self.data
-        return v.astype(dtype) if dtype is not None else v
+        if dtype is not None and dtype != v.dtype:
+            return v.astype(dtype)   # astype always copies here
+        # copy=True must NOT hand out a live view of pooled storage
+        # (sibling zero-copy Chunks and recycled buffers share it).
+        return v.copy() if copy else v
 
     def __getitem__(self, idx):
         return self.data[idx]

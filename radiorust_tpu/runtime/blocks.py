@@ -213,7 +213,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         (src/blocks/modulation.rs:76-79,154-157)."""
         import numpy as _np
         from ..numbers import TAU as _TAU
-        from ..blocks.frontend import _BoundFmDemodFilter
+        from ..blocks.channelize import _BoundChannelizerDemod
+        from ..blocks.frontend import (_BoundFilterDemodFilter,
+                                       _BoundFmDemodFilter)
         from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
 
         def fn(blk, p):
@@ -221,10 +223,15 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 return _np.float32(deviation / blk.in_sig.sample_rate * _TAU)
             if isinstance(blk, _BoundFmDemod):
                 return _np.float32(blk.in_sig.sample_rate / deviation / _TAU)
-            if isinstance(blk, _BoundFmDemodFilter):
+            if isinstance(blk, (_BoundFmDemodFilter,
+                                _BoundFilterDemodFilter)):
                 # Traced scalar: no recompile on retune.
                 return {**p, "factor": _np.float32(
                     blk.in_sig.sample_rate / deviation / _TAU)}
+            if isinstance(blk, _BoundChannelizerDemod):
+                # Per-channel demod runs at the channel rate.
+                return {**p, "factor": _np.float32(
+                    blk.out_sig.sample_rate / deviation / _TAU)}
             return None
 
         self._apply_typed(fn)
@@ -379,7 +386,9 @@ class Blackhole(_ConsumerMixin, EventHandling):
                 if isinstance(msg, Event):
                     self.event_handlers.invoke(msg)
                 else:
-                    self.samples_seen += len(msg.chunk)
+                    # Per-stream time length (axis -1): correct for both
+                    # 1-D chunks and batched [streams, n] serving chunks.
+                    self.samples_seen += np.shape(msg.chunk)[-1]
         except ChannelClosed:
             return
         finally:
@@ -586,10 +595,27 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
     def __init__(self, output_chunk_len: int):
         assert output_chunk_len > 0
         self.output_chunk_len = output_chunk_len
-        self.pool = ChunkBufPool(np.complex64)
+        # Patchwork pools are created per stream dtype on first use so
+        # boundary-straddling remainders keep the stream's dtype (a f64 or
+        # real stream must not come out complex64 on some chunks only).
+        self._pools: Dict[np.dtype, ChunkBufPool] = {}
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._task = _spawn(self._run(receiver))
+
+    def _pool(self, dtype) -> ChunkBufPool:
+        dtype = np.dtype(dtype)
+        pool = self._pools.get(dtype)
+        if pool is None:
+            pool = self._pools[dtype] = ChunkBufPool(dtype)
+        return pool
+
+    @property
+    def pool(self) -> ChunkBufPool:
+        """The stream-dtype pool (complex64 unless the stream differs)."""
+        if len(self._pools) == 1:
+            return next(iter(self._pools.values()))
+        return self._pool(np.complex64)
 
     def set_output_chunk_len(self, n: int):
         assert n > 0
@@ -607,6 +633,15 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
                     await self.sender.send(msg)
                     continue
                 rate = msg.sample_rate
+                if np.ndim(getattr(msg.chunk, "data", msg.chunk)) != 1:
+                    # Batched [streams, n] serving chunks have no single
+                    # time axis to regroup zero-copy; rechunk each stream
+                    # before batching (or use blocks/chunks.py::rechunk on
+                    # the bulk array).  Fail loudly over silently slicing
+                    # the stream axis.
+                    raise TypeError(
+                        "Rechunker requires 1-D chunks; got batched "
+                        f"shape {np.shape(np.asarray(msg.chunk))}")
                 chunk = (msg.chunk if isinstance(msg.chunk, Chunk)
                          else Chunk.from_array(np.asarray(msg.chunk)))
                 if patchwork is not None and patchwork[0] != rate \
@@ -635,7 +670,8 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
                     await self.sender.send(Samples(rate, head))
                 if len(chunk):
                     if patchwork is None:
-                        patchwork = (rate, self.pool.get_with_capacity(n))
+                        patchwork = (rate, self._pool(chunk.dtype)
+                                     .get_with_capacity(n))
                     patchwork[1].extend(chunk.data)
         except ChannelClosed:
             return

@@ -20,7 +20,7 @@ import numpy as np
 
 __all__ = [
     "Samples", "Event", "Disconnection", "SamplesLost", "BufferOverflow",
-    "EventHandlers", "EventHandlerGuard",
+    "Warmup", "EventHandlers", "EventHandlerGuard",
 ]
 
 

@@ -60,12 +60,22 @@ class StatsRegistry:
 
     def unique(self, name: str) -> BlockStats:
         """A fresh entry, suffixing ``#k`` on collision (several blocks of
-        the same type in one pipeline)."""
+        the same type in one pipeline).
+
+        Entries persist for post-run reporting; a long-lived serving
+        process that churns through short-lived blocks should
+        :meth:`drop` entries it is done with (or they accumulate)."""
         candidate, i = name, 1
         while candidate in self._stats:
             i += 1
             candidate = f"{name}#{i}"
         return self.get(candidate)
+
+    def drop(self, stats_or_name) -> None:
+        """Release a registry entry created by :meth:`get`/:meth:`unique`
+        (existing ``BlockStats`` handles keep working, unregistered)."""
+        name = getattr(stats_or_name, "name", stats_or_name)
+        self._stats.pop(name, None)
 
     def report(self) -> str:
         lines = [f"{'block':24s} {'chunks':>8s} {'samples':>12s} "

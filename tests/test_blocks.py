@@ -367,3 +367,21 @@ def test_fm_demod_poly_atan2_matches_native():
         config.set_atan2_poly(None)
     np.testing.assert_allclose(np.asarray(got).real, np.asarray(want).real,
                                atol=5e-7)
+
+
+def test_chain_valid_from_is_cumulative():
+    """Warmup taint adds up through cascaded zero-primed histories: two
+    overlap-save filters taint TWO output chunks (matching the fused
+    FilterDemodFilter's valid_from=2 and the skip_out=2 used by the
+    model/parallel tests)."""
+    from radiorust_tpu.blocks.base import Chain, StreamSig
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.transform import GainControl
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 200.0, 1.0 + 0.0j, 0.0j)
+
+    sig = StreamSig(1, 64, 1000.0)
+    assert Chain(Filter.new(lp)).bind(sig).valid_from == 1
+    assert Chain(Filter.new(lp), GainControl(1.0),
+                 Filter.new(lp)).bind(sig).valid_from == 2

@@ -73,3 +73,18 @@ def test_nop_block():
     x = np.arange(8, dtype=np.complex64)[None, :]
     _, y = b(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+def test_chunk_array_copy_isolation():
+    """np.array(chunk, copy=True)/__array__(copy=True) must not alias the
+    pooled backing storage shared with sibling zero-copy chunks."""
+    from radiorust_tpu.bufferpool import Chunk
+    base = Chunk.from_array(np.arange(8, dtype=np.complex64))
+    head = base.separate_beginning(4)
+    arr = head.__array__(copy=True)
+    arr[:] = -1.0
+    np.testing.assert_array_equal(
+        np.asarray(base), np.arange(8, dtype=np.complex64))
+    # Default (no copy requested) stays a zero-copy view.
+    view = head.__array__()
+    assert view.base is not None

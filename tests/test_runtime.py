@@ -632,3 +632,103 @@ def test_runtime_set_map_params():
         np.testing.assert_allclose(sink.chunks[1], ones * 5.0)
 
     run(main())
+
+
+def test_set_deviation_retunes_fused_blocks():
+    """set_deviation must reach the traced 'factor' of the merged
+    FilterDemodFilter and the fused ChannelizerDemod (both advertise
+    recompile-free retune)."""
+    from radiorust_tpu.blocks.channelize import ChannelizerDemod
+    from radiorust_tpu.blocks.frontend import FilterDemodFilter
+    from radiorust_tpu.numbers import TAU
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 100000.0, 1.0 + 0.0j, 0.0j)
+
+    async def main():
+        rate = 1024000.0
+        blk = RuntimeBlock(FilterDemodFilter(lp, 150000.0, lp))
+        # Bind by processing one chunk (the pair-packed kernel needs an
+        # even batch -> a 2-D batched serving chunk).
+        sender, connector = new_sender()
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        x = np.ones((2, 4096), np.complex64)
+        await sender.send(Samples(rate, x))
+        await until(lambda: len(sink.chunks) >= 1)
+        blk.set_deviation(75000.0)
+        got = float(blk._bound.params["factor"])
+        assert got == np.float32(rate / 75000.0 / TAU)
+
+        blk2 = RuntimeBlock(ChannelizerDemod(64, 4000.0))
+        sender2, connector2 = new_sender()
+        sink2 = ArraySink()
+        blk2.feed_from(type("P", (), {"sender_connector": connector2})())
+        sink2.feed_from(blk2)
+        await sender2.send(Samples(rate, np.ones(1024, np.complex64)))
+        await until(lambda: len(sink2.chunks) >= 1)
+        blk2.set_deviation(8000.0)
+        ch_rate = rate / 64
+        got2 = float(blk2._bound.params["factor"])
+        assert got2 == np.float32(ch_rate / 8000.0 / TAU)
+
+    run(main())
+
+
+def test_rechunker_rejects_batched_chunks():
+    """Batched [streams, n] chunks have no single time axis to regroup;
+    the Rechunker fails loudly instead of slicing the stream axis."""
+    async def main():
+        sender, connector = new_sender()
+        rk = Rechunker(8)
+        sink = ArraySink()
+        rk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rk)
+        await sender.send(Samples(1000.0, np.ones((4, 16), np.complex64)))
+        with pytest.raises(TypeError, match="1-D"):
+            await asyncio.wait_for(rk._task, 5)
+
+    run(main())
+
+
+def test_rechunker_preserves_stream_dtype_across_boundaries():
+    """Boundary-straddling remainders must keep the stream dtype (a real
+    float stream must not come out complex64 on patchwork chunks only)."""
+    async def main():
+        sender, connector = new_sender()
+        rk = Rechunker(10)
+        sink = ArraySink()
+        rk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rk)
+        for i in range(5):
+            await sender.send(Samples(
+                1000.0, np.arange(i * 4, i * 4 + 4, dtype=np.float64)))
+        await until(lambda: len(sink.chunks) >= 2)
+        assert all(np.asarray(c).dtype == np.float64 for c in sink.chunks)
+        np.testing.assert_array_equal(sink.samples[:20], np.arange(20.0))
+
+    run(main())
+
+
+def test_blackhole_counts_batched_samples():
+    """samples_seen advances by the per-stream time length for batched
+    2-D chunks (same semantics as Samples.duration)."""
+    async def main():
+        sender, connector = new_sender()
+        bh = Blackhole()
+        bh.feed_from(type("P", (), {"sender_connector": connector})())
+        await sender.send(Samples(1000.0, np.ones((4, 16), np.complex64)))
+        await sender.send(Samples(1000.0, np.ones(32, np.complex64)))
+        await until(lambda: bh.samples_seen >= 48)
+        assert bh.samples_seen == 48
+
+    run(main())
+
+
+def test_stats_registry_drop():
+    from radiorust_tpu.utils.profiling import GLOBAL_STATS
+    s = GLOBAL_STATS.unique("EphemeralBlock")
+    assert s.name in GLOBAL_STATS.report()
+    GLOBAL_STATS.drop(s)
+    assert s.name not in GLOBAL_STATS.report()
