@@ -732,3 +732,52 @@ def test_stats_registry_drop():
     assert s.name in GLOBAL_STATS.report()
     GLOBAL_STATS.drop(s)
     assert s.name not in GLOBAL_STATS.report()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_actor_pipeline_matches_compiled_scan(seed):
+    """Property-style integration: a random chain driven through the full
+    actor plumbing (irregular source chunks -> Rechunker -> RuntimeBlock)
+    produces exactly what the compiled scan of the same chain produces
+    over the same samples (both start zero-primed)."""
+    import jax.numpy as jnp
+
+    from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.modulation import FmDemod
+
+    rng = np.random.default_rng(seed)
+    # total divisible by both the irregular source chunk (24) and the
+    # rechunk length (32), so nothing is dropped at either granularity.
+    rate, n, total = 1000.0, 32, 288
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 300.0, 1.0 + 0.0j, 0.0j)
+
+    menu = [lambda: FreqShifter.with_shift(float(rng.integers(10, 400))),
+            lambda: GainControl(float(rng.uniform(0.5, 2.0))),
+            lambda: Filter.new(lp),
+            lambda: FmDemod(float(rng.integers(100, 400)))]
+    chain = Chain(*[menu[i]() for i in
+                    rng.integers(0, len(menu), rng.integers(2, 5))])
+    data = (rng.standard_normal(total)
+            + 1j * rng.standard_normal(total)).astype(np.complex64)
+
+    async def actor():
+        src = ArraySource(data, chunk_len=24, sample_rate=rate)
+        rk = Rechunker(n)
+        blk = RuntimeBlock(chain)
+        sink = ArraySink()
+        rk.feed_from(src)
+        blk.feed_from(rk)
+        sink.feed_from(blk)
+        await until(lambda: len(sink.chunks) >= total // n, timeout=40)
+        return sink.samples
+
+    got = run(actor(), timeout=60)
+    bound = chain.bind(StreamSig(1, n, rate))
+    _, want = scan(bound, bound.params, bound.init_state(),
+                   jnp.asarray(data.reshape(total // n, 1, n)))
+    want = np.asarray(want).reshape(-1)
+    np.testing.assert_allclose(got, want[: len(got)], atol=2e-5)
+    assert len(got) == want.size
