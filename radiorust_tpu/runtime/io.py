@@ -135,6 +135,49 @@ class FileSdrDriver(SdrDriver):
         self._file.close()
 
 
+class NativeFileSdrDriver(SdrDriver):
+    """GIL-free IQ file replay via the C++ mmap/prefetch loader
+    (``native/runtime/iq_loader.cpp``).
+
+    The native analog of the reference's FFI stream readers
+    (``src/blocks/io/rf/soapysdr.rs:99-125`` — MTU-sized blocking reads on
+    a worker thread): a prefetch thread faults pages one window ahead so
+    ``read`` is a warm memcpy, and ctypes releases the GIL for its
+    duration, overlapping the copy with block compute under the threaded
+    native executor.  ``loop=True`` replays the file forever (deterministic
+    soak/bench input at production rates).
+    """
+
+    def __init__(self, path: str, sample_rate: float, loop: bool = False):
+        import ctypes
+
+        from .native import load_library  # compiles on demand
+        self.sample_rate = float(sample_rate)
+        lib = load_library()
+        self._lib = lib
+        self._h = lib.iq_open(str(path).encode(), 1 if loop else 0)
+        if not self._h:
+            raise SdrError(f"cannot open IQ file {path!r}")
+
+    @property
+    def total_samples(self) -> int:
+        return int(self._lib.iq_size(self._h))
+
+    def read(self, n: int) -> np.ndarray:
+        import ctypes
+        out = np.empty(int(n), np.complex64)
+        got = self._lib.iq_read(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), int(n))
+        if got == 0:
+            raise SdrError("end of IQ file")
+        return out[:got]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.iq_close(self._h)
+            self._h = None
+
+
 class LoopbackSdrDriver(SdrDriver):
     """In-process loopback: TX writes become RX reads (for tests)."""
 

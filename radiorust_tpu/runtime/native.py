@@ -43,16 +43,18 @@ _LIB = None
 
 
 def load_library() -> ctypes.CDLL:
-    """Compile (if needed) and load the broadcast_bp shared library."""
+    """Compile (if needed) and load the native runtime library
+    (broadcast_bp channel + IQ file loader)."""
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = _NATIVE_DIR / "broadcast_bp.cpp"
+    srcs = [_NATIVE_DIR / "broadcast_bp.cpp", _NATIVE_DIR / "iq_loader.cpp"]
     so = _NATIVE_DIR / "libbroadcast_bp.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+    if not so.exists() or any(so.stat().st_mtime < s.stat().st_mtime
+                              for s in srcs):
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(so), str(src), "-lpthread"],
+             "-o", str(so)] + [str(s) for s in srcs] + ["-lpthread"],
             check=True)
     lib = ctypes.CDLL(str(so))
     lib.bp_channel_new.restype = ctypes.c_void_p
@@ -72,6 +74,13 @@ def load_library() -> ctypes.CDLL:
                                     ctypes.POINTER(ctypes.c_size_t),
                                     ctypes.c_int]
     lib.bp_recv_timeout.restype = ctypes.c_int
+    lib.iq_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.iq_open.restype = ctypes.c_void_p
+    lib.iq_size.argtypes = [ctypes.c_void_p]
+    lib.iq_size.restype = ctypes.c_long
+    lib.iq_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.iq_read.restype = ctypes.c_long
+    lib.iq_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 

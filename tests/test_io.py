@@ -172,3 +172,37 @@ def test_audiopipe_example_runs():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr
     assert "piped" in out.stdout or "real audio" in out.stdout
+
+
+def test_native_file_driver_roundtrip(tmp_path):
+    """C++ mmap/prefetch IQ loader (native/runtime/iq_loader.cpp): exact
+    sample replay, end-of-file, loop wraparound, and SdrRx integration."""
+    from radiorust_tpu.runtime.io import NativeFileSdrDriver, SdrError
+
+    data = (np.arange(1000) + 1j * np.arange(1000)[::-1]
+            ).astype(np.complex64)
+    path = tmp_path / "iq.raw"
+    data.tofile(path)
+
+    drv = NativeFileSdrDriver(str(path), 48000.0)
+    assert drv.total_samples == 1000
+    got = np.concatenate([drv.read(300), drv.read(300), drv.read(500)])
+    np.testing.assert_array_equal(got, data)     # short final read: 400
+    with pytest.raises(SdrError):
+        drv.read(1)
+    drv.close()
+
+    looped = NativeFileSdrDriver(str(path), 48000.0, loop=True)
+    got2 = looped.read(2500)                     # 2.5 wraps
+    np.testing.assert_array_equal(got2, np.tile(data, 3)[:2500])
+    looped.close()
+
+    async def main():
+        rx = SdrRx(NativeFileSdrDriver(str(path), 48000.0))
+        sink = ArraySink()
+        sink.feed_from(rx)
+        await rx.activate()
+        await until(lambda: len(sink.samples) >= 1000)
+        np.testing.assert_array_equal(sink.samples[:1000], data)
+
+    run(main())
