@@ -188,6 +188,11 @@ _WIRE_KEY = "__c64_wire__"
 
 
 def _is_complex_leaf(x):
+    if isinstance(x, complex):
+        # Bare Python complex scalars (e.g. MapSample.with_params closure
+        # params) must also ride the wire format — the relay backend
+        # cannot marshal any complex value across the jit boundary.
+        return True
     return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating)
 
 

@@ -50,7 +50,9 @@ class _BoundChannelizer(BoundBlock):
         y = pfb_channelize(xp, params["taps"], self.m)   # [b, M, n/M]
         b = x.shape[0]
         y = y.reshape(b * self.m, self.out_sig.chunk_len)
-        return {"hist": xp[:, -self.hist_len:]}, y
+        # Guard hist_len == 0 (K == 1): `[:, -0:]` is the WHOLE array.
+        new_hist = xp[:, -self.hist_len:] if self.hist_len else state["hist"]
+        return {"hist": new_hist}, y
 
 
 class Channelizer(Block):

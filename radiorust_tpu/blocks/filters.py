@@ -78,7 +78,9 @@ def design_impulse_response(freq_resp: Callable, window: Window, n: int,
     bins[: max_bin + 1] = np.arange(max_bin + 1)
     bins[n - max_bin:] = -np.arange(max_bin, 0, -1)
     freqs = bins.astype(np.float64) * (sample_rate / n)
-    gains = np.asarray(freq_resp(bins, freqs), dtype=np.complex128)
+    # copy: np.asarray aliases a user-returned complex128 table, and the
+    # Nyquist write below must not escape into the caller's array.
+    gains = np.array(freq_resp(bins, freqs), dtype=np.complex128)
     if n % 2 == 0:
         gains[n // 2] = 0.0  # Nyquist bin never sampled by the reference.
     # Inverse FFT to impulse response, center with fftshift.
@@ -155,12 +157,11 @@ class _BoundFilter(BoundBlock):
             x = jax.lax.complex(x[0::2].real, x[1::2].real)
             prev = jax.lax.complex(prev[0::2].real, prev[1::2].real)
         if self._use_pallas():
-            from ..ops.pallas_filter import fused_overlap_save
-            n1 = (2 * n) // 128
-            # Response grid [k1, k2] with the 1/(2n) IFFT norm folded in;
-            # computed in-graph from the (retunable) response param.
-            grid = jnp.swapaxes(
-                params["response"].reshape(128, n1), 0, 1) / (2.0 * n)
+            from ..ops.pallas_filter import (fused_overlap_save,
+                                             response_grid)
+            # Response grid [k1, k2] computed in-graph from the
+            # (retunable) response param.
+            grid = response_grid(params["response"], n)
             outr, outi = fused_overlap_save(
                 jnp.real(prev), jnp.imag(prev),
                 jnp.real(x), jnp.imag(x),

@@ -165,11 +165,9 @@ class _BoundFmDemodFilter(BoundBlock):
         }
 
     def process(self, params, state, x, reset):
-        from ..ops.pallas_filter import fused_demod_filter
+        from ..ops.pallas_filter import fused_demod_filter, response_grid
         n = self.in_sig.chunk_len
-        n1 = (2 * n) // 128
-        grid = jnp.swapaxes(
-            params["response"].reshape(128, n1), 0, 1) / (2.0 * n)
+        grid = response_grid(params["response"], n)
         have = jnp.where(reset, 0.0, state["have_prev"])
         # An interrupt also clears the filter tail (the reference's Filter
         # drops previous_chunk on is_interrupt events).
@@ -244,8 +242,8 @@ class _BoundFilterDemodFilter(BoundBlock):
 
     @staticmethod
     def _grid(response, n):
-        n1 = (2 * n) // 128
-        return jnp.swapaxes(response.reshape(128, n1), 0, 1) / (2.0 * n)
+        from ..ops.pallas_filter import response_grid
+        return response_grid(response, n)
 
     def process(self, params, state, x, reset):
         from ..ops.pallas_filter import fused_filter_demod_filter

@@ -37,7 +37,8 @@ from radiorust_tpu import config
 from radiorust_tpu.ops.mxu import make_dot
 
 __all__ = ["fused_overlap_save", "fused_demod_filter",
-           "fused_filter_demod_filter", "response_to_grid", "supported"]
+           "fused_filter_demod_filter", "response_to_grid", "response_grid",
+           "supported"]
 
 
 def _make_cmm(mm):
@@ -103,6 +104,16 @@ def response_to_grid(response: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     n1, n2 = kernel_factors(n2x)
     rg = np.asarray(response, np.complex128).reshape(n2, n1).T / n2x
     return rg.real.astype(np.float32), rg.imag.astype(np.float32)
+
+
+def response_grid(response, n: int):
+    """Traced variant of :func:`response_to_grid`: maps a (possibly
+    traced, retunable) complex R[2n] param to the [n1, n2] kernel grid
+    with the 1/(2n) IFFT norm folded in.  The single owner of the
+    layout contract between the response vector and ``kernel_factors`` —
+    every fused-kernel call site must use it."""
+    n1, _ = kernel_factors(2 * n)
+    return jnp.swapaxes(response.reshape(128, n1), 0, 1) / (2.0 * n)
 
 
 def _os_pipeline(cmm, n1, n2, X):

@@ -166,7 +166,12 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
     b, n = planes[0].shape
     hist = hplanes[0].shape[-1]
     Kw = kernel_matrix.shape[-1]
+    # Layout preconditions (decimate_supported); a violating call would
+    # compute silently misaligned windows, not error.
+    assert LANES % p == 0 and n % p == 0, (p, n)
     jper = LANES // p
+    assert (n // p) % jper == 0, (n, p)
+    assert hist == Kw - p and hist > 0, (hist, Kw, p)
     slabs = 1 + -(-(Kw - p) // LANES)
     if tile is None:
         tile = config.pallas_tile()

@@ -75,14 +75,19 @@ def _halo_tail(x, carry, hist, axis):
     if hist == 0:
         return x[:, :0]
     k = -(-hist // n)  # chunks of halo needed
-    parts = []
-    cur = x
-    for _ in range(k):
-        cur = _ring_left(cur, axis)
-        parts.append(cur)
-    # parts[j-1] = x_{d-j}; assemble [x_{d-k} .. x_{d-1}] then take its tail.
-    prev_big = jnp.concatenate(parts[::-1], axis=-1)
-    prev_tail = prev_big[:, -hist:]
+    if k == 1:
+        # Ship only the needed tail over ICI, not the whole chunk (a
+        # 1-sample demod halo must not move a 512 kB chunk per step).
+        prev_tail = _ring_left(x[:, -hist:], axis)
+    else:
+        parts = []
+        cur = x
+        for _ in range(k):
+            cur = _ring_left(cur, axis)
+            parts.append(cur)
+        # parts[j-1] = x_{d-j}; assemble [x_{d-k} .. x_{d-1}], take its tail.
+        prev_big = jnp.concatenate(parts[::-1], axis=-1)
+        prev_tail = prev_big[:, -hist:]
     d = jax.lax.axis_index(axis)
     i = jnp.arange(hist)
     from_neighbors = i >= (hist - d * n)
@@ -92,52 +97,44 @@ def _halo_tail(x, carry, hist, axis):
 
 
 # -- per-block sharded processing -------------------------------------------
+#
+# Where a block's cross-chunk state is a pure function of its previous
+# input (SURVEY.md §5), the sharded handler only *reconstructs that state
+# from the left neighbor's halo* and then DELEGATES to the block's own
+# ``process`` — inheriting its fused Pallas kernels, pair-packed realness,
+# and numeric-mode config instead of duplicating the math (and diverging
+# from it).  Only blocks whose state advances in closed form (FreqShifter,
+# FmMod) or whose fused kernels carry intermediate-domain state keep
+# hand-written sharded math.
+
+
+def _no_reset(x):
+    return jnp.zeros((x.shape[0],), bool)
+
 
 def _sharded_stateless(block, params, state, x, axis):
-    batch = x.shape[0]
-    _, y = block.process(params, (), x, jnp.zeros((batch,), bool))
+    _, y = block.process(params, (), x, _no_reset(x))
     return (), y
 
 
 def _sharded_filter(block, params, state, x, axis):
-    from ..ops.fft import fft as _fft, ifft as _ifft
-    n = x.shape[-1]
-    prev = _halo_tail(x, state["prev"], n, axis)
-    buf = jnp.concatenate([prev, x], axis=-1)
-    spec = _fft(buf) * params["response"]
-    y = _ifft(spec)[..., :n].astype(jnp.complex64)
-    return {"prev": x}, y
+    """Overlap-save filter: state = previous input chunk
+    (src/blocks/filters.rs:240-260), rebuilt from the neighbor's chunk."""
+    prev = _halo_tail(x, state["prev"], x.shape[-1], axis)
+    return block.process(params, {"prev": prev}, x, _no_reset(x))
 
 
 def _sharded_resampler(block, params, state, x, axis):
-    plan = block.plan
-    from ..ops.polyphase import rational_fir
-    if plan.hist:
-        hist = _halo_tail(x, state["hist"], plan.hist, axis)
-        xp = jnp.concatenate([hist, x], axis=-1)
-        new_hist = xp[:, -plan.hist:]
-    else:
-        xp = x
-        new_hist = state["hist"]
-    y = rational_fir(xp, params["kernel"], plan.p, plan.q, plan.s0,
-                     block.out_sig.chunk_len)
-    return {"hist": new_hist}, y
+    hist = _halo_tail(x, state["hist"], block.plan.hist, axis)
+    return block.process(params, {"hist": hist}, x, _no_reset(x))
 
 
 def _sharded_fm_demod(block, params, state, x, axis):
     prev = _halo_tail(x, state["prev"][:, None], 1, axis)[:, 0]
-    have_prev = jnp.where(_is_first(axis), state["have_prev"], True)
-    shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
-    prod = x * jnp.conj(shifted)
-    demod = jnp.arctan2(prod.imag, prod.real) * params
-    first = jnp.where(have_prev, demod[:, 0], state["last_out"])
-    y = demod.at[:, 0].set(first)
-    new_state = {
-        "prev": x[:, -1],
-        "have_prev": jnp.ones_like(have_prev),
-        "last_out": y[:, -1],
-    }
-    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+    have = jnp.where(_is_first(axis), state["have_prev"], True)
+    return block.process(
+        params, {"prev": prev, "have_prev": have,
+                 "last_out": state["last_out"]}, x, _no_reset(x))
 
 
 def _sharded_freq_shifter(block, params, state, x, axis):
@@ -181,49 +178,29 @@ def _sharded_overlapper(block, params, state, x, axis):
     k = block.chunk_count
     b, n = x.shape
     if k == 1:
-        return {"hist": state["hist"]}, x
+        return block.process(params, state, x, _no_reset(x))
     hist = (k - 1) * n
-    carry = state["hist"].reshape(b, hist)
-    h = _halo_tail(x, carry, hist, axis)
-    y = jnp.concatenate([h, x], axis=-1)
-    new_hist = y[:, -hist:].reshape(b, k - 1, n)
-    return {"hist": new_hist}, y
+    h = _halo_tail(x, state["hist"].reshape(b, hist), hist, axis)
+    return block.process(params, {"hist": h.reshape(b, k - 1, n)}, x,
+                         _no_reset(x))
 
 
 def _sharded_channelizer(block, params, state, x, axis):
-    from ..ops.channelizer import pfb_channelize
     hist = _halo_tail(x, state["hist"], block.hist_len, axis)
-    xp = jnp.concatenate([hist, x], axis=-1)
-    y = pfb_channelize(xp, params["taps"], block.m)
-    b = x.shape[0]
-    y = y.reshape(b * block.m, block.out_sig.chunk_len)
-    return {"hist": xp[:, -block.hist_len:]}, y
+    return block.process(params, {"hist": hist}, x, _no_reset(x))
 
 
 def _sharded_channelizer_demod(block, params, state, x, axis):
     """Fused PFB+demod under time sharding.  The kernel recomputes demod
     continuity from raw-input history (HIST_FRAMES extra frames), so the
-    only halo is the channelizer's raw-input tail — identical mechanics to
-    ``_sharded_channelizer``; ``last_out``/``have_prev`` matter only on
-    device 0 (later devices always have a real predecessor frame)."""
-    from ..ops.pallas_channelizer import HIST_FRAMES, fused_pfb_demod
-    b, m = x.shape[0], block.m
-    t_out = block.out_sig.chunk_len
+    only halo is the channelizer's raw-input tail; ``last_out``/
+    ``have_prev`` matter only on device 0 (later devices always have a
+    real predecessor frame)."""
     hist = _halo_tail(x, state["hist"], block.hist_len, axis)
     have = jnp.where(_is_first(axis), state["have_prev"], True)
-    xp = jnp.concatenate([hist, x], axis=-1)
-    d = fused_pfb_demod(jnp.real(xp), jnp.imag(xp), params["factor"],
-                        params["taps"])
-    d = d[:, HIST_FRAMES * m:]
-    first_frame = jnp.where(have[:, None], d[:, :m], state["last_out"])
-    d = jnp.concatenate([first_frame, d[:, m:]], axis=-1)
-    y = jnp.swapaxes(d.reshape(b, t_out, m), 1, 2).reshape(b * m, t_out)
-    new_state = {
-        "hist": xp[:, -block.hist_len:],
-        "last_out": d[:, -m:],
-        "have_prev": jnp.ones_like(have),
-    }
-    return new_state, jax.lax.complex(y, jnp.zeros_like(y))
+    return block.process(
+        params, {"hist": hist, "have_prev": have,
+                 "last_out": state["last_out"]}, x, _no_reset(x))
 
 
 def _sharded_mixer_decimator(block, params, state, x, axis):
@@ -257,7 +234,7 @@ def _sharded_mixer_decimator(block, params, state, x, axis):
         p_prev = jax.lax.complex(jnp.cos(thp), jnp.sin(thp))
         # Same product order as the kernel: (x * osc) * p0 in f32 planes.
         osc_tail = (ta[:, None] * tb[None, :]).reshape(-1)[-hist:]
-        raw_tail = _ring_left(x, axis)[:, -hist:]
+        raw_tail = _ring_left(x[:, -hist:], axis)  # ship only the tail
         mixed = (raw_tail * osc_tail[None, :]) * p_prev[:, None]
         hr = jnp.where(first, state["histr"],
                        jnp.real(mixed).astype(jnp.float32))
@@ -290,7 +267,8 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     f32 planes) and ppermuting the result — one cheap elementwise pass vs.
     a second kernel invocation.  Device 0 uses the carried state.
     """
-    from ..ops.pallas_filter import _atan2_poly, fused_demod_filter
+    from ..ops.pallas_filter import (_atan2_poly, fused_demod_filter,
+                                     response_grid)
     n = x.shape[-1]
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
@@ -312,8 +290,7 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     d_local = d_local.at[:, 0].set(
         jnp.where(have < 0.5, last_out, d_local[:, 0]))
     prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
-    grid = jnp.swapaxes(
-        params["response"].reshape(128, (2 * n) // 128), 0, 1) / (2.0 * n)
+    grid = response_grid(params["response"], n)
     y, dout = fused_demod_filter(
         xr, xi, plr, pli, prevd, last_out, have,
         jnp.real(grid).astype(jnp.float32),
@@ -341,15 +318,10 @@ def _sharded_filter_demod_filter(block, params, state, x, axis):
     _sharded_filter + _sharded_fm_demod_filter.  Same math, one extra
     launch — only in sharded mode."""
     from ..ops.pallas_filter import (_atan2_poly, fused_demod_filter,
-                                     fused_overlap_save)
+                                     fused_overlap_save, response_grid)
     n = x.shape[-1]
-    n1 = (2 * n) // 128
-
-    def grid(resp):
-        return jnp.swapaxes(resp.reshape(128, n1), 0, 1) / (2.0 * n)
-
-    g1 = grid(params["response1"])
-    g2 = grid(params["response2"])
+    g1 = response_grid(params["response1"], n)
+    g2 = response_grid(params["response2"], n)
     prev = _halo_tail(x, state["prev"], n, axis)
     f1r, f1i = fused_overlap_save(
         jnp.real(prev), jnp.imag(prev), jnp.real(x), jnp.imag(x),
