@@ -1,0 +1,188 @@
+"""Pipeline parallelism: one chain stage per device, overlapped in flight.
+
+The reference's *only* parallelism is task/pipeline parallelism — every
+block spawns a Tokio task and a chain of k blocks runs up to k CPU cores
+deep, with pipelining depth bounded by the capacity-1 channels
+(``src/blocks/mod.rs:27-34``, ``src/flow.rs:44-52``).  This module is the
+TPU-native analog of that execution model: a bound chain is partitioned
+into contiguous *stages*, each stage is compiled into its own XLA program
+resident on its own device (params and carried state stay device-local),
+and a software pipeline drives one chunk per stage per tick.  All stage
+dispatches in a tick are issued before any result is awaited, so JAX's
+async dispatch runs the stages concurrently — the device-level analog of
+k parked tasks each holding one in-flight chunk.  Inter-stage handoffs
+are device-to-device transfers (ICI on a real TPU slice).
+
+When to use which parallel axis:
+
+- ``time_shard`` (sequence parallelism) scales a *single* chain with no
+  pipeline bubble, but requires every block to have a halo-expressible
+  state (``_HANDLERS``).  Blocks with sequential per-sample recurrences —
+  ``SlewRateLimiter`` (``src/blocks/filters.rs:338-349``) — cannot.
+- ``PipelinedChain`` scales *any* chain, because each stage keeps its
+  own sequential state locally; throughput is set by the slowest stage
+  and a warm-up bubble of (stages - 1) chunks, exactly like the
+  reference's chain latency of one chunk per channel hop
+  (``src/flow.rs:51-52``).
+
+Wire discipline: every jit boundary uses the packed float32-plane format
+(:func:`radiorust_tpu.blocks.base.pack_wire`) — complex values never
+cross a program boundary (see CLAUDE.md relay rules); inter-stage chunks
+travel packed and are reconstructed inside the next stage's program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..blocks.base import (BoundBlock, _BoundChain, pack_wire, unpack_wire)
+
+__all__ = ["PipelinedChain", "balance_partition"]
+
+
+def balance_partition(n_blocks: int, n_stages: int) -> List[int]:
+    """Contiguous block counts per stage, as even as possible.
+
+    With no per-block cost model the best static split is equal block
+    counts; pass an explicit ``partition`` to :class:`PipelinedChain` to
+    encode measured stage costs instead.
+    """
+    if not (1 <= n_stages <= n_blocks):
+        raise ValueError(f"need 1 <= stages ({n_stages}) <= blocks "
+                         f"({n_blocks})")
+    base, extra = divmod(n_blocks, n_stages)
+    return [base + (i < extra) for i in range(n_stages)]
+
+
+class _Stage:
+    """One pipeline stage: a contiguous sub-chain compiled for one device."""
+
+    def __init__(self, blocks: Sequence[BoundBlock], device):
+        self.bound = blocks[0] if len(blocks) == 1 else _BoundChain(blocks)
+        self.device = device
+        in_b = self.bound.in_sig.batch
+        out_b = self.bound.out_sig.batch
+        bound = self.bound
+
+        def step(pp, ps, px, reset):
+            state, y = bound.process(unpack_wire(pp), unpack_wire(ps),
+                                     unpack_wire(px), reset)
+            # Batch-growing stages (channelizer) expand the reset mask so
+            # the next stage sees one flag per output stream.
+            out_reset = (jnp.repeat(reset, out_b // in_b)
+                         if out_b != in_b else reset)
+            return pack_wire(state), pack_wire(y), out_reset
+
+        self.step = jax.jit(step)
+        self.params = jax.device_put(pack_wire(self.bound.params), device)
+        self.state = jax.device_put(pack_wire(self.bound.init_state()),
+                                    device)
+
+    def reset_state(self):
+        self.state = jax.device_put(pack_wire(self.bound.init_state()),
+                                    self.device)
+
+
+class PipelinedChain:
+    """Executes a bound chain with one stage per device, pipelined.
+
+    ``push(x, reset)`` feeds one input chunk and returns the output chunk
+    that left the last stage this tick, or ``None`` during the initial
+    fill (the first output appears after ``len(stages)`` pushes).
+    ``push(None)`` ticks the pipeline without feeding (drain).  ``run(xs)``
+    is the bulk helper: feed T chunks, drain, return ``[T, batch, n]``.
+
+    Semantically identical to scanning the chain sequentially — the
+    pipeline only changes *where* and *when* each stage executes.
+    """
+
+    def __init__(self, bound_chain: _BoundChain, devices=None,
+                 partition: Optional[Sequence[int]] = None):
+        blocks = list(bound_chain.blocks)
+        if devices is None:
+            devices = jax.devices()[:len(blocks)]
+        devices = list(devices)
+        if partition is None:
+            partition = balance_partition(len(blocks), len(devices))
+        if len(partition) != len(devices):
+            raise ValueError("partition and devices length mismatch")
+        if sum(partition) != len(blocks):
+            raise ValueError(f"partition {partition} does not cover "
+                             f"{len(blocks)} blocks")
+        self.bound = bound_chain
+        self.in_sig = bound_chain.in_sig
+        self.out_sig = bound_chain.out_sig
+        self.stages: List[_Stage] = []
+        i = 0
+        for cnt, dev in zip(partition, devices):
+            self.stages.append(_Stage(blocks[i:i + cnt], dev))
+            i += cnt
+        # buf[s] = packed (chunk, reset) waiting at stage s's door (already
+        # on stage s's device), or None while the pipeline fills/drains.
+        self._buf: List[Optional[tuple]] = [None] * len(self.stages)
+
+    @property
+    def depth(self) -> int:
+        return len(self.stages)
+
+    def reset(self):
+        """Drop all in-flight chunks and re-init every stage's state."""
+        self._buf = [None] * len(self.stages)
+        for st in self.stages:
+            st.reset_state()
+
+    def push(self, x=None, reset=None):
+        """One pipeline tick.  ``x``: [batch, chunk_len] complex (host or
+        device) or None to drain.  Returns the last stage's output chunk
+        (packed device value — use :func:`radiorust_tpu.blocks.base.
+        unpack_wire` or :meth:`run` for host complex), or None."""
+        stages = self.stages
+        outs: List[Optional[tuple]] = [None] * len(stages)
+        # Dispatch every occupied stage this tick before awaiting anything:
+        # JAX async dispatch overlaps the stage programs across devices.
+        for s, stage in enumerate(stages):
+            item = self._buf[s]
+            if item is None:
+                continue
+            px, rst = item
+            stage.state, y, out_rst = stage.step(stage.params, stage.state,
+                                                 px, rst)
+            outs[s] = (y, out_rst)
+        # Shift: stage s's output becomes stage s+1's pending input.
+        for s in range(len(stages) - 1, 0, -1):
+            prev = outs[s - 1]
+            if prev is None:
+                self._buf[s] = None
+            else:
+                y, rst = prev
+                self._buf[s] = (
+                    jax.device_put(y, stages[s].device),
+                    jax.device_put(rst, stages[s].device))
+        if x is None:
+            self._buf[0] = None
+        else:
+            if reset is None:
+                reset = np.zeros((self.in_sig.batch,), dtype=bool)
+            self._buf[0] = (
+                jax.device_put(pack_wire(jnp.asarray(x)), stages[0].device),
+                jax.device_put(jnp.asarray(reset), stages[0].device))
+        tail = outs[-1]
+        return None if tail is None else tail[0]
+
+    def run(self, xs, resets=None):
+        """Bulk: feed ``xs[T, batch, chunk_len]``, drain, return host
+        complex outputs ``[T, batch, out_chunk_len]`` in order."""
+        t_total = len(xs)
+        outs = []
+        for t in range(t_total + self.depth):
+            x = xs[t] if t < t_total else None
+            rst = None if (resets is None or t >= t_total) else resets[t]
+            y = self.push(x, rst)
+            if y is not None:
+                outs.append(unpack_wire(jax.device_get(y)))
+        assert len(outs) == t_total, (len(outs), t_total)
+        return np.stack(outs)
