@@ -1,0 +1,193 @@
+"""Compiled DAG graphs: fan-out taps in one fused XLA program.
+
+The reference has no central graph object — its "graph" is whichever
+``Sender``/``Receiver`` pairs are connected, and one producer may feed any
+number of consumers in lock-step (``src/flow.rs:44-52``).  ``Chain`` covers
+the linear case on the compiled path; this module covers the general DAG:
+declare named inputs, add blocks with explicit upstream nodes (a node may
+feed many downstream nodes — the broadcast analog), name the outputs, and
+``bind`` compiles the whole DAG into a single pure ``process`` that XLA
+fuses end-to-end.  Shared prefixes are computed once, unlike wiring two
+separate chains.
+
+Typical use — a WFM receiver that also taps the channel spectrum off the
+front end (the reference's relm_app plays audio while the GUI observes the
+spectrum):
+
+    g = Graph()
+    iq = g.input("iq")
+    front = g.add(Downsampler(384000.0, 200000.0),
+                  g.add(FreqShifter.with_shift(0.0), iq))
+    g.output("audio", g.add(audio_tail, front))
+    g.output("spectrum", g.add(Fourier(), front))
+    bg = g.bind({"iq": StreamSig(1, 16384, 1024000.0)})
+    state, ys = bg.process(bg.params, state, {"iq": x})   # ys["audio"], ...
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Block, BoundBlock, StreamSig
+
+__all__ = ["Graph", "BoundGraph", "NodeRef", "graph_scan"]
+
+
+@dataclass(frozen=True)
+class NodeRef:
+    """Handle to a graph node (an input or an added block)."""
+    idx: int
+
+
+class Graph:
+    """Declarative DAG builder.  Nodes are added in topological order by
+    construction (an upstream ``NodeRef`` must already exist)."""
+
+    def __init__(self):
+        # Each entry: (kind, payload). kind "input": payload = name.
+        # kind "block": payload = (Block spec, upstream idx).
+        self._nodes: List[tuple] = []
+        self._inputs: Dict[str, int] = {}
+        self._outputs: Dict[str, int] = {}
+
+    def input(self, name: str = "in") -> NodeRef:
+        if name in self._inputs:
+            raise ValueError(f"duplicate input name {name!r}")
+        self._nodes.append(("input", name))
+        ref = NodeRef(len(self._nodes) - 1)
+        self._inputs[name] = ref.idx
+        return ref
+
+    def add(self, block: Block, upstream: NodeRef) -> NodeRef:
+        if not isinstance(upstream, NodeRef) or not (
+                0 <= upstream.idx < len(self._nodes)):
+            raise ValueError("upstream must be a NodeRef from this graph")
+        self._nodes.append(("block", (block, upstream.idx)))
+        return NodeRef(len(self._nodes) - 1)
+
+    def chain(self, blocks, upstream: NodeRef) -> NodeRef:
+        """Convenience: add several blocks in sequence."""
+        ref = upstream
+        for b in blocks:
+            ref = self.add(b, ref)
+        return ref
+
+    def output(self, name: str, node: NodeRef) -> None:
+        if name in self._outputs:
+            raise ValueError(f"duplicate output name {name!r}")
+        self._outputs[name] = node.idx
+
+    def bind(self, sigs) -> "BoundGraph":
+        """``sigs``: dict input-name -> StreamSig (or a bare StreamSig when
+        the graph has exactly one input)."""
+        if isinstance(sigs, StreamSig):
+            if len(self._inputs) != 1:
+                raise ValueError("graph has multiple inputs; pass a dict")
+            sigs = {next(iter(self._inputs)): sigs}
+        missing = set(self._inputs) - set(sigs)
+        if missing:
+            raise ValueError(f"missing input signatures: {sorted(missing)}")
+        if not self._outputs:
+            raise ValueError("graph has no outputs")
+        return BoundGraph(self._nodes, self._inputs, self._outputs, sigs)
+
+
+class BoundGraph:
+    """A graph resolved against input signatures: one pure ``process`` over
+    dicts of named chunks.  Mirrors :class:`BoundBlock`'s contract with
+    dict-valued I/O; each node follows the same realness-propagation and
+    cumulative-warmup (``valid_from``) rules as ``Chain.bind``."""
+
+    def __init__(self, nodes, inputs: Dict[str, int],
+                 outputs: Dict[str, int], sigs: Dict[str, StreamSig]):
+        self._inputs = dict(inputs)
+        self._outputs = dict(outputs)
+        self.in_sigs = dict(sigs)
+
+        # Per node: bound block (or None for inputs), upstream idx,
+        # originating input name, out signature, realness, valid_from.
+        self.bound: List[Optional[BoundBlock]] = []
+        self._upstream: List[Optional[int]] = []
+        self._origin: List[str] = []
+        out_sig: List[StreamSig] = []
+        is_real: List[bool] = []
+        valid_from: List[int] = []
+        for kind, payload in nodes:
+            if kind == "input":
+                name = payload
+                self.bound.append(None)
+                self._upstream.append(None)
+                self._origin.append(name)
+                out_sig.append(sigs[name])
+                is_real.append(False)
+                valid_from.append(0)
+            else:
+                spec, up = payload
+                b = spec.bind(out_sig[up])
+                b.input_is_real = is_real[up]
+                self.bound.append(b)
+                self._upstream.append(up)
+                self._origin.append(self._origin[up])
+                out_sig.append(b.out_sig)
+                is_real.append(b.output_is_real)
+                valid_from.append(valid_from[up] + b.valid_from)
+        self._node_sig = out_sig
+        self.out_sigs = {n: out_sig[i] for n, i in self._outputs.items()}
+        #: Per-output first reference-comparable chunk index.
+        self.valid_from = {n: valid_from[i] for n, i in self._outputs.items()}
+        self.params = tuple(() if b is None else b.params
+                            for b in self.bound)
+
+    def init_state(self):
+        return tuple(() if b is None else b.init_state()
+                     for b in self.bound)
+
+    def process(self, params, state, xs: Dict[str, Any], resets=None):
+        """(params, state, {input: chunk}, {input: reset[batch]}?) ->
+        (state', {output: chunk})."""
+        if resets is None:
+            resets = {n: np.zeros((self.in_sigs[n].batch,), dtype=bool)
+                      for n in self._inputs}
+        vals: List[Any] = [None] * len(self.bound)
+        new_state = []
+        for i, b in enumerate(self.bound):
+            if b is None:
+                name = self._origin[i]
+                vals[i] = xs[name]
+                new_state.append(())
+                continue
+            r = resets[self._origin[i]]
+            # Batch-growing paths (channelizer) expand the mask per stream,
+            # same rule as _BoundChain.process.
+            if (hasattr(r, "shape") and r.shape
+                    and b.in_sig.batch != r.shape[0] and r.shape[0] > 1):
+                r = jnp.repeat(r, b.in_sig.batch // r.shape[0])
+            s, y = b.process(params[i], state[i], vals[self._upstream[i]], r)
+            vals[i] = y
+            new_state.append(s)
+        ys = {n: vals[i] for n, i in self._outputs.items()}
+        return tuple(new_state), ys
+
+
+def graph_scan(bg: BoundGraph, params, state, xs: Dict[str, Any],
+               resets=None):
+    """Scan a bound graph over stacked chunks: each ``xs[name]`` is
+    [T, batch, chunk_len]; returns (final_state, {output: [T, ...]}).
+    The dict analog of :func:`radiorust_tpu.blocks.base.scan`."""
+    import jax
+
+    t = next(iter(xs.values())).shape[0]
+    if resets is None:
+        resets = {n: np.zeros((t, bg.in_sigs[n].batch), dtype=bool)
+                  for n in bg.in_sigs}
+
+    def body(st, inp):
+        x, r = inp
+        st, ys = bg.process(params, st, x, r)
+        return st, ys
+
+    return jax.lax.scan(body, state, (xs, resets))

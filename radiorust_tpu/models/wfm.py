@@ -26,8 +26,9 @@ from ..blocks.modulation import FmDemod
 from ..blocks.resampling import Downsampler
 from ..blocks.transform import FreqShifter, GainControl
 
-__all__ = ["wfm_receiver", "wfm_transmitter", "WFM_INPUT_RATE",
-           "WFM_INPUT_CHUNK", "WFM_AUDIO_RATE", "WFM_AUDIO_CHUNK"]
+__all__ = ["wfm_receiver", "wfm_receiver_graph", "wfm_transmitter",
+           "WFM_INPUT_RATE", "WFM_INPUT_CHUNK", "WFM_AUDIO_RATE",
+           "WFM_AUDIO_CHUNK"]
 
 WFM_INPUT_RATE = 1024000.0
 WFM_INPUT_CHUNK = 16384
@@ -131,3 +132,42 @@ def wfm_receiver(tune_shift: float = 0.0, volume: float = 1.0,
         *tail,
         GainControl(volume),
     )
+
+
+def wfm_receiver_graph(tune_shift: float = 0.0, volume: float = 1.0,
+                       deviation: float = 150000.0, quality: int = 4):
+    """WFM receiver with a live spectrum tap, as one compiled DAG.
+
+    The reference gets this shape by broadcasting one producer to several
+    consumers in lock-step (``src/flow.rs:44-52``) — e.g. playing audio
+    while an analysis chain like ``examples/bandwidth_meter/main.rs:54-68``
+    observes the same tuned stream.  Here both consumers share the tuned,
+    channel-filtered front end *inside one XLA program*:
+
+        iq -> shift -> decimate 384k -> LPF +-100k
+               |-> demod -> deemphasis -> decimate 48k -> gain  = "audio"
+               '-> Overlapper(q) -> Fourier(Kaiser)             = "spectrum"
+
+    Returns a :class:`radiorust_tpu.blocks.graph.Graph`; bind with the
+    usual WFM input signature.
+    """
+    from ..blocks.analysis import Fourier
+    from ..blocks.chunks import Overlapper
+    from ..blocks.graph import Graph
+    from ..windowing import Kaiser
+
+    g = Graph()
+    iq = g.input("iq")
+    tuned = g.chain([FreqShifter.with_shift(tune_shift),
+                     Downsampler(384000.0, 200000.0),
+                     Filter.new(_lowpass_100k)], iq)
+    g.output("audio", g.chain([
+        FmDemod(deviation),
+        Filter.new_rectangular(_deemphasis_band),
+        Downsampler(48000.0, 2.0 * 20000.0),
+        GainControl(volume)], tuned))
+    g.output("spectrum", g.chain([
+        Overlapper(quality),
+        Fourier.with_window(Kaiser.with_null_at_bin(float(quality)))],
+        tuned))
+    return g

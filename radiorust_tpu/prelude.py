@@ -21,6 +21,7 @@ from .blocks.channelize import Channelizer
 from .blocks.frontend import MixerDecimator
 from .blocks.chunks import Overlapper, rechunk
 from .blocks.filters import (Filter, SlewRateLimiter, deemphasis_factor)
+from .blocks.graph import BoundGraph, Graph, graph_scan
 from .blocks.modulation import FmDemod, FmMod
 from .blocks.morse import Keyer, Speed, encode
 from .blocks.resampling import Downsampler, Upsampler
@@ -36,6 +37,7 @@ __all__ = [
     "scan", "pack_wire", "unpack_wire",
     "Fourier", "Channelizer", "MixerDecimator", "Overlapper", "rechunk",
     "Filter", "SlewRateLimiter", "deemphasis_factor",
+    "Graph", "BoundGraph", "graph_scan",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
     "Downsampler", "Upsampler", "FreqShifter", "GainControl", "MapSample",
     "bandwidth", "bandwidth_jax", "level", "level_jax",

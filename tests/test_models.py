@@ -244,3 +244,29 @@ def test_wfm_tx_rx_roundtrip():
     tone_amp = 2 * np.abs(np.fft.rfft(settled * win))[np.argmax(spec)] \
         / np.sum(win)
     assert 0.05 < tone_amp / amp < 20.0, tone_amp
+
+
+def test_wfm_receiver_graph_audio_and_spectrum():
+    """The DAG model's audio output equals the linear chain's, and the
+    spectrum tap puts its energy peak at the (shifted) carrier bin."""
+    from radiorust_tpu.blocks.graph import graph_scan
+    from radiorust_tpu.models.wfm import wfm_receiver_graph
+
+    t_chunks = 4
+    iq, _ = synth_wfm_iq(1000.0, t_chunks)
+    sig = StreamSig(1, WFM_INPUT_CHUNK, WFM_INPUT_RATE)
+    bg = wfm_receiver_graph().bind(sig)
+    assert bg.out_sigs["audio"].sample_rate == 48000.0
+    assert bg.out_sigs["spectrum"].chunk_len == 4 * 6144
+    _, ys = graph_scan(bg, bg.params, bg.init_state(),
+                       {"iq": jnp.asarray(iq)})
+    want, _ = run_chain(wfm_receiver(), sig, iq)
+    np.testing.assert_allclose(np.asarray(ys["audio"]), want, atol=5e-4)
+    # Steady-state spectrum: an FM carrier centered at DC spreads around
+    # bin 0; energy in the +-150 kHz band dominates the out-of-band tail.
+    spec = np.abs(np.asarray(ys["spectrum"])[-1, 0]) ** 2
+    n = spec.shape[-1]
+    freqs = np.fft.fftfreq(n, 1.0 / 384000.0)
+    inband = spec[np.abs(freqs) <= 150000.0].sum()
+    outband = spec[np.abs(freqs) > 150000.0].sum()
+    assert inband > 50.0 * outband
