@@ -48,7 +48,7 @@ from ..blocks import transform as _transform
 from ..blocks.base import BoundBlock
 from ..numbers import TAU
 
-__all__ = ["TimeShardedChain"]
+__all__ = ["TimeShardedChain", "TimeShardedGraph"]
 
 
 def _ring_left(x, axis):
@@ -452,3 +452,79 @@ class TimeShardedChain:
 
         new_state = jax.tree.map(take_last, pieces)
         return new_state, y
+
+
+class TimeShardedGraph:
+    """Time sharding over a compiled DAG (:class:`~radiorust_tpu.blocks.
+    graph.BoundGraph`): the same per-block halo handlers as
+    :class:`TimeShardedChain`, applied in topological order with fan-out
+    values reused — D consecutive group-chunks of every graph input are
+    processed on D devices per step.
+
+    ``process(params, state, xs_big)`` consumes ``{input: [batch,
+    D*chunk_len]}`` and returns ``(state', {output: [batch,
+    D*out_chunk_len]})``, numerically identical to ``graph_scan`` over the
+    D chunks sequentially.
+    """
+
+    def __init__(self, bound_graph, mesh: Mesh, t_axis: str = "t",
+                 ch_axis: Optional[str] = None):
+        self.bound = bound_graph
+        self.mesh = mesh
+        self.t_axis = t_axis
+        self.ch_axis = ch_axis
+        self.t_devices = mesh.shape[t_axis]
+        self.in_sigs = bound_graph.in_sigs
+        self.out_sigs = bound_graph.out_sigs
+        handlers = [None if b is None else _handler_for(b)
+                    for b in bound_graph.bound]
+
+        bg = bound_graph
+        taxis = t_axis
+
+        def local_step(params, state, xs):
+            vals = [None] * len(bg.bound)
+            new_pieces = []
+            for i, b in enumerate(bg.bound):
+                if b is None:
+                    vals[i] = xs[bg._origin[i]]
+                    new_pieces.append(())
+                    continue
+                piece, y = handlers[i](b, params[i], state[i],
+                                       vals[bg._upstream[i]], taxis)
+                vals[i] = y
+                new_pieces.append(
+                    jax.tree.map(lambda a: a[None, ...], piece))
+            ys = {n: vals[j] for n, j in bg._outputs.items()}
+            return tuple(new_pieces), ys
+
+        x_spec = P(ch_axis, t_axis) if ch_axis else P(None, t_axis)
+        state_in_spec = P(ch_axis) if ch_axis else P()
+        piece_spec = P(t_axis, ch_axis) if ch_axis else P(t_axis)
+        xs_specs = {n: x_spec for n in bg.in_sigs}
+        ys_specs = {n: x_spec for n in bg.out_sigs}
+
+        self._sharded = jax.jit(jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), state_in_spec, xs_specs),
+            out_specs=(piece_spec, ys_specs),
+            check_vma=False,
+        ))
+
+    def init_state(self):
+        return self.bound.init_state()
+
+    @property
+    def params(self):
+        return self.bound.params
+
+    def process(self, params, state, xs_big):
+        pieces, ys = self._sharded(params, state, xs_big)
+        from jax.sharding import NamedSharding
+
+        def take_last(a):
+            spec = P(self.ch_axis) if self.ch_axis else P()
+            return a.at[-1].get(
+                out_sharding=NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(take_last, pieces), ys

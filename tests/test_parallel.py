@@ -239,3 +239,78 @@ def test_time_sharded_random_chains(devices, seed):
     got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
     want = sequential_reference(chain.bind(sig), xs)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_sharded_graph_fanout(devices):
+    """A DAG with a fan-out tap time-shards: both outputs match graph_scan
+    of the same bound graph run sequentially."""
+    from radiorust_tpu.blocks.graph import Graph, graph_scan
+    from radiorust_tpu.parallel.time_shard import TimeShardedGraph
+
+    sig = StreamSig(2, 64, 8000.0)
+    g = Graph()
+    src = g.input("iq")
+    mid = g.add(FreqShifter.with_shift(500.0), src)
+    g.output("a", g.add(Filter.new(lowpass(2000.0)), mid))
+    g.output("b", g.add(FmDemod(1000.0), mid))
+    bg = g.bind(sig)
+
+    d, steps = 4, 3
+    mesh = jax.make_mesh((d,), ("t",))
+    xs = make_iq(steps * d, 2, 64, seed=11)
+    _, want = graph_scan(bg, bg.params, bg.init_state(),
+                         {"iq": jnp.asarray(xs)})
+
+    ts = TimeShardedGraph(bg, mesh, t_axis="t")
+    state = ts.init_state()
+    got = {"a": [], "b": []}
+    for s in range(steps):
+        group = xs[s * d: (s + 1) * d]
+        x_big = np.moveaxis(group, 0, 1).reshape(2, d * 64)
+        state, ys = ts.process(ts.params, state, {"iq": jnp.asarray(x_big)})
+        for k in got:
+            out_n = bg.out_sigs[k].chunk_len
+            got[k].append(np.moveaxis(
+                np.asarray(ys[k]).reshape(2, d, out_n), 1, 0))
+    for k in got:
+        np.testing.assert_allclose(np.concatenate(got[k], axis=0),
+                                   np.asarray(want[k]), atol=2e-4)
+
+
+def test_time_sharded_graph_wfm_spectrum(devices):
+    """The flagship DAG (WFM audio + spectrum tap) on a time mesh."""
+    from radiorust_tpu.blocks.graph import graph_scan
+    from radiorust_tpu.models.wfm import wfm_receiver_graph
+    from radiorust_tpu.parallel.time_shard import TimeShardedGraph
+
+    d, steps, n = 4, 2, 2048
+    sig = StreamSig(2, n, 1024000.0)
+    bg = wfm_receiver_graph().bind(sig)
+    mesh = jax.make_mesh((d,), ("t",))
+    t = np.arange(steps * d * n) / 1024000.0
+    audio = 0.3 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * (2 * np.pi * 150000.0 / 1024000.0 * np.cumsum(audio)))
+    xs = np.stack([iq, iq * np.exp(0.5j)]).astype(np.complex64)
+    xs = np.moveaxis(xs.reshape(2, steps * d, n), 1, 0)
+    _, want = graph_scan(bg, bg.params, bg.init_state(),
+                         {"iq": jnp.asarray(xs)})
+
+    ts = TimeShardedGraph(bg, mesh)
+    state = ts.init_state()
+    got = {k: [] for k in bg.out_sigs}
+    for s in range(steps):
+        group = xs[s * d: (s + 1) * d]
+        x_big = np.moveaxis(group, 0, 1).reshape(2, d * n)
+        state, ys = ts.process(ts.params, state, {"iq": jnp.asarray(x_big)})
+        for k in got:
+            out_n = bg.out_sigs[k].chunk_len
+            got[k].append(np.moveaxis(
+                np.asarray(ys[k]).reshape(2, d, out_n), 1, 0))
+    # Audio passes through the chaotic demod: skip the zero-primed warmup
+    # chunks like the chain tests; the spectrum path is linear, check all.
+    np.testing.assert_allclose(
+        np.concatenate(got["audio"], axis=0)[2:],
+        np.asarray(want["audio"])[2:], atol=5e-4)
+    np.testing.assert_allclose(
+        np.concatenate(got["spectrum"], axis=0),
+        np.asarray(want["spectrum"]), atol=2e-2)
