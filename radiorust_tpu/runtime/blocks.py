@@ -28,8 +28,9 @@ from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
                    SenderConnector, new_receiver, new_sender)
 
 __all__ = [
-    "RuntimeBlock", "MapSignal", "Silence", "Blackhole", "Buffer",
-    "Rechunker", "KeyerSource", "ArraySource", "ArraySink", "FileSink",
+    "RuntimeBlock", "RuntimeGraph", "MapSignal", "Silence", "Blackhole",
+    "Buffer", "Rechunker", "KeyerSource", "ArraySource", "ArraySink",
+    "FileSink",
 ]
 
 
@@ -340,6 +341,160 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
             # cascades down the chain instead of leaving peers parked.
             receiver.close()
             self.sender.close()
+
+
+class _OutputHandle:
+    """Producer facade for one named output of a :class:`RuntimeGraph`,
+    so ``consumer.feed_from(rg.out("audio"))`` works like any producer."""
+
+    def __init__(self, sender_connector: SenderConnector):
+        self.sender_connector = sender_connector
+
+    def feed_into(self, consumer) -> None:
+        consumer.receiver_connector.connect(self.sender_connector)
+
+
+class RuntimeGraph(_ConsumerMixin):
+    """Streaming actor around a compiled DAG with one input and N named
+    outputs.
+
+    The reference gets fan-out by broadcasting one producer's chunks to N
+    consumer chains in lock-step (``src/flow.rs:44-52``), each chain
+    recomputing from the shared stream.  This actor instead runs a
+    :class:`radiorust_tpu.blocks.graph.Graph` — the whole DAG, shared
+    prefix included, as ONE device program per chunk — and publishes each
+    named output on its own capacity-1 sender.  Events (and interrupt
+    resets) are forwarded to every output, preserving the in-band ordering
+    contract per stream.
+
+    Like :class:`RuntimeBlock`, chunks may be 1-D ``[n]`` or 2-D
+    ``[streams, n]`` (batched serving), and rebinding happens when the
+    incoming (batch, chunk_len, sample_rate) changes.
+    """
+
+    def __init__(self, graph_spec, name: Optional[str] = None):
+        from ..utils.profiling import GLOBAL_STATS
+        if len(graph_spec._inputs) != 1:
+            raise ValueError("RuntimeGraph wraps single-input graphs; "
+                             "multi-input graphs are a compiled-path "
+                             "feature (bind + graph_scan)")
+        self.spec = graph_spec
+        self.name = name or "RuntimeGraph"
+        self.stats = GLOBAL_STATS.unique(self.name)
+        receiver, self.receiver_connector = new_receiver()
+        self.senders: Dict[str, Sender] = {}
+        self._connectors: Dict[str, SenderConnector] = {}
+        for out_name in graph_spec._outputs:
+            s, sc = new_sender()
+            self.senders[out_name] = s
+            self._connectors[out_name] = sc
+        self._bindings: Dict[Tuple[int, int, float], Any] = {}
+        self._bound = None
+        self._state = None
+        self._pstate = None
+        self._pending_reset = False
+        self._param_override: Optional[Callable] = None
+        self.chunks_processed = 0
+        self._task = _spawn(self._run(receiver))
+
+    def out(self, name: str) -> _OutputHandle:
+        """Producer handle for output ``name`` (connect consumers to it)."""
+        return _OutputHandle(self._connectors[name])
+
+    def _get_bound(self, chunk_len: int, sample_rate: float, batch: int):
+        key = (batch, chunk_len, sample_rate)
+        bound = self._bindings.get(key)
+        if bound is None:
+            from ..blocks.base import pack_wire, unpack_wire
+            bg = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
+            in_name = next(iter(bg.in_sigs))
+
+            @jax.jit
+            def step(pp, ps, px, reset):
+                state, ys = bg.process(
+                    unpack_wire(pp), unpack_wire(ps),
+                    {in_name: unpack_wire(px)}, {in_name: reset})
+                return pack_wire(state), {k: pack_wire(v)
+                                          for k, v in ys.items()}
+
+            bg._jit = step
+            self._bindings[key] = bg
+        return self._bindings[key]
+
+    def update_params(self, fn: Callable[[Any, Any], Any]) -> None:
+        """Host-side retune applied per node: ``fn(bound_node, params) ->
+        params-or-None`` over every block node of the DAG (None keeps the
+        node's params) — the graph analog of the watch-channel setters."""
+        def override(bg, params):
+            out = []
+            for node, pp in zip(bg.bound, params):
+                if node is None:
+                    out.append(pp)
+                    continue
+                new = fn(node, pp)
+                out.append(pp if new is None else new)
+            return tuple(out)
+        self._param_override = override
+        if self._bound is not None:
+            self._bound.params = override(self._bound, self._bound.params)
+
+    async def _send_all(self, msg) -> None:
+        for s in self.senders.values():
+            await s.send(msg)
+
+    async def _run(self, receiver: Receiver):
+        from ..blocks.base import pack_wire, unpack_wire
+        try:
+            while True:
+                msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    if msg.is_interrupt:
+                        self._pending_reset = True
+                    self.stats.record_event()
+                    await self._send_all(msg)
+                    continue
+                chunk = np.asarray(msg.chunk)
+                t0 = time.perf_counter()
+                batched = chunk.ndim == 2
+                x = chunk if batched else chunk[None, :]
+                bound = self._get_bound(x.shape[1], msg.sample_rate,
+                                        x.shape[0])
+                fresh = bound is not self._bound
+                if fresh:
+                    self._bound = bound
+                    if self._param_override is not None:
+                        bound.params = self._param_override(
+                            bound, bound.params)
+                    self._state = bound.init_state()
+                    self._pstate = None
+                    self._pending_reset = False
+                reset = np.full((x.shape[0],), self._pending_reset)
+                if fresh or self._pending_reset:
+                    for out_name, s in self.senders.items():
+                        vf = bound.valid_from[out_name]
+                        if vf > 0:
+                            await s.send(Warmup(vf))
+                self._pending_reset = False
+                if self._pstate is None:
+                    self._pstate = pack_wire(self._state)
+                self._pstate, pys = bound._jit(
+                    pack_wire(bound.params), self._pstate,
+                    pack_wire(x), reset)
+                self.chunks_processed += 1
+                ys = {k: np.asarray(unpack_wire(
+                          jax.tree.map(np.asarray, v)))
+                      for k, v in pys.items()}
+                self.stats.record_chunk(x.size, time.perf_counter() - t0)
+                for out_name, s in self.senders.items():
+                    rate = bound.out_sigs[out_name].sample_rate
+                    y = ys[out_name]
+                    await s.send(Samples(rate, y if batched else y[0]))
+        except ChannelClosed:
+            return
+        finally:
+            receiver.close()
+            for s in self.senders.values():
+                s.close()
 
 
 class Silence(_ProducerMixin):

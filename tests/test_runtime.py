@@ -781,3 +781,90 @@ def test_actor_pipeline_matches_compiled_scan(seed):
     want = np.asarray(want).reshape(-1)
     np.testing.assert_allclose(got, want[: len(got)], atol=2e-5)
     assert len(got) == want.size
+
+
+def test_runtime_graph_fanout():
+    """RuntimeGraph: one input actor, two named outputs on separate
+    capacity-1 senders; each equals the corresponding RuntimeBlock chain,
+    and the shared prefix runs once per chunk (chunks_processed)."""
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.blocks.transform import FreqShifter, GainControl
+    from radiorust_tpu.runtime import RuntimeGraph
+
+    def build_graph():
+        g = Graph()
+        src = g.input("iq")
+        mid = g.add(FreqShifter.with_shift(500.0), src)
+        g.output("loud", g.add(GainControl(2.0), mid))
+        g.output("quiet", g.add(GainControl(0.25), mid))
+        return g
+
+    rng = np.random.default_rng(0)
+    data = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+            ).astype(np.complex64)
+
+    async def main():
+        src = ArraySource(data, chunk_len=16, sample_rate=8000.0)
+        rg = RuntimeGraph(build_graph())
+        sink_a = ArraySink()
+        sink_b = ArraySink()
+        rg.feed_from(src)
+        sink_a.feed_from(rg.out("loud"))
+        sink_b.feed_from(rg.out("quiet"))
+        await until(lambda: len(sink_a.samples) >= 64
+                    and len(sink_b.samples) >= 64)
+        assert rg.chunks_processed == 4  # shared prefix ran once per chunk
+        return np.asarray(sink_a.samples), np.asarray(sink_b.samples)
+
+    got_loud, got_quiet = run(main())
+
+    async def reference(gain):
+        from radiorust_tpu.blocks.base import Chain
+        src = ArraySource(data, chunk_len=16, sample_rate=8000.0)
+        blk = RuntimeBlock(Chain(FreqShifter.with_shift(500.0),
+                                 GainControl(gain)))
+        sink = ArraySink()
+        blk.feed_from(src)
+        sink.feed_from(blk)
+        await until(lambda: len(sink.samples) >= 64)
+        return np.asarray(sink.samples)
+
+    np.testing.assert_allclose(got_loud, run(reference(2.0)), atol=2e-4)
+    np.testing.assert_allclose(got_quiet, run(reference(0.25)), atol=2e-4)
+
+
+def test_runtime_graph_events_and_retune():
+    """Events forward to every output; interrupts reset DAG state; the
+    per-node update_params override retunes like the watch setters."""
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.blocks.transform import GainControl, _BoundGain
+    from radiorust_tpu.runtime import RuntimeGraph
+    from radiorust_tpu.runtime.flow import new_sender
+
+    async def main():
+        sender, connector = new_sender()
+        g = Graph()
+        src = g.input("x")
+        g.output("a", g.add(GainControl(1.0), src))
+        g.output("b", g.add(GainControl(1.0), src))
+        rg = RuntimeGraph(g)
+        rg.feed_from(type("P", (), {"sender_connector": connector})())
+        sink_a, sink_b = ArraySink(), ArraySink()
+        sink_a.feed_from(rg.out("a"))
+        sink_b.feed_from(rg.out("b"))
+        await sender.send(Samples(8000.0, np.ones(8, np.complex64)))
+        await until(lambda: len(sink_a.samples) >= 8)
+        rg.update_params(lambda node, p: np.float32(3.0)
+                         if isinstance(node, _BoundGain) else None)
+        await sender.send(Disconnection())
+        await sender.send(Samples(8000.0, np.ones(8, np.complex64)))
+        await until(lambda: len(sink_a.samples) >= 16
+                    and len(sink_b.samples) >= 16)
+        assert any(isinstance(e, Disconnection) for e in sink_a.events)
+        assert any(isinstance(e, Disconnection) for e in sink_b.events)
+        np.testing.assert_allclose(np.asarray(sink_a.samples)[8:], 3.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sink_b.samples)[8:], 3.0,
+                                   atol=1e-6)
+
+    run(main())
