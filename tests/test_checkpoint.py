@@ -92,3 +92,32 @@ def test_resume_with_stateless_block_midchain(tmp_path):
 
     np.testing.assert_array_equal(np.asarray(ys_all[:2]), np.asarray(ys_a))
     np.testing.assert_array_equal(np.asarray(ys_all[2:]), np.asarray(ys_b))
+
+
+def test_graph_state_roundtrip(tmp_path):
+    """BoundGraph state (tuple with () leaves for input nodes) checkpoints
+    and resumes bit-exactly mid-stream."""
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.graph import graph_scan
+    from radiorust_tpu.models.wfm import wfm_receiver_graph
+    from radiorust_tpu.blocks.base import StreamSig
+
+    sig = StreamSig(1, 2048, 1024000.0)
+    bg = wfm_receiver_graph().bind(sig)
+    rng = np.random.default_rng(0)
+    xs = (rng.standard_normal((4, 1, 2048))
+          + 1j * rng.standard_normal((4, 1, 2048))).astype(np.complex64)
+
+    st, ys_a = graph_scan(bg, bg.params, bg.init_state(),
+                          {"iq": jnp.asarray(xs[:2])})
+    path = str(tmp_path / "graph_state.npz")
+    import jax
+    save_state(path, jax.tree.map(np.asarray, st))
+    st2 = load_state(path)
+    _, ys_b = graph_scan(bg, bg.params, st2, {"iq": jnp.asarray(xs[2:])})
+    _, ys_full = graph_scan(bg, bg.params, bg.init_state(),
+                            {"iq": jnp.asarray(xs)})
+    for k in ("audio", "spectrum"):
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(ys_a[k]), np.asarray(ys_b[k])]),
+            np.asarray(ys_full[k]))

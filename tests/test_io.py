@@ -206,3 +206,17 @@ def test_native_file_driver_roundtrip(tmp_path):
         np.testing.assert_array_equal(sink.samples[:1000], data)
 
     run(main())
+
+
+def test_spectrum_receiver_example_runs():
+    import pathlib
+    import subprocess
+    import sys
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "spectrum_receiver.py")],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert "dominant tone" in out.stdout
+    assert "occupied bandwidth" in out.stdout
