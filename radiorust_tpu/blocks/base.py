@@ -114,6 +114,17 @@ class BoundBlock:
         return self.process(params, state, x, reset)
 
 
+def expand_reset(block: "BoundBlock", r):
+    """Widen a per-stream reset mask for a batch-growing block (e.g. the
+    channelizer folds channels into the batch axis, so each incoming
+    stream's flag repeats per derived stream).  Shared by ``_BoundChain``
+    and ``BoundGraph``."""
+    if (hasattr(r, "shape") and r.shape
+            and block.in_sig.batch != r.shape[0] and r.shape[0] > 1):
+        return jnp.repeat(r, block.in_sig.batch // r.shape[0])
+    return r
+
+
 class _BoundChain(BoundBlock):
     def __init__(self, bound: Sequence[BoundBlock]):
         self.blocks = tuple(bound)
@@ -134,14 +145,7 @@ class _BoundChain(BoundBlock):
     def process(self, params, state, x, reset):
         new_state = []
         for block, p, s in zip(self.blocks, params, state, strict=True):
-            r = reset
-            # Batch-growing blocks (e.g. the channelizer folds channels
-            # into the batch axis) need the reset mask expanded per stream.
-            if (hasattr(r, "shape") and r.shape
-                    and block.in_sig.batch != r.shape[0]
-                    and r.shape[0] > 1):
-                r = jnp.repeat(r, block.in_sig.batch // r.shape[0])
-            s, x = block.process(p, s, x, r)
+            s, x = block.process(p, s, x, expand_reset(block, reset))
             new_state.append(s)
         return tuple(new_state), x
 

@@ -29,10 +29,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
-from .base import Block, BoundBlock, StreamSig
+from .base import Block, BoundBlock, StreamSig, expand_reset
 
 __all__ = ["Graph", "BoundGraph", "NodeRef", "graph_scan"]
 
@@ -160,17 +159,33 @@ class BoundGraph:
                 vals[i] = xs[name]
                 new_state.append(())
                 continue
-            r = resets[self._origin[i]]
-            # Batch-growing paths (channelizer) expand the mask per stream,
-            # same rule as _BoundChain.process.
-            if (hasattr(r, "shape") and r.shape
-                    and b.in_sig.batch != r.shape[0] and r.shape[0] > 1):
-                r = jnp.repeat(r, b.in_sig.batch // r.shape[0])
+            r = expand_reset(b, resets[self._origin[i]])
             s, y = b.process(params[i], state[i], vals[self._upstream[i]], r)
             vals[i] = y
             new_state.append(s)
         ys = {n: vals[i] for n, i in self._outputs.items()}
         return tuple(new_state), ys
+
+
+def linear_bound_graph(bound_chain) -> BoundGraph:
+    """Adapt an already-bound chain into the ``BoundGraph`` shape: input
+    node "in" followed by the chain's blocks, output "out".  Node 0 (the
+    input) contributes ``()`` params/state, so graph params/state are
+    ``((),) + chain params/state``.  Lets graph-generic machinery (e.g.
+    ``TimeShardedGraph``) serve as the single implementation for chains."""
+    blocks = list(bound_chain.blocks)
+    bg = BoundGraph.__new__(BoundGraph)
+    bg._inputs = {"in": 0}
+    bg._outputs = {"out": len(blocks)}
+    bg.in_sigs = {"in": bound_chain.in_sig}
+    bg.bound = [None, *blocks]
+    bg._upstream = [None, *range(len(blocks))]
+    bg._origin = ["in"] * (len(blocks) + 1)
+    bg._node_sig = [bound_chain.in_sig] + [b.out_sig for b in blocks]
+    bg.out_sigs = {"out": bound_chain.out_sig}
+    bg.valid_from = {"out": bound_chain.valid_from}
+    bg.params = ((), *bound_chain.params)
+    return bg
 
 
 def graph_scan(bg: BoundGraph, params, state, xs: Dict[str, Any],

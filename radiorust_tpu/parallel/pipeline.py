@@ -92,7 +92,7 @@ class PipelinedChain:
 
     ``push(x, reset)`` feeds one input chunk and returns the output chunk
     that left the last stage this tick, or ``None`` during the initial
-    fill (the first output appears after ``len(stages)`` pushes).
+    fill (the first output returns on the ``len(stages)``-th push).
     ``push(None)`` ticks the pipeline without feeding (drain).  ``run(xs)``
     is the bulk helper: feed T chunks, drain, return ``[T, batch, n]``.
 
@@ -137,10 +137,22 @@ class PipelinedChain:
 
     def push(self, x=None, reset=None):
         """One pipeline tick.  ``x``: [batch, chunk_len] complex (host or
-        device) or None to drain.  Returns the last stage's output chunk
-        (packed device value — use :func:`radiorust_tpu.blocks.base.
-        unpack_wire` or :meth:`run` for host complex), or None."""
+        device) or None to drain.  The fed chunk enters stage 0 *this*
+        tick, so the first output returns on the ``len(stages)``-th push
+        (warm-up bubble = stages-1 chunks).  Returns the last stage's
+        output chunk (packed device value — use :func:`radiorust_tpu.
+        blocks.base.unpack_wire` or :meth:`run` for host complex), or
+        None."""
         stages = self.stages
+        if x is not None:
+            if reset is None:
+                reset = np.zeros((self.in_sig.batch,), dtype=bool)
+            # Pack on the HOST (numpy) before any jax op: complex values
+            # must never reach an eager jnp op or a program boundary
+            # (CLAUDE.md relay rules 1-2).
+            self._buf[0] = (
+                jax.device_put(pack_wire(np.asarray(x)), stages[0].device),
+                jax.device_put(np.asarray(reset), stages[0].device))
         outs: List[Optional[tuple]] = [None] * len(stages)
         # Dispatch every occupied stage this tick before awaiting anything:
         # JAX async dispatch overlaps the stage programs across devices.
@@ -162,14 +174,7 @@ class PipelinedChain:
                 self._buf[s] = (
                     jax.device_put(y, stages[s].device),
                     jax.device_put(rst, stages[s].device))
-        if x is None:
-            self._buf[0] = None
-        else:
-            if reset is None:
-                reset = np.zeros((self.in_sig.batch,), dtype=bool)
-            self._buf[0] = (
-                jax.device_put(pack_wire(jnp.asarray(x)), stages[0].device),
-                jax.device_put(jnp.asarray(reset), stages[0].device))
+        self._buf[0] = None
         tail = outs[-1]
         return None if tail is None else tail[0]
 
@@ -177,8 +182,11 @@ class PipelinedChain:
         """Bulk: feed ``xs[T, batch, chunk_len]``, drain, return host
         complex outputs ``[T, batch, out_chunk_len]`` in order."""
         t_total = len(xs)
+        if t_total == 0:
+            return np.zeros((0, self.out_sig.batch, self.out_sig.chunk_len),
+                            dtype=np.complex64)
         outs = []
-        for t in range(t_total + self.depth):
+        for t in range(t_total + self.depth - 1):
             x = xs[t] if t < t_total else None
             rst = None if (resets is None or t >= t_total) else resets[t]
             y = self.push(x, rst)

@@ -393,44 +393,23 @@ class TimeShardedChain:
     and returns the next carry and ``[batch, D*out_chunk_len]``; it is
     numerically identical to scanning the chain over the D chunks
     sequentially.
+
+    A chain is the linear special case of a DAG, so this is a thin
+    wrapper over :class:`TimeShardedGraph` (one sharded implementation).
     """
 
     def __init__(self, bound_chain, mesh: Mesh, t_axis: str = "t",
                  ch_axis: Optional[str] = None):
+        from ..blocks.graph import linear_bound_graph
         self.bound = bound_chain
         self.mesh = mesh
         self.t_axis = t_axis
         self.ch_axis = ch_axis
         self.t_devices = mesh.shape[t_axis]
-        self.handlers = [_handler_for(b) for b in bound_chain.blocks]
         self.in_sig = bound_chain.in_sig
         self.out_sig = bound_chain.out_sig
-
-        blocks = bound_chain.blocks
-        handlers = self.handlers
-        taxis = t_axis
-
-        def local_step(params, state, x):
-            new_pieces = []
-            for block, h, p, s in zip(blocks, handlers, params, state):
-                piece, x = h(block, p, s, x, taxis)
-                new_pieces.append(
-                    jax.tree.map(lambda a: a[None, ...], piece))
-            return tuple(new_pieces), x
-
-        # State leaves are [batch, ...]: sharded over the channel axis,
-        # replicated over time shards.  Output state pieces gain a leading
-        # time-shard axis (the caller keeps the last shard's piece).
-        x_spec = P(ch_axis, t_axis) if ch_axis else P(None, t_axis)
-        state_in_spec = P(ch_axis) if ch_axis else P()
-        piece_spec = P(t_axis, ch_axis) if ch_axis else P(t_axis)
-
-        self._sharded = jax.jit(jax.shard_map(
-            local_step, mesh=mesh,
-            in_specs=(P(), state_in_spec, x_spec),
-            out_specs=(piece_spec, x_spec),
-            check_vma=False,
-        ))
+        self._graph = TimeShardedGraph(linear_bound_graph(bound_chain),
+                                       mesh, t_axis=t_axis, ch_axis=ch_axis)
 
     def init_state(self):
         return self.bound.init_state()
@@ -440,18 +419,10 @@ class TimeShardedChain:
         return self.bound.params
 
     def process(self, params, state, x_big):
-        pieces, y = self._sharded(params, state, x_big)
-        # Each state leaf is stacked per time-shard; the next step's carry
-        # is the last device's piece (the latest chunk in the group).
-        from jax.sharding import NamedSharding
-
-        def take_last(a):
-            spec = P(self.ch_axis) if self.ch_axis else P()
-            return a.at[-1].get(
-                out_sharding=NamedSharding(self.mesh, spec))
-
-        new_state = jax.tree.map(take_last, pieces)
-        return new_state, y
+        # The adapter's node 0 (the graph input) carries () params/state.
+        new_state, ys = self._graph.process(
+            ((), *params), ((), *state), {"in": x_big})
+        return tuple(new_state[1:]), ys["out"]
 
 
 class TimeShardedGraph:

@@ -131,9 +131,20 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
 
     @staticmethod
     def _map_blocks(bound, params, fn):
-        """Apply fn(block, block_params) -> new_params over a bound block
-        or every sub-block of a bound chain; None leaves params unchanged."""
+        """Apply fn(block, block_params) -> new_params over a bound block,
+        every sub-block of a bound chain, or every node of a bound graph;
+        None leaves params unchanged."""
         from ..blocks.base import _BoundChain
+        from ..blocks.graph import BoundGraph
+        if isinstance(bound, BoundGraph):
+            out = []
+            for node, pp in zip(bound.bound, params):
+                if node is None:
+                    out.append(pp)
+                    continue
+                new = fn(node, pp)
+                out.append(pp if new is None else new)
+            return tuple(out)
         if isinstance(bound, _BoundChain):
             out = []
             for blk, pp in zip(bound.blocks, params):
@@ -237,6 +248,22 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
 
         self._apply_typed(fn)
 
+    # -- output hooks (RuntimeGraph overrides these for multi-output) ------
+
+    async def _emit_event(self, msg) -> None:
+        await self.sender.send(msg)
+
+    async def _send_warmup(self, bound, inflight) -> None:
+        """Zero-primed history: warn consumers the next valid_from outputs
+        are not reference-comparable.  Flush first so the event lands
+        before those outputs' peers."""
+        if bound.valid_from > 0:
+            await self._flush(inflight)
+            await self.sender.send(Warmup(bound.valid_from))
+
+    def _close_outputs(self) -> None:
+        self.sender.close()
+
     async def _fetch_send(self, entry) -> None:
         """Fetch one in-flight device result and emit it downstream.
 
@@ -245,13 +272,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         throughput numbers remain correct, per-chunk times read higher.
         """
         from ..blocks.base import unpack_wire
-        py, out_rate, n_in, batched, t0 = entry
+        py, bound, n_in, batched, t0 = entry
         y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
         self.chunks_processed += 1
         # The np.asarray fetch above synchronizes the device, so the
         # recorded wall time covers the real compute.
         self.stats.record_chunk(n_in, time.perf_counter() - t0)
-        await self.sender.send(Samples(out_rate, y if batched else y[0]))
+        await self.sender.send(Samples(bound.out_sig.sample_rate,
+                                       y if batched else y[0]))
 
     async def _flush(self, inflight) -> None:
         while inflight:
@@ -283,7 +311,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     if msg.is_interrupt:
                         self._pending_reset = True
                     self.stats.record_event()
-                    await self.sender.send(msg)
+                    await self._emit_event(msg)
                     continue
                 chunk = np.asarray(msg.chunk)
                 t0 = time.perf_counter()
@@ -305,12 +333,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     self._pstate = None
                     self._pending_reset = False
                 reset = np.full((x.shape[0],), self._pending_reset)
-                if (fresh or self._pending_reset) and bound.valid_from > 0:
-                    # Zero-primed history: warn consumers the next
-                    # valid_from outputs are not reference-comparable.
-                    # Flush so the event lands before those outputs' peers.
-                    await self._flush(inflight)
-                    await self.sender.send(Warmup(bound.valid_from))
+                if fresh or self._pending_reset:
+                    await self._send_warmup(bound, inflight)
                 self._pending_reset = False
                 from ..blocks.base import pack_wire
                 if self._pstate is None:
@@ -318,8 +342,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                 self._pstate, py = bound._jit(
                     pack_wire(bound.params), self._pstate,
                     pack_wire(x), reset)
-                inflight.append(
-                    (py, bound.out_sig.sample_rate, x.size, batched, t0))
+                inflight.append((py, bound, x.size, batched, t0))
                 while len(inflight) > self.pipeline_depth:
                     await self._fetch_send(inflight.popleft())
         except ChannelClosed:
@@ -340,7 +363,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
             # owns Receiver/Sender, src/blocks/mod.rs:213-230), so teardown
             # cascades down the chain instead of leaving peers parked.
             receiver.close()
-            self.sender.close()
+            self._close_outputs()
 
 
 class _OutputHandle:
@@ -354,7 +377,7 @@ class _OutputHandle:
         consumer.receiver_connector.connect(self.sender_connector)
 
 
-class RuntimeGraph(_ConsumerMixin):
+class RuntimeGraph(RuntimeBlock):
     """Streaming actor around a compiled DAG with one input and N named
     outputs.
 
@@ -367,12 +390,21 @@ class RuntimeGraph(_ConsumerMixin):
     resets) are forwarded to every output, preserving the in-band ordering
     contract per stream.
 
-    Like :class:`RuntimeBlock`, chunks may be 1-D ``[n]`` or 2-D
-    ``[streams, n]`` (batched serving), and rebinding happens when the
-    incoming (batch, chunk_len, sample_rate) changes.
+    Delivery semantics per output: outputs with a connected consumer run
+    in lock-step with backpressure (the reference's broadcast contract);
+    an output *without* a consumer drops its chunks instead of stalling
+    the others (a late subscriber simply starts at the live stream
+    position, matching the live-rewiring model).  If NO output has a
+    consumer, the actor parks — the single-output backpressure behavior.
+
+    Everything else (rebind on shape/rate change, interrupt resets,
+    per-output Warmup, 1-D/2-D batched-serving chunks, ``pipeline_depth``
+    in-flight dispatch, typed setters like ``set_gain``/``set_shift``
+    applied per node) is inherited from :class:`RuntimeBlock`.
     """
 
-    def __init__(self, graph_spec, name: Optional[str] = None):
+    def __init__(self, graph_spec, name: Optional[str] = None,
+                 pipeline_depth: int = 0):
         from ..utils.profiling import GLOBAL_STATS
         if len(graph_spec._inputs) != 1:
             raise ValueError("RuntimeGraph wraps single-input graphs; "
@@ -381,6 +413,7 @@ class RuntimeGraph(_ConsumerMixin):
         self.spec = graph_spec
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
+        self.pipeline_depth = pipeline_depth
         receiver, self.receiver_connector = new_receiver()
         self.senders: Dict[str, Sender] = {}
         self._connectors: Dict[str, SenderConnector] = {}
@@ -401,7 +434,14 @@ class RuntimeGraph(_ConsumerMixin):
         """Producer handle for output ``name`` (connect consumers to it)."""
         return _OutputHandle(self._connectors[name])
 
-    def _get_bound(self, chunk_len: int, sample_rate: float, batch: int):
+    @property
+    def sender_connector(self):
+        raise AttributeError(
+            "RuntimeGraph has named outputs; connect consumers via "
+            "sink.feed_from(rg.out(name))")
+
+    def _get_bound(self, chunk_len: int, sample_rate: float,
+                   batch: int = 1):
         key = (batch, chunk_len, sample_rate)
         bound = self._bindings.get(key)
         if bound is None:
@@ -421,80 +461,43 @@ class RuntimeGraph(_ConsumerMixin):
             self._bindings[key] = bg
         return self._bindings[key]
 
-    def update_params(self, fn: Callable[[Any, Any], Any]) -> None:
-        """Host-side retune applied per node: ``fn(bound_node, params) ->
-        params-or-None`` over every block node of the DAG (None keeps the
-        node's params) — the graph analog of the watch-channel setters."""
-        def override(bg, params):
-            out = []
-            for node, pp in zip(bg.bound, params):
-                if node is None:
-                    out.append(pp)
-                    continue
-                new = fn(node, pp)
-                out.append(pp if new is None else new)
-            return tuple(out)
-        self._param_override = override
-        if self._bound is not None:
-            self._bound.params = override(self._bound, self._bound.params)
+    # -- multi-output hooks -------------------------------------------------
 
-    async def _send_all(self, msg) -> None:
+    async def _broadcast(self, make_msg) -> None:
+        """Send to every output that has a consumer; drop for outputs that
+        don't; park (backpressure) while no output has any consumer."""
+        while all(s._channel.receivers == 0 for s in self.senders.values()):
+            await asyncio.sleep(0.01)
+        for name, s in self.senders.items():
+            if s._channel.receivers == 0:
+                continue
+            await s.send(make_msg(name))
+
+    async def _emit_event(self, msg) -> None:
+        await self._broadcast(lambda name: msg)
+
+    async def _send_warmup(self, bound, inflight) -> None:
+        if any(vf > 0 for vf in bound.valid_from.values()):
+            await self._flush(inflight)
+            for name, s in self.senders.items():
+                vf = bound.valid_from[name]
+                if vf > 0 and s._channel.receivers > 0:
+                    await s.send(Warmup(vf))
+
+    def _close_outputs(self) -> None:
         for s in self.senders.values():
-            await s.send(msg)
+            s.close()
 
-    async def _run(self, receiver: Receiver):
-        from ..blocks.base import pack_wire, unpack_wire
-        try:
-            while True:
-                msg = await receiver.recv()
-                if isinstance(msg, Event):
-                    if msg.is_interrupt:
-                        self._pending_reset = True
-                    self.stats.record_event()
-                    await self._send_all(msg)
-                    continue
-                chunk = np.asarray(msg.chunk)
-                t0 = time.perf_counter()
-                batched = chunk.ndim == 2
-                x = chunk if batched else chunk[None, :]
-                bound = self._get_bound(x.shape[1], msg.sample_rate,
-                                        x.shape[0])
-                fresh = bound is not self._bound
-                if fresh:
-                    self._bound = bound
-                    if self._param_override is not None:
-                        bound.params = self._param_override(
-                            bound, bound.params)
-                    self._state = bound.init_state()
-                    self._pstate = None
-                    self._pending_reset = False
-                reset = np.full((x.shape[0],), self._pending_reset)
-                if fresh or self._pending_reset:
-                    for out_name, s in self.senders.items():
-                        vf = bound.valid_from[out_name]
-                        if vf > 0:
-                            await s.send(Warmup(vf))
-                self._pending_reset = False
-                if self._pstate is None:
-                    self._pstate = pack_wire(self._state)
-                self._pstate, pys = bound._jit(
-                    pack_wire(bound.params), self._pstate,
-                    pack_wire(x), reset)
-                self.chunks_processed += 1
-                ys = {k: np.asarray(unpack_wire(
-                          jax.tree.map(np.asarray, v)))
-                      for k, v in pys.items()}
-                self.stats.record_chunk(x.size, time.perf_counter() - t0)
-                for out_name, s in self.senders.items():
-                    rate = bound.out_sigs[out_name].sample_rate
-                    y = ys[out_name]
-                    await s.send(Samples(rate, y if batched else y[0]))
-        except ChannelClosed:
-            return
-        finally:
-            receiver.close()
-            for s in self.senders.values():
-                s.close()
+    async def _fetch_send(self, entry) -> None:
+        from ..blocks.base import unpack_wire
+        pys, bound, n_in, batched, t0 = entry
+        ys = {k: np.asarray(unpack_wire(jax.tree.map(np.asarray, v)))
+              for k, v in pys.items()}
+        self.chunks_processed += 1
+        self.stats.record_chunk(n_in, time.perf_counter() - t0)
+        await self._broadcast(
+            lambda name: Samples(bound.out_sigs[name].sample_rate,
+                                 ys[name] if batched else ys[name][0]))
 
 
 class Silence(_ProducerMixin):

@@ -834,10 +834,10 @@ def test_runtime_graph_fanout():
 
 
 def test_runtime_graph_events_and_retune():
-    """Events forward to every output; interrupts reset DAG state; the
-    per-node update_params override retunes like the watch setters."""
+    """Events forward to every connected output; interrupts reset DAG
+    state; the inherited typed setters (set_gain) retune per node."""
     from radiorust_tpu.blocks.graph import Graph
-    from radiorust_tpu.blocks.transform import GainControl, _BoundGain
+    from radiorust_tpu.blocks.transform import GainControl
     from radiorust_tpu.runtime import RuntimeGraph
     from radiorust_tpu.runtime.flow import new_sender
 
@@ -854,8 +854,7 @@ def test_runtime_graph_events_and_retune():
         sink_b.feed_from(rg.out("b"))
         await sender.send(Samples(8000.0, np.ones(8, np.complex64)))
         await until(lambda: len(sink_a.samples) >= 8)
-        rg.update_params(lambda node, p: np.float32(3.0)
-                         if isinstance(node, _BoundGain) else None)
+        rg.set_gain(3.0)
         await sender.send(Disconnection())
         await sender.send(Samples(8000.0, np.ones(8, np.complex64)))
         await until(lambda: len(sink_a.samples) >= 16
@@ -866,5 +865,34 @@ def test_runtime_graph_events_and_retune():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(sink_b.samples)[8:], 3.0,
                                    atol=1e-6)
+
+    run(main())
+
+
+def test_runtime_graph_unconnected_output_drops():
+    """An output without a consumer must not stall the connected ones
+    (drop semantics); a late subscriber starts at the live position."""
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.blocks.transform import GainControl
+    from radiorust_tpu.runtime import RuntimeGraph
+
+    rng = np.random.default_rng(3)
+    data = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+            ).astype(np.complex64)
+
+    async def main():
+        g = Graph()
+        src = g.input("x")
+        g.output("a", g.add(GainControl(2.0), src))
+        g.output("b", g.add(GainControl(0.5), src))  # never connected
+        rg = RuntimeGraph(g)
+        sink_a = ArraySink()
+        rg.feed_from(ArraySource(data, chunk_len=16, sample_rate=8000.0))
+        sink_a.feed_from(rg.out("a"))
+        # All 4 chunks must flow through "a" even though "b" has no
+        # consumer (pre-fix this deadlocked after the first chunk).
+        await until(lambda: len(sink_a.samples) >= 64)
+        np.testing.assert_allclose(np.asarray(sink_a.samples), data * 2.0,
+                                   atol=2e-4)
 
     run(main())
