@@ -64,7 +64,7 @@ def _spawn(coro):
     return asyncio.get_running_loop().create_task(coro)
 
 
-class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
+class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
     """Streaming actor around a compiled block spec.
 
     The device-side program recompiles only when (batch, chunk_len,
@@ -92,6 +92,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
         # sample/event ordering is preserved exactly.  Depth 0 fetches
         # synchronously (adds no latency).
         self.pipeline_depth = pipeline_depth
+        # Events riding the stream are observable on any block, as the
+        # reference's impl_block_trait! EventHandling provides
+        # (src/blocks/mod.rs:126-142; invocation template
+        # src/blocks/mod.rs:193-239).
+        self.event_handlers = EventHandlers()
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._bindings: Dict[Tuple[int, float], Any] = {}
@@ -311,6 +316,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin):
                     if msg.is_interrupt:
                         self._pending_reset = True
                     self.stats.record_event()
+                    self.event_handlers.invoke(msg)
                     await self._emit_event(msg)
                     continue
                 chunk = np.asarray(msg.chunk)
@@ -414,6 +420,7 @@ class RuntimeGraph(RuntimeBlock):
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
+        self.event_handlers = EventHandlers()
         receiver, self.receiver_connector = new_receiver()
         self.senders: Dict[str, Sender] = {}
         self._connectors: Dict[str, SenderConnector] = {}
@@ -958,14 +965,16 @@ class FileSink(_ConsumerMixin, EventHandling):
             receiver.close()
 
 
-class MapSignal(_ProducerMixin, _ConsumerMixin):
+class MapSignal(_ProducerMixin, _ConsumerMixin, EventHandling):
     """Applies a host closure to every message (samples *and* events)
     before forwarding — the reference's ``MapSignal``
     (``src/blocks/transform.rs:202-263``).  The closure is hot-swappable
-    via :meth:`set_closure`."""
+    via :meth:`set_closure`.  Events are also observable via ``on_event``
+    (the reference's ``NopSignal`` template, src/blocks/mod.rs:193-239)."""
 
     def __init__(self, closure=None):
         self._closure = closure if closure is not None else (lambda m: m)
+        self.event_handlers = EventHandlers()
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._task = _spawn(self._run(receiver))
@@ -977,6 +986,8 @@ class MapSignal(_ProducerMixin, _ConsumerMixin):
         try:
             while True:
                 msg = await receiver.recv()
+                if isinstance(msg, Event):
+                    self.event_handlers.invoke(msg)
                 await self.sender.send(self._closure(msg))
         except ChannelClosed:
             return

@@ -896,3 +896,39 @@ def test_runtime_graph_unconnected_output_drops():
                                    atol=2e-4)
 
     run(main())
+
+
+def test_runtime_block_event_handling_mid_chain():
+    """Every block exposes on_event/wait_for_event, the reference's
+    impl_block_trait! EventHandling (src/blocks/mod.rs:126-142): events
+    riding the stream invoke handlers on mid-chain blocks, not just
+    sinks."""
+    from radiorust_tpu.runtime import MapSignal
+
+    async def main():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(GainControl(2.0))
+        mapper = MapSignal()
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        mapper.feed_from(blk)
+        sink.feed_from(mapper)
+
+        seen_blk, seen_map = [], []
+        g1 = blk.on_event(seen_blk.append)
+        g2 = mapper.on_event(seen_map.append)
+        waiter = asyncio.ensure_future(
+            blk.wait_for_event(lambda e: isinstance(e, Disconnection)))
+
+        await sender.send(Samples(1000.0, np.ones(8, np.complex64)))
+        await sender.send(Disconnection())
+        await sender.send(Samples(1000.0, np.ones(8, np.complex64)))
+        await until(lambda: len(sink.chunks) >= 2)
+        await asyncio.wait_for(waiter, timeout=5.0)
+
+        assert len(seen_blk) == 1 and isinstance(seen_blk[0], Disconnection)
+        assert len(seen_map) == 1 and isinstance(seen_map[0], Disconnection)
+        g1.unregister()
+        g2.unregister()
+
+    run(main())
