@@ -14,6 +14,7 @@ through the bound block's jitted ``process``.
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -103,6 +104,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._bound = None
         self._state = None
         self._pstate = None  # packed (wire-format) device state
+        self._restored_state = None  # pending load_checkpoint state
+        self.failure: Optional[Exception] = None  # fatal error, if any
         self._pending_reset = False
         self._param_override: Optional[Callable] = None
         self.chunks_processed = 0
@@ -253,6 +256,35 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
 
         self._apply_typed(fn)
 
+    # -- checkpoint / resume of the live stream state -----------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the live stream state (filter tails, demod previous
+        sample, oscillator phase, ...) to ``path``.  Call from the event
+        loop between sends (the same contract as the typed setters).  The
+        file uses the backend-agnostic wire format of
+        :mod:`radiorust_tpu.utils.checkpoint`."""
+        from ..utils.checkpoint import save_state
+        self._sync_state()
+        if self._state is None:
+            raise RuntimeError("no stream state yet: the block has not "
+                               "processed a chunk")
+        save_state(path, self._state)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from a state saved by :meth:`save_checkpoint` (possibly in
+        another process).  The next chunk continues the stream bit-exactly,
+        provided it has the same (batch, chunk_len, sample_rate) signature
+        the state was saved under."""
+        from ..utils.checkpoint import load_state
+        state = load_state(path)
+        self._pstate = None
+        self._pending_reset = False
+        if self._bound is not None:
+            self._state = state
+        else:
+            self._restored_state = state
+
     # -- output hooks (RuntimeGraph overrides these for multi-output) ------
 
     async def _emit_event(self, msg) -> None:
@@ -330,16 +362,25 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 bound = self._get_bound(x.shape[1], msg.sample_rate,
                                         x.shape[0])
                 fresh = bound is not self._bound
+                restored = False
                 if fresh:
                     self._bound = bound
                     if self._param_override is not None:
                         bound.params = self._param_override(bound,
                                                             bound.params)
-                    self._state = bound.init_state()
+                    if self._restored_state is not None:
+                        # Resuming a checkpoint: the state is real stream
+                        # history, so the stream continues (no zero-primed
+                        # warmup, no reset).
+                        self._state = self._restored_state
+                        self._restored_state = None
+                        restored = True
+                    else:
+                        self._state = bound.init_state()
                     self._pstate = None
                     self._pending_reset = False
                 reset = np.full((x.shape[0],), self._pending_reset)
-                if fresh or self._pending_reset:
+                if (fresh or self._pending_reset) and not restored:
                     await self._send_warmup(bound, inflight)
                 self._pending_reset = False
                 from ..blocks.base import pack_wire
@@ -357,6 +398,16 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 await self._flush(inflight)
             except ChannelClosed:
                 pass
+            return
+        except Exception as exc:
+            # A failure in user code (filter design closure, map closure)
+            # or device dispatch must not die silently: the reference's
+            # task would panic visibly on stderr.  Record it, log it, and
+            # fall through to the teardown cascade in ``finally`` so peers
+            # observe ChannelClosed instead of a silent stall.
+            self.failure = exc
+            logging.getLogger(__name__).exception(
+                "block %r failed; tearing down its channels", self.name)
             return
         finally:
             if recv_task is not None:
@@ -432,6 +483,8 @@ class RuntimeGraph(RuntimeBlock):
         self._bound = None
         self._state = None
         self._pstate = None
+        self._restored_state = None
+        self.failure: Optional[Exception] = None
         self._pending_reset = False
         self._param_override: Optional[Callable] = None
         self.chunks_processed = 0

@@ -121,3 +121,61 @@ def test_graph_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.concatenate([np.asarray(ys_a[k]), np.asarray(ys_b[k])]),
             np.asarray(ys_full[k]))
+
+
+def test_runtime_block_checkpoint_resume(tmp_path):
+    """RuntimeBlock.save_checkpoint / load_checkpoint: a fresh actor (new
+    process in real use; see the cross-process drive in the repo's verify
+    recipe) resumes the stream bit-exactly, with no Warmup event and no
+    state reset on the first resumed chunk."""
+    import asyncio
+
+    from radiorust_tpu.blocks.transform import FreqShifter
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.base import Chain
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples, Warmup
+
+    def spec():
+        return Chain(FreqShifter.with_shift(1000.0),
+                     Filter.new(lambda b, f: np.where(np.abs(f) <= 200.0,
+                                                      1.0, 0.0)))
+
+    rng = np.random.default_rng(3)
+    xs = (rng.standard_normal((6, 256))
+          + 1j * rng.standard_normal((6, 256))).astype(np.complex64)
+
+    async def drive(chunks, ckpt_in=None, ckpt_out=None):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        if ckpt_in is not None:
+            blk.load_checkpoint(ckpt_in)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        events = []
+        guard = sink.on_event(events.append)
+        for c in chunks:
+            await sender.send(Samples(8000.0, c))
+        for _ in range(500):
+            if len(sink.chunks) >= len(chunks):
+                break
+            await asyncio.sleep(0.01)
+        if ckpt_out is not None:
+            blk.save_checkpoint(ckpt_out)
+        guard.unregister()
+        return np.concatenate(sink.chunks), events
+
+    def run(coro):
+        return asyncio.run(coro)
+
+    full, _ = run(drive(list(xs)))
+    path = str(tmp_path / "actor.npz")
+    first, ev_a = run(drive(list(xs[:3]), ckpt_out=path))
+    rest, ev_b = run(drive(list(xs[3:]), ckpt_in=path))
+
+    np.testing.assert_array_equal(np.concatenate([first, rest]), full)
+    # The fresh (cold) actor emits Warmup; the resumed actor must not.
+    assert any(isinstance(e, Warmup) for e in ev_a)
+    assert not any(isinstance(e, Warmup) for e in ev_b)

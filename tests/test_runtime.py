@@ -932,3 +932,28 @@ def test_runtime_block_event_handling_mid_chain():
         g2.unregister()
 
     run(main())
+
+
+def test_runtime_block_failure_surfaces():
+    """A user-code exception inside the actor (here: a filter design
+    closure that raises) must record ``block.failure`` and tear the
+    block's channels down (peers see ChannelClosed) instead of dying
+    silently (the reference's task panics visibly)."""
+    from radiorust_tpu.blocks.filters import Filter
+
+    async def main():
+        sender, connector = new_sender()
+        # Scalar-style closure: the vectorized design call raises
+        # ValueError (truth value of an array).
+        blk = RuntimeBlock(Filter.new(lambda b, f: 1.0 if f > 0 else 0.0))
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        await sender.send(Samples(8000.0, np.ones(64, np.complex64)))
+        await until(lambda: blk.failure is not None)
+        assert isinstance(blk.failure, ValueError)
+        # Teardown cascades: the sink's task observes ChannelClosed and
+        # exits rather than parking forever.
+        await until(lambda: sink._task.done())
+
+    run(main())
