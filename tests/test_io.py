@@ -220,3 +220,38 @@ def test_spectrum_receiver_example_runs():
     assert out.returncode == 0, out.stderr
     assert "dominant tone" in out.stdout
     assert "occupied bandwidth" in out.stdout
+
+
+def _run_example(name, timeout=300):
+    import pathlib
+    import subprocess
+    import sys
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    return subprocess.run(
+        [sys.executable, str(repo / "examples" / name)],
+        capture_output=True, text=True, timeout=timeout,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+
+
+def test_morse_example_runs():
+    out = _run_example("morse.py")
+    assert out.returncode == 0, out.stderr
+    assert "keyed audio" in out.stdout
+
+
+def test_morse_rf_example_runs():
+    out = _run_example("morse_rf.py")
+    assert out.returncode == 0, out.stderr
+    assert "TX deactivated on EndOfMessages" in out.stdout
+
+
+def test_bandwidth_meter_example_runs():
+    out = _run_example("bandwidth_meter.py")
+    assert out.returncode == 0, out.stderr
+    assert "occupied bandwidth" in out.stdout
+
+
+def test_wfm_receiver_example_runs():
+    out = _run_example("wfm_receiver.py")
+    assert out.returncode == 0, out.stderr
+    assert "dominant tone 1000 Hz" in out.stdout
