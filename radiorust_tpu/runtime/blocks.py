@@ -36,6 +36,19 @@ __all__ = [
 
 
 class _TaskMixin:
+    failure: Optional[Exception] = None  # fatal error, if any
+
+    def _record_failure(self, exc: Exception) -> None:
+        """A failure in user code (filter design closure, map closure) or
+        device dispatch must not die silently: the reference's task would
+        panic visibly on stderr.  Record it and log it; the caller falls
+        through to its teardown so peers observe ChannelClosed instead of
+        a silent stall."""
+        self.failure = exc
+        logging.getLogger(__name__).exception(
+            "block %r failed; tearing down its channels",
+            getattr(self, "name", type(self).__name__))
+
     def stop(self) -> None:
         """Cancel this block's task (the reference's struct-drop analog:
         the task exits and its endpoints close, releasing blocked peers)."""
@@ -93,14 +106,19 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         # sample/event ordering is preserved exactly.  Depth 0 fetches
         # synchronously (adds no latency).
         self.pipeline_depth = pipeline_depth
+        self._init_actor_fields()
+        receiver, self.receiver_connector = new_receiver()
+        self.sender, self.sender_connector = new_sender()
+        self._bindings: Dict[Tuple[int, float], Any] = {}
+        self._task = _spawn(self._run(receiver))
+
+    def _init_actor_fields(self) -> None:
+        """Shared actor state (RuntimeGraph.__init__ calls this too)."""
         # Events riding the stream are observable on any block, as the
         # reference's impl_block_trait! EventHandling provides
         # (src/blocks/mod.rs:126-142; invocation template
         # src/blocks/mod.rs:193-239).
         self.event_handlers = EventHandlers()
-        receiver, self.receiver_connector = new_receiver()
-        self.sender, self.sender_connector = new_sender()
-        self._bindings: Dict[Tuple[int, float], Any] = {}
         self._bound = None
         self._state = None
         self._pstate = None  # packed (wire-format) device state
@@ -109,7 +127,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._pending_reset = False
         self._param_override: Optional[Callable] = None
         self.chunks_processed = 0
-        self._task = _spawn(self._run(receiver))
+
 
     def _get_bound(self, chunk_len: int, sample_rate: float,
                    batch: int = 1):
@@ -266,10 +284,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         :mod:`radiorust_tpu.utils.checkpoint`."""
         from ..utils.checkpoint import save_state
         self._sync_state()
-        if self._state is None:
+        # A state loaded via load_checkpoint but not yet bound (no chunk
+        # processed since) is still a complete, serializable stream state.
+        state = self._state if self._state is not None \
+            else self._restored_state
+        if state is None:
             raise RuntimeError("no stream state yet: the block has not "
                                "processed a chunk")
-        save_state(path, self._state)
+        save_state(path, state)
 
     def load_checkpoint(self, path: str) -> None:
         """Resume from a state saved by :meth:`save_checkpoint` (possibly in
@@ -368,7 +390,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                     if self._param_override is not None:
                         bound.params = self._param_override(bound,
                                                             bound.params)
-                    if self._restored_state is not None:
+                    if (self._restored_state is not None
+                            and not self._pending_reset):
                         # Resuming a checkpoint: the state is real stream
                         # history, so the stream continues (no zero-primed
                         # warmup, no reset).
@@ -376,6 +399,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                         self._restored_state = None
                         restored = True
                     else:
+                        # An interrupt between load_checkpoint and the
+                        # first chunk declares the stream discontinuous:
+                        # the restored history is stale, start fresh.
+                        self._restored_state = None
                         self._state = bound.init_state()
                     self._pstate = None
                     self._pending_reset = False
@@ -398,16 +425,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 await self._flush(inflight)
             except ChannelClosed:
                 pass
+            except Exception as exc:  # device error during the drain
+                self._record_failure(exc)
             return
         except Exception as exc:
-            # A failure in user code (filter design closure, map closure)
-            # or device dispatch must not die silently: the reference's
-            # task would panic visibly on stderr.  Record it, log it, and
-            # fall through to the teardown cascade in ``finally`` so peers
-            # observe ChannelClosed instead of a silent stall.
-            self.failure = exc
-            logging.getLogger(__name__).exception(
-                "block %r failed; tearing down its channels", self.name)
+            self._record_failure(exc)
             return
         finally:
             if recv_task is not None:
@@ -471,7 +493,7 @@ class RuntimeGraph(RuntimeBlock):
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
-        self.event_handlers = EventHandlers()
+        self._init_actor_fields()
         receiver, self.receiver_connector = new_receiver()
         self.senders: Dict[str, Sender] = {}
         self._connectors: Dict[str, SenderConnector] = {}
@@ -480,14 +502,6 @@ class RuntimeGraph(RuntimeBlock):
             self.senders[out_name] = s
             self._connectors[out_name] = sc
         self._bindings: Dict[Tuple[int, int, float], Any] = {}
-        self._bound = None
-        self._state = None
-        self._pstate = None
-        self._restored_state = None
-        self.failure: Optional[Exception] = None
-        self._pending_reset = False
-        self._param_override: Optional[Callable] = None
-        self.chunks_processed = 0
         self._task = _spawn(self._run(receiver))
 
     def out(self, name: str) -> _OutputHandle:
@@ -655,7 +669,7 @@ class _TemporalQueue:
 QUEUE_MAX_EVENTS = 256
 
 
-class Buffer(_ProducerMixin, _ConsumerMixin):
+class Buffer(_ProducerMixin, _ConsumerMixin, EventHandling):
     """Elastic/lossy buffer (``src/blocks/buffering.rs:132-267``).
 
     Fills to ``initial_capacity`` seconds before draining, refills to
@@ -671,6 +685,7 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
         self.min_capacity = min_capacity
         self.max_capacity = max_capacity
         self.max_age = max_age
+        self.event_handlers = EventHandlers()
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._queue = _TemporalQueue(clock)
@@ -730,6 +745,10 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
                         fill_task = None
                         continue
                     fill_task = None
+                    if isinstance(msg, Event):
+                        # Handlers observe events when the block receives
+                        # them (impl_block_trait! EventHandling semantics).
+                        self.event_handlers.invoke(msg)
                     queue.push(msg)
                     if initial:
                         if queue.duration >= self.initial:
@@ -746,6 +765,9 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
                     marked_missing, underrun = self._drain_one(
                         marked_missing)
         except ChannelClosed:
+            return
+        except Exception as exc:
+            self._record_failure(exc)
             return
         finally:
             for t in (fill_task, drain_task):
@@ -800,7 +822,7 @@ class Buffer(_ProducerMixin, _ConsumerMixin):
         return False, False
 
 
-class Rechunker(_ProducerMixin, _ConsumerMixin):
+class Rechunker(_ProducerMixin, _ConsumerMixin, EventHandling):
     """Regroup arbitrary chunk lengths into a fixed length
     (``src/blocks/chunks.rs:42-177``).
 
@@ -817,6 +839,7 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
         # boundary-straddling remainders keep the stream's dtype (a f64 or
         # real stream must not come out complex64 on some chunks only).
         self._pools: Dict[np.dtype, ChunkBufPool] = {}
+        self.event_handlers = EventHandlers()
         receiver, self.receiver_connector = new_receiver()
         self.sender, self.sender_connector = new_sender()
         self._task = _spawn(self._run(receiver))
@@ -845,6 +868,7 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
             while True:
                 msg = await receiver.recv()
                 if isinstance(msg, Event):
+                    self.event_handlers.invoke(msg)
                     if patchwork is not None and len(patchwork[1]):
                         await self.sender.send(SamplesLost())
                         patchwork = None
@@ -892,6 +916,9 @@ class Rechunker(_ProducerMixin, _ConsumerMixin):
                                      .get_with_capacity(n))
                     patchwork[1].extend(chunk.data)
         except ChannelClosed:
+            return
+        except Exception as exc:
+            self._record_failure(exc)
             return
         finally:
             receiver.close()
@@ -1043,6 +1070,9 @@ class MapSignal(_ProducerMixin, _ConsumerMixin, EventHandling):
                     self.event_handlers.invoke(msg)
                 await self.sender.send(self._closure(msg))
         except ChannelClosed:
+            return
+        except Exception as exc:  # user closure raised
+            self._record_failure(exc)
             return
         finally:
             receiver.close()

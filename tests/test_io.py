@@ -162,14 +162,7 @@ def test_hardware_drivers_import_guarded():
 
 
 def test_audiopipe_example_runs():
-    import pathlib
-    import subprocess
-    import sys
-    repo = pathlib.Path(__file__).resolve().parents[1]
-    out = subprocess.run(
-        [sys.executable, str(repo / "examples" / "audiopipe.py")],
-        capture_output=True, text=True, timeout=120,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    out = _run_example("audiopipe.py", timeout=120)
     assert out.returncode == 0, out.stderr
     assert "piped" in out.stdout or "real audio" in out.stdout
 
@@ -209,14 +202,7 @@ def test_native_file_driver_roundtrip(tmp_path):
 
 
 def test_spectrum_receiver_example_runs():
-    import pathlib
-    import subprocess
-    import sys
-    repo = pathlib.Path(__file__).resolve().parents[1]
-    out = subprocess.run(
-        [sys.executable, str(repo / "examples" / "spectrum_receiver.py")],
-        capture_output=True, text=True, timeout=300,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    out = _run_example("spectrum_receiver.py")
     assert out.returncode == 0, out.stderr
     assert "dominant tone" in out.stdout
     assert "occupied bandwidth" in out.stdout

@@ -686,8 +686,12 @@ def test_rechunker_rejects_batched_chunks():
         rk.feed_from(type("P", (), {"sender_connector": connector})())
         sink.feed_from(rk)
         await sender.send(Samples(1000.0, np.ones((4, 16), np.complex64)))
-        with pytest.raises(TypeError, match="1-D"):
-            await asyncio.wait_for(rk._task, 5)
+        # Failure surfacing contract: the error is recorded on the block
+        # and the channels tear down (peers see ChannelClosed).
+        await until(lambda: rk.failure is not None)
+        assert isinstance(rk.failure, TypeError)
+        assert "1-D" in str(rk.failure)
+        await until(lambda: sink._task.done())
 
     run(main())
 
@@ -957,3 +961,117 @@ def test_runtime_block_failure_surfaces():
         await until(lambda: sink._task.done())
 
     run(main())
+
+
+def test_buffer_rechunker_event_handling():
+    """Buffer and Rechunker expose on_event too (they sit mid-chain most
+    often); handlers fire when the block receives the event."""
+    async def main():
+        sender, connector = new_sender()
+        rechunk = Rechunker(8)
+        buf = Buffer(0.0, 0.0, 10.0, 10.0)
+        sink = ArraySink()
+        rechunk.feed_from(type("P", (), {"sender_connector": connector})())
+        buf.feed_from(rechunk)
+        sink.feed_from(buf)
+        seen_r, seen_b = [], []
+        g1 = rechunk.on_event(seen_r.append)
+        g2 = buf.on_event(seen_b.append)
+        await sender.send(Samples(1000.0, np.ones(8, np.complex64)))
+        await sender.send(Disconnection())
+        await sender.send(Samples(1000.0, np.ones(8, np.complex64)))
+        await until(lambda: len(seen_r) >= 1 and len(seen_b) >= 1)
+        assert isinstance(seen_r[0], Disconnection)
+        assert isinstance(seen_b[0], Disconnection)
+        g1.unregister()
+        g2.unregister()
+
+    run(main())
+
+
+def test_mapsignal_failure_surfaces():
+    """A raising MapSignal closure records .failure and tears down."""
+    from radiorust_tpu.runtime import MapSignal
+
+    async def main():
+        sender, connector = new_sender()
+        def boom(msg):
+            raise RuntimeError("closure failed")
+        mapper = MapSignal(boom)
+        sink = ArraySink()
+        mapper.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(mapper)
+        await sender.send(Samples(1000.0, np.ones(8, np.complex64)))
+        await until(lambda: mapper.failure is not None)
+        assert isinstance(mapper.failure, RuntimeError)
+        await until(lambda: sink._task.done())
+
+    run(main())
+
+
+def test_interrupt_invalidates_restored_checkpoint(tmp_path):
+    """An interrupt event arriving between load_checkpoint and the first
+    chunk declares the stream discontinuous: the restored history must be
+    discarded (fresh zero state + Warmup), not spliced onto the new
+    stream."""
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.signal import Warmup
+
+    def spec():
+        return Filter.new(lambda b, f: np.where(np.abs(f) <= 200.0,
+                                                1.0, 0.0))
+
+    x = (np.linspace(0, 1, 256) + 1j).astype(np.complex64)
+
+    async def save(path):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        await sender.send(Samples(8000.0, x))
+        await until(lambda: len(sink.chunks) >= 1)
+        blk.save_checkpoint(path)
+
+    async def resume_after_interrupt(path):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        blk.load_checkpoint(path)
+        # save_checkpoint of a pending restored state round-trips too.
+        blk.save_checkpoint(str(tmp_path / "resaved.npz"))
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        events = []
+        guard = sink.on_event(events.append)
+        await sender.send(Disconnection())       # before any chunk
+        await sender.send(Samples(8000.0, x))
+        await until(lambda: len(sink.chunks) >= 1)
+        guard.unregister()
+        return sink.chunks[0], events
+
+    async def cold():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec())
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        await sender.send(Samples(8000.0, x))
+        await until(lambda: len(sink.chunks) >= 1)
+        return sink.chunks[0]
+
+    path = str(tmp_path / "pre.npz")
+    run(save(path))
+    got, events = run(resume_after_interrupt(path))
+    want = run(cold())
+    # Output equals a cold start (restored history dropped), and Warmup
+    # was re-emitted because the first window is zero-primed again.
+    np.testing.assert_array_equal(got, want)
+    assert any(isinstance(e, Warmup) for e in events)
+    # The re-saved pending state equals the original checkpoint.
+    from radiorust_tpu.utils.checkpoint import load_state
+    a = load_state(path)
+    b = load_state(str(tmp_path / "resaved.npz"))
+    import jax
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(la, lb)
