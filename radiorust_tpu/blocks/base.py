@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StreamSig", "Block", "BoundBlock", "Chain", "scan", "jit_step"]
+__all__ = ["StreamSig", "Block", "BoundBlock", "Chain", "scan", "jit_step",
+           "jit_step_sharded"]
 
 
 @dataclass(frozen=True)
@@ -114,14 +115,21 @@ class BoundBlock:
         return self.process(params, state, x, reset)
 
 
-def expand_reset(block: "BoundBlock", r):
+def expand_reset(block: "BoundBlock", r, in_batch: int):
     """Widen a per-stream reset mask for a batch-growing block (e.g. the
     channelizer folds channels into the batch axis, so each incoming
     stream's flag repeats per derived stream).  Shared by ``_BoundChain``
-    and ``BoundGraph``."""
-    if (hasattr(r, "shape") and r.shape
-            and block.in_sig.batch != r.shape[0] and r.shape[0] > 1):
-        return jnp.repeat(r, block.in_sig.batch // r.shape[0])
+    and ``BoundGraph``.
+
+    The growth factor is the *static* ratio of the block's bound batch to
+    the batch of the signature the reset originated from (``in_batch``).
+    It must not be inferred from ``r``'s runtime shape: under ``shard_map``
+    (data-parallel serving, time sharding) the local arrays are a fraction
+    of the bound batch, and a runtime-shape comparison would repeat the
+    mask to the *global* size inside a shard."""
+    factor = block.in_sig.batch // in_batch
+    if factor > 1 and hasattr(r, "shape") and r.shape:
+        return jnp.repeat(r, factor)
     return r
 
 
@@ -145,7 +153,9 @@ class _BoundChain(BoundBlock):
     def process(self, params, state, x, reset):
         new_state = []
         for block, p, s in zip(self.blocks, params, state, strict=True):
-            s, x = block.process(p, s, x, expand_reset(block, reset))
+            s, x = block.process(p, s, x,
+                                 expand_reset(block, reset,
+                                              self.in_sig.batch))
             new_state.append(s)
         return tuple(new_state), x
 
@@ -250,6 +260,46 @@ def jit_step(bound: BoundBlock) -> Callable:
         state, y = bound.process(unpack_wire(params), unpack_wire(state),
                                  unpack_wire(x), reset)
         return pack_wire(state), pack_wire(y)
+
+    return step
+
+
+def jit_step_sharded(bound: BoundBlock, mesh, axis: str) -> Callable:
+    """Wire-safe chunk step, **data-parallel over a mesh axis**.
+
+    The stream-batch dimension — independent streams, the serving axis —
+    shards across the mesh's ``axis``: every per-stream leaf (state, input
+    chunks, reset mask) splits over devices while stream-independent
+    ``params`` (filter responses, phasor tables) replicate.  No
+    collectives are needed: streams never couple (the reference's analog
+    is N disjoint block graphs in one process).  Same calling convention
+    as :func:`jit_step`.
+
+    Requires ``bound.in_sig.batch % mesh.shape[axis] == 0``.  Designed for
+    serving fleets of streams on a TPU pod slice; validated on the virtual
+    CPU mesh in tests.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if bound.in_sig.batch % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"batch {bound.in_sig.batch} not divisible by mesh axis "
+            f"{axis!r} ({mesh.shape[axis]} devices)")
+
+    def local(params, state, x, reset):
+        return bound.process(params, state, x, reset)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis, None)),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, state, x, reset):
+        new_state, y = sharded(unpack_wire(params), unpack_wire(state),
+                               unpack_wire(x), reset)
+        return pack_wire(new_state), pack_wire(y)
 
     return step
 

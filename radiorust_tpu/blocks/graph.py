@@ -159,7 +159,9 @@ class BoundGraph:
                 vals[i] = xs[name]
                 new_state.append(())
                 continue
-            r = expand_reset(b, resets[self._origin[i]])
+            origin = self._origin[i]
+            r = expand_reset(b, resets[origin],
+                             self.in_sigs[origin].batch)
             s, y = b.process(params[i], state[i], vals[self._upstream[i]], r)
             vals[i] = y
             new_state.append(s)

@@ -92,11 +92,21 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
     """
 
     def __init__(self, spec: Block, name: Optional[str] = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, mesh=None,
+                 mesh_axis: Optional[str] = None):
         from ..utils.profiling import GLOBAL_STATS
         self.spec = spec
         self.name = name or type(spec).__name__
         self.stats = GLOBAL_STATS.unique(self.name)
+        # Data-parallel serving: with a mesh, batched [streams, n] chunks
+        # shard their stream axis across mesh_axis — one actor serving a
+        # fleet of independent streams over the pod slice.  Chunks whose
+        # batch is not divisible by the axis size (incl. 1-D single-stream
+        # chunks) fall back to the single-device program.
+        self.mesh = mesh
+        self.mesh_axis = (mesh_axis if mesh_axis is not None
+                          else (mesh.axis_names[0] if mesh is not None
+                                else None))
         # TPU-idiomatic pipeline parallelism: with depth d > 0 the actor
         # keeps up to d chunks' device work in flight (JAX async dispatch)
         # and fetches d chunks behind, overlapping device compute with
@@ -134,11 +144,16 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         key = (batch, chunk_len, sample_rate)
         bound = self._bindings.get(key)
         if bound is None:
-            from ..blocks.base import jit_step
+            from ..blocks.base import jit_step, jit_step_sharded
             bound = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
-            bound._jit = jit_step(bound)
+            if (self.mesh is not None
+                    and batch % self.mesh.shape[self.mesh_axis] == 0):
+                bound._jit = jit_step_sharded(bound, self.mesh,
+                                              self.mesh_axis)
+            else:
+                bound._jit = jit_step(bound)
             self._bindings[key] = bound
         return bound
 
@@ -483,7 +498,8 @@ class RuntimeGraph(RuntimeBlock):
     """
 
     def __init__(self, graph_spec, name: Optional[str] = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, mesh=None,
+                 mesh_axis: Optional[str] = None):
         from ..utils.profiling import GLOBAL_STATS
         if len(graph_spec._inputs) != 1:
             raise ValueError("RuntimeGraph wraps single-input graphs; "
@@ -493,6 +509,10 @@ class RuntimeGraph(RuntimeBlock):
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
+        self.mesh = mesh
+        self.mesh_axis = (mesh_axis if mesh_axis is not None
+                          else (mesh.axis_names[0] if mesh is not None
+                                else None))
         self._init_actor_fields()
         receiver, self.receiver_connector = new_receiver()
         self.senders: Dict[str, Sender] = {}
@@ -523,9 +543,24 @@ class RuntimeGraph(RuntimeBlock):
             bg = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
             in_name = next(iter(bg.in_sigs))
 
+            process = bg.process
+            if (self.mesh is not None
+                    and batch % self.mesh.shape[self.mesh_axis] == 0):
+                # Data-parallel serving over the mesh: stream-batch dim of
+                # state/inputs/resets shards across mesh_axis, params
+                # replicate (see blocks.base.jit_step_sharded).
+                from jax.sharding import PartitionSpec as P
+                axis = self.mesh_axis
+                process = jax.shard_map(
+                    lambda p, s, xs, rs: bg.process(p, s, xs, rs),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(axis), P(axis, None), P(axis)),
+                    out_specs=(P(axis), P(axis, None)),
+                    check_vma=False)
+
             @jax.jit
             def step(pp, ps, px, reset):
-                state, ys = bg.process(
+                state, ys = process(
                     unpack_wire(pp), unpack_wire(ps),
                     {in_name: unpack_wire(px)}, {in_name: reset})
                 return pack_wire(state), {k: pack_wire(v)

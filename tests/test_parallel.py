@@ -314,3 +314,90 @@ def test_time_sharded_graph_wfm_spectrum(devices):
     np.testing.assert_allclose(
         np.concatenate(got["spectrum"], axis=0),
         np.asarray(want["spectrum"]), atol=2e-2)
+
+
+def test_jit_step_sharded_matches_single_device():
+    """Data-parallel serving step (blocks.base.jit_step_sharded): the
+    stream-batch axis shards over the mesh, params replicate; outputs are
+    identical to the single-device program."""
+    import jax
+    from jax.sharding import Mesh
+
+    from radiorust_tpu.blocks.base import (Chain, StreamSig, jit_step,
+                                           jit_step_sharded, pack_wire,
+                                           unpack_wire)
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.modulation import FmDemod
+    from radiorust_tpu.blocks.transform import FreqShifter, GainControl
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("streams",))
+    chain = Chain(
+        FreqShifter.with_shift(1000.0),
+        Filter.new(lambda b, f: np.where(np.abs(f) <= 2000.0, 1.0, 0.0)),
+        FmDemod(1500.0),
+        GainControl(0.5),
+    )
+    sig = StreamSig(8, 256, 8000.0)
+    bound = chain.bind(sig)
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((8, 256))
+         + 1j * rng.standard_normal((8, 256))).astype(np.complex64)
+    reset = np.zeros((8,), bool)
+
+    pp, ps, px = (pack_wire(bound.params), pack_wire(bound.init_state()),
+                  pack_wire(x))
+    s1, y1 = jit_step(bound)(pp, ps, px, reset)
+    s2, y2 = jit_step_sharded(bound, mesh, "streams")(pp, ps, px, reset)
+    # Same math per stream, but XLA picks different kernels for the local
+    # batch shape, so expect f32 summation-order noise (same tolerance as
+    # the time-sharding cases above).
+    np.testing.assert_allclose(np.asarray(unpack_wire(y2)),
+                               np.asarray(unpack_wire(y1)), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        jit_step_sharded(chain.bind(StreamSig(6, 256, 8000.0)),
+                         mesh, "streams")
+
+
+def test_runtime_block_mesh_serving_matches_unsharded():
+    """RuntimeBlock(mesh=...): batched [streams, n] chunks shard the
+    stream axis across the mesh; values and state carry match the
+    unsharded actor, and non-divisible batches fall back."""
+    import asyncio
+
+    import jax
+    from jax.sharding import Mesh
+
+    from radiorust_tpu.blocks.transform import FreqShifter
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    rng = np.random.default_rng(5)
+    xs = (rng.standard_normal((4, 8, 128))
+          + 1j * rng.standard_normal((4, 8, 128))).astype(np.complex64)
+
+    async def drive(mesh):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(FreqShifter.with_shift(500.0), mesh=mesh)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(4):
+            await sender.send(Samples(8000.0, xs[t]))
+        # One single-stream (1-D) chunk exercises the fallback path.
+        await sender.send(Samples(8000.0, xs[0, 0]))
+        for _ in range(500):
+            if len(sink.chunks) >= 5:
+                break
+            await asyncio.sleep(0.01)
+        return sink.chunks
+
+    mesh = Mesh(np.array(jax.devices()), ("streams",))
+    got = asyncio.run(drive(mesh))
+    want = asyncio.run(drive(None))
+    assert len(got) == len(want) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=5e-4)
