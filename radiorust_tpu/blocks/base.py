@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["StreamSig", "Block", "BoundBlock", "Chain", "scan", "jit_step",
-           "jit_step_sharded"]
+           "jit_step_sharded", "shard_map_step"]
 
 
 @dataclass(frozen=True)
@@ -102,6 +102,14 @@ class BoundBlock:
         -> (state', y[batch, out_chunk_len])."""
         raise NotImplementedError
 
+    def shard_batch_ok(self, ndev: int) -> bool:
+        """True if this block's math is valid on a per-device stream batch
+        of ``in_sig.batch // ndev`` (data-parallel stream sharding,
+        :func:`jit_step_sharded`).  Blocks with per-shard constraints
+        beyond divisibility (the pair-packed fused kernels need an *even
+        local* batch) override this; composites delegate to members."""
+        return self.in_sig.batch % ndev == 0
+
     # -- convenience -------------------------------------------------------
 
     def __call__(self, x, *, state=None, reset=None, params=None):
@@ -158,6 +166,10 @@ class _BoundChain(BoundBlock):
                                               self.in_sig.batch))
             new_state.append(s)
         return tuple(new_state), x
+
+    def shard_batch_ok(self, ndev: int) -> bool:
+        return (self.in_sig.batch % ndev == 0
+                and all(b.shard_batch_ok(ndev) for b in self.blocks))
 
 
 class Chain(Block):
@@ -275,25 +287,25 @@ def jit_step_sharded(bound: BoundBlock, mesh, axis: str) -> Callable:
     is N disjoint block graphs in one process).  Same calling convention
     as :func:`jit_step`.
 
-    Requires ``bound.in_sig.batch % mesh.shape[axis] == 0``.  Designed for
-    serving fleets of streams on a TPU pod slice; validated on the virtual
-    CPU mesh in tests.
+    Requires ``bound.shard_batch_ok(mesh.shape[axis])``: the batch must
+    split evenly over the axis *and* every member block's per-shard
+    constraints must hold on the local batch (the pair-packed fused
+    kernels need an even per-device batch).  Designed for serving fleets
+    of streams on a TPU pod slice; validated on the virtual CPU mesh in
+    tests.
     """
-    from jax.sharding import PartitionSpec as P
-
-    if bound.in_sig.batch % mesh.shape[axis] != 0:
+    ndev = mesh.shape[axis]
+    if not bound.shard_batch_ok(ndev):
         raise ValueError(
-            f"batch {bound.in_sig.batch} not divisible by mesh axis "
-            f"{axis!r} ({mesh.shape[axis]} devices)")
+            f"batch {bound.in_sig.batch} cannot shard over mesh axis "
+            f"{axis!r} ({ndev} devices): the local batch must divide "
+            f"evenly and satisfy every block's per-shard constraint "
+            f"(pair-packed fused kernels need an even local batch)")
 
     def local(params, state, x, reset):
         return bound.process(params, state, x, reset)
 
-    sharded = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis, None), P(axis)),
-        out_specs=(P(axis), P(axis, None)),
-        check_vma=False)
+    sharded = shard_map_step(local, mesh, axis)
 
     @jax.jit
     def step(params, state, x, reset):
@@ -302,6 +314,24 @@ def jit_step_sharded(bound: BoundBlock, mesh, axis: str) -> Callable:
         return pack_wire(new_state), pack_wire(y)
 
     return step
+
+
+def shard_map_step(fn, mesh, axis: str):
+    """``shard_map`` wrapper with the data-parallel serving specs.
+
+    ``fn(params, state, x, reset) -> (state', y)`` where arg 0 (params)
+    replicates and args 1-3 (state / input chunks / reset masks) shard
+    their leading stream axis over ``axis``.  The specs are pytree
+    prefixes, so dict-valued chunk/reset arguments (``BoundGraph``) work
+    unchanged.  Single place for the serving sharding recipe — shared by
+    :func:`jit_step_sharded` and ``runtime.RuntimeGraph``."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis, None)),
+        check_vma=False)
 
 
 def scan(bound: BoundBlock, params, state, xs, resets=None):

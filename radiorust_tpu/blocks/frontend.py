@@ -128,6 +128,12 @@ class _BoundFmDemodFilter(BoundBlock):
     def output_is_real(self):
         return True
 
+    def shard_batch_ok(self, ndev: int) -> bool:
+        # Pair-packed kernel (ops/pallas_filter.py fused_demod_filter):
+        # the *local* batch must stay even under stream sharding.
+        b = self.in_sig.batch
+        return b % ndev == 0 and (b // ndev) % 2 == 0
+
     def __init__(self, sig: StreamSig, deviation: float, freq_resp, window):
         from ..ops.pallas_filter import supported as _filt_supported
         from .filters import design_impulse_response
@@ -194,6 +200,12 @@ class _BoundFilterDemodFilter(BoundBlock):
     @property
     def output_is_real(self):
         return True
+
+    def shard_batch_ok(self, ndev: int) -> bool:
+        # Pair-packed kernel: even local batch required (see
+        # _BoundFmDemodFilter).
+        b = self.in_sig.batch
+        return b % ndev == 0 and (b // ndev) % 2 == 0
 
     def __init__(self, sig: StreamSig, freq_resp, window, deviation: float,
                  deemph_resp, deemph_window):

@@ -168,6 +168,14 @@ class BoundGraph:
         ys = {n: vals[i] for n, i in self._outputs.items()}
         return tuple(new_state), ys
 
+    def shard_batch_ok(self, ndev: int) -> bool:
+        """Data-parallel stream sharding feasibility: every input batch
+        splits over the mesh axis and every node's per-shard constraints
+        hold on its local batch (see ``BoundBlock.shard_batch_ok``)."""
+        return (all(sig.batch % ndev == 0 for sig in self.in_sigs.values())
+                and all(b.shard_batch_ok(ndev) for b in self.bound
+                        if b is not None))
+
 
 def linear_bound_graph(bound_chain) -> BoundGraph:
     """Adapt an already-bound chain into the ``BoundGraph`` shape: input

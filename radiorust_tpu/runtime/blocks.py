@@ -35,6 +35,23 @@ __all__ = [
 ]
 
 
+def _resolve_mesh_axis(mesh, mesh_axis: Optional[str]) -> Optional[str]:
+    """Validate/default the data-parallel serving axis at construction so
+    a typo'd axis name raises where it was made, not as a deferred
+    KeyError inside the actor coroutine (where _record_failure would bury
+    it)."""
+    if mesh is None:
+        if mesh_axis is not None:
+            raise ValueError("mesh_axis given without a mesh")
+        return None
+    if mesh_axis is None:
+        return mesh.axis_names[0]
+    if mesh_axis not in mesh.axis_names:
+        raise ValueError(f"mesh_axis {mesh_axis!r} not an axis of the mesh "
+                         f"(axes: {mesh.axis_names})")
+    return mesh_axis
+
+
 class _TaskMixin:
     failure: Optional[Exception] = None  # fatal error, if any
 
@@ -101,12 +118,12 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         # Data-parallel serving: with a mesh, batched [streams, n] chunks
         # shard their stream axis across mesh_axis — one actor serving a
         # fleet of independent streams over the pod slice.  Chunks whose
-        # batch is not divisible by the axis size (incl. 1-D single-stream
-        # chunks) fall back to the single-device program.
+        # batch cannot shard (not divisible by the axis size, 1-D
+        # single-stream chunks, or a per-shard kernel constraint like the
+        # pair-packed blocks' even local batch) fall back to the
+        # single-device program.
         self.mesh = mesh
-        self.mesh_axis = (mesh_axis if mesh_axis is not None
-                          else (mesh.axis_names[0] if mesh is not None
-                                else None))
+        self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         # TPU-idiomatic pipeline parallelism: with depth d > 0 the actor
         # keeps up to d chunks' device work in flight (JAX async dispatch)
         # and fetches d chunks behind, overlapping device compute with
@@ -149,7 +166,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
             if (self.mesh is not None
-                    and batch % self.mesh.shape[self.mesh_axis] == 0):
+                    and bound.shard_batch_ok(
+                        self.mesh.shape[self.mesh_axis])):
                 bound._jit = jit_step_sharded(bound, self.mesh,
                                               self.mesh_axis)
             else:
@@ -510,9 +528,7 @@ class RuntimeGraph(RuntimeBlock):
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
         self.mesh = mesh
-        self.mesh_axis = (mesh_axis if mesh_axis is not None
-                          else (mesh.axis_names[0] if mesh is not None
-                                else None))
+        self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         self._init_actor_fields()
         receiver, self.receiver_connector = new_receiver()
         self.senders: Dict[str, Sender] = {}
@@ -545,18 +561,16 @@ class RuntimeGraph(RuntimeBlock):
 
             process = bg.process
             if (self.mesh is not None
-                    and batch % self.mesh.shape[self.mesh_axis] == 0):
+                    and bg.shard_batch_ok(
+                        self.mesh.shape[self.mesh_axis])):
                 # Data-parallel serving over the mesh: stream-batch dim of
                 # state/inputs/resets shards across mesh_axis, params
-                # replicate (see blocks.base.jit_step_sharded).
-                from jax.sharding import PartitionSpec as P
-                axis = self.mesh_axis
-                process = jax.shard_map(
-                    lambda p, s, xs, rs: bg.process(p, s, xs, rs),
-                    mesh=self.mesh,
-                    in_specs=(P(), P(axis), P(axis, None), P(axis)),
-                    out_specs=(P(axis), P(axis, None)),
-                    check_vma=False)
+                # replicate.  shard_map_step's specs are pytree prefixes,
+                # so the graph's dict-valued chunks/resets shard the same
+                # way as the chain path (blocks.base.jit_step_sharded).
+                from ..blocks.base import shard_map_step
+                process = shard_map_step(bg.process, self.mesh,
+                                         self.mesh_axis)
 
             @jax.jit
             def step(pp, ps, px, reset):

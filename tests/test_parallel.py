@@ -356,7 +356,7 @@ def test_jit_step_sharded_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
-    with pytest.raises(ValueError, match="not divisible"):
+    with pytest.raises(ValueError, match="cannot shard"):
         jit_step_sharded(chain.bind(StreamSig(6, 256, 8000.0)),
                          mesh, "streams")
 
@@ -399,5 +399,181 @@ def test_runtime_block_mesh_serving_matches_unsharded():
     got = asyncio.run(drive(mesh))
     want = asyncio.run(drive(None))
     assert len(got) == len(want) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=5e-4)
+
+
+def test_sharded_pair_packed_local_batch_constraint():
+    """Pair-packed fused kernels (FmDemodFilter) need an even *local*
+    batch: jit_step_sharded refuses a split that leaves an odd per-device
+    batch instead of crashing at trace time inside the kernel, and accepts
+    one that keeps pairs intact."""
+    from radiorust_tpu.blocks.base import (StreamSig, jit_step,
+                                           jit_step_sharded, pack_wire,
+                                           unpack_wire)
+    from radiorust_tpu.blocks.frontend import FmDemodFilter
+    from radiorust_tpu.models.wfm import _deemphasis_band
+
+    spec = Chain(FreqShifter.with_shift(1000.0),
+                 FmDemodFilter(150000.0, _deemphasis_band))
+    bound = spec.bind(StreamSig(8, 512, 384000.0))
+    mesh8 = Mesh(np.array(jax.devices()), ("streams",))
+    assert not bound.shard_batch_ok(8)           # local batch 1: odd
+    with pytest.raises(ValueError, match="per-shard constraint"):
+        jit_step_sharded(bound, mesh8, "streams")
+
+    # Local batch 2 keeps pairs intact -> values match the single-device
+    # program.
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("streams",))
+    assert bound.shard_batch_ok(4)
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((8, 512))
+         + 1j * rng.standard_normal((8, 512))).astype(np.complex64)
+    reset = np.zeros((8,), bool)
+    pp, ps, px = (pack_wire(bound.params), pack_wire(bound.init_state()),
+                  pack_wire(x))
+    _, y1 = jit_step(bound)(pp, ps, px, reset)
+    _, y2 = jit_step_sharded(bound, mesh4, "streams")(pp, ps, px, reset)
+    np.testing.assert_allclose(np.asarray(unpack_wire(y2)),
+                               np.asarray(unpack_wire(y1)), atol=5e-4)
+
+
+def test_runtime_block_mesh_pair_packed_falls_back():
+    """RuntimeBlock(mesh=...) with a pair-packed block and a batch whose
+    local split would be odd: the actor falls back to the single-device
+    program (no actor failure) and values match the unsharded actor."""
+    import asyncio
+
+    from radiorust_tpu.blocks.frontend import FmDemodFilter
+    from radiorust_tpu.models.wfm import _deemphasis_band
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    rng = np.random.default_rng(9)
+    xs = (rng.standard_normal((2, 8, 512))
+          + 1j * rng.standard_normal((2, 8, 512))).astype(np.complex64)
+
+    async def drive(mesh):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(FmDemodFilter(150000.0, _deemphasis_band),
+                           mesh=mesh)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(2):
+            await sender.send(Samples(384000.0, xs[t]))
+        for _ in range(500):
+            if len(sink.chunks) >= 2:
+                break
+            await asyncio.sleep(0.01)
+        assert blk.failure is None
+        return sink.chunks
+
+    mesh = Mesh(np.array(jax.devices()), ("streams",))  # local batch 1: odd
+    got = asyncio.run(drive(mesh))
+    want = asyncio.run(drive(None))
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=5e-4)
+
+
+def test_runtime_mesh_axis_validated_at_construction():
+    """A typo'd mesh_axis (or mesh_axis without a mesh) raises in
+    __init__, not as a deferred KeyError inside the actor coroutine."""
+    from radiorust_tpu.runtime import RuntimeBlock
+
+    mesh = Mesh(np.array(jax.devices()), ("streams",))
+    with pytest.raises(ValueError, match="not an axis"):
+        RuntimeBlock(GainControl(1.0), mesh=mesh, mesh_axis="stream")
+    with pytest.raises(ValueError, match="without a mesh"):
+        RuntimeBlock(GainControl(1.0), mesh_axis="streams")
+
+
+def test_runtime_graph_mesh_serving_matches_unsharded():
+    """RuntimeGraph(mesh=...): the graph path's dict-valued chunks/resets
+    shard the stream axis the same way as the chain path; both named
+    outputs match the unsharded graph actor."""
+    import asyncio
+
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.runtime import ArraySink, RuntimeGraph
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    def build():
+        g = Graph()
+        src = g.input("iq")
+        mid = g.add(FreqShifter.with_shift(500.0), src)
+        g.output("filt", g.add(Filter.new(lowpass(2000.0)), mid))
+        g.output("demod", g.add(FmDemod(1500.0), mid))
+        return g
+
+    rng = np.random.default_rng(13)
+    xs = (rng.standard_normal((3, 8, 256))
+          + 1j * rng.standard_normal((3, 8, 256))).astype(np.complex64)
+
+    async def drive(mesh):
+        sender, connector = new_sender()
+        rg = RuntimeGraph(build(), mesh=mesh)
+        sink_f, sink_d = ArraySink(), ArraySink()
+        rg.feed_from(type("P", (), {"sender_connector": connector})())
+        sink_f.feed_from(rg.out("filt"))
+        sink_d.feed_from(rg.out("demod"))
+        for t in range(3):
+            await sender.send(Samples(8000.0, xs[t]))
+        for _ in range(500):
+            if len(sink_f.chunks) >= 3 and len(sink_d.chunks) >= 3:
+                break
+            await asyncio.sleep(0.01)
+        assert rg.failure is None
+        return sink_f.chunks, sink_d.chunks
+
+    mesh = Mesh(np.array(jax.devices()), ("streams",))
+    got_f, got_d = asyncio.run(drive(mesh))
+    want_f, want_d = asyncio.run(drive(None))
+    assert len(got_f) == len(want_f) == 3
+    for g, w in zip(got_f + got_d, want_f + want_d):
+        np.testing.assert_allclose(g, w, atol=5e-4)
+
+
+def test_runtime_block_mesh_wfm_fleet_matches_unsharded():
+    """A 16-stream WFM fleet through one mesh-serving actor: batched
+    chunks run the full receive chain sharded over the 8-device mesh and
+    match the single-device actor chunk for chunk (state carry included)."""
+    import asyncio
+
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    # FM-modulated tones (demod on raw noise is chaotic; see dryrun).
+    n, streams, steps = 2048, 16, 3
+    tt = np.arange(steps * n) / 1024000.0
+    audio = 0.3 * np.sin(2 * np.pi * 1000.0 * tt)
+    iq = np.exp(1j * (2 * np.pi * 150000.0 / 1024000.0 * np.cumsum(audio)))
+    phases = np.exp(1j * np.linspace(0.0, 1.0, streams))
+    xs = (iq[None, :] * phases[:, None]).astype(np.complex64)
+    xs = np.moveaxis(xs.reshape(streams, steps, n), 1, 0)  # [T, streams, n]
+
+    async def drive(mesh):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(wfm_receiver(), mesh=mesh)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(steps):
+            await sender.send(Samples(1024000.0, xs[t]))
+        for _ in range(1000):
+            if len(sink.chunks) >= steps:
+                break
+            await asyncio.sleep(0.01)
+        assert blk.failure is None
+        return sink.chunks
+
+    mesh = Mesh(np.array(jax.devices()), ("streams",))
+    got = asyncio.run(drive(mesh))
+    want = asyncio.run(drive(None))
+    assert len(got) == len(want) == steps
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=5e-4)
