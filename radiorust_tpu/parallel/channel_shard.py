@@ -108,9 +108,16 @@ class ChannelShardedChain:
     blocks — demod, gain, filters — all do).  ``process(params, state, x,
     reset=None)`` has the bound chain's signature and is numerically
     identical to it (``tests/test_channel_shard.py``).
+
+    ``stream_axis`` additionally shards the input-stream batch over a
+    second mesh axis (the data-parallel serving split of
+    ``jit_step_sharded``) for a 2-D streams x channels mesh: each device
+    then owns one (stream group, channel group) tile, and the all_gather
+    stays within its stream group's channel row.
     """
 
-    def __init__(self, bound_chain, mesh: Mesh, axis: str = "c"):
+    def __init__(self, bound_chain, mesh: Mesh, axis: str = "c",
+                 stream_axis: str | None = None):
         blocks = getattr(bound_chain, "blocks", None)
         if not blocks or not isinstance(blocks[0], _BoundChannelizer):
             raise ValueError("ChannelShardedChain requires a bound Chain "
@@ -122,6 +129,12 @@ class ChannelShardedChain:
             raise ValueError(
                 f"num_channels {self.chan.m} not divisible by mesh axis "
                 f"{axis!r} ({self.ndev} devices)")
+        self.stream_axis = stream_axis
+        self.sdev = mesh.shape[stream_axis] if stream_axis else 1
+        if bound_chain.in_sig.batch % self.sdev:
+            raise ValueError(
+                f"stream batch {bound_chain.in_sig.batch} not divisible "
+                f"by mesh axis {stream_axis!r} ({self.sdev} devices)")
         folded = self.chan.out_sig.batch
         for blk in self.rest:
             if blk.in_sig.batch != folded or blk.out_sig.batch != folded:
@@ -129,10 +142,11 @@ class ChannelShardedChain:
                     f"{type(blk).__name__} changes the folded channel "
                     f"batch; only batch-preserving per-channel blocks can "
                     f"channel-shard")
-            if not blk.shard_batch_ok(self.ndev):
+            if not blk.shard_batch_ok(self.ndev * self.sdev):
                 raise ValueError(
                     f"{type(blk).__name__} cannot split {folded} channel "
-                    f"rows over {self.ndev} devices (per-shard constraint)")
+                    f"rows over {self.ndev * self.sdev} devices "
+                    f"(per-shard constraint)")
         self.bound = bound_chain
         self.mesh = mesh
         self.axis = axis
@@ -156,11 +170,12 @@ class ChannelShardedChain:
         return tuple(state)
 
     def _build(self):
-        b = self.in_sig.batch
         mg = self.chan.m // self.ndev
         axis = self.axis
+        s_ax = self.stream_axis
 
         def local(params, state, x, reset):
+            bl = x.shape[0]                    # local stream batch
             new_hist, y = _local_channelize(
                 self.chan, params[0], state[0]["hist"], x, reset,
                 axis, self.ndev)
@@ -171,18 +186,24 @@ class ChannelShardedChain:
             for blk, p, s in zip(self.rest, params[1:], state[1:],
                                  strict=True):
                 s_flat = jax.tree.map(
-                    lambda a: a.reshape((b * mg,) + a.shape[2:]), s)
+                    lambda a: a.reshape((bl * mg,) + a.shape[2:]), s)
                 s_flat, y = blk.process(p, s_flat, y, r_loc)
                 new_state.append(jax.tree.map(
-                    lambda a: a.reshape((b, mg) + a.shape[1:]), s_flat))
+                    lambda a: a.reshape((bl, mg) + a.shape[1:]), s_flat))
             t = y.shape[-1]
-            return tuple(new_state), y.reshape(b, mg, t)
+            return tuple(new_state), y.reshape(bl, mg, t)
 
-        state_specs = tuple([P()] + [P(None, axis)] * len(self.rest))
+        # Per-stream leaves shard over stream_axis when given; the
+        # channelizer's raw-input history shards the same way (it is
+        # per-stream), while staying replicated over the channel axis.
+        hist_spec = P(s_ax) if s_ax else P()
+        down_spec = P(s_ax, axis)
+        state_specs = tuple([hist_spec] + [down_spec] * len(self.rest))
         return jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(), state_specs, P(), P()),
-            out_specs=(state_specs, P(None, axis, None)),
+            in_specs=(P(), state_specs, P(s_ax, None) if s_ax else P(),
+                      P(s_ax) if s_ax else P()),
+            out_specs=(state_specs, P(s_ax, axis, None)),
             check_vma=False)
 
     def process(self, params, state, x, reset=None):

@@ -107,3 +107,28 @@ def test_channel_sharded_validation():
         StreamSig(1, 64, 8000.0))
     with pytest.raises(ValueError, match="not divisible"):
         ChannelShardedChain(small, mesh, axis="c")
+
+
+def test_channel_sharded_2d_streams_by_channels():
+    """2-D mesh: stream batch shards over 's' (data-parallel serving)
+    while channels shard over 'c'; matches the single-device scan."""
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("s", "c"))
+    chain = channelized_receiver(num_channels=64, input_rate=1024000.0)
+    sig = StreamSig(4, 1024, 1024000.0)
+    bound = chain.bind(sig)
+    cs = ChannelShardedChain(bound, mesh, axis="c", stream_axis="s")
+
+    xs = make_iq(3, 4, 1024, seed=4)
+    resets = np.zeros((3, 4), bool)
+    resets[2, 1] = True
+    got = drive(cs, xs, resets)
+    _, want = scan(bound, bound.params, bound.init_state(),
+                   jnp.asarray(xs), resets=resets)
+    want = np.asarray(want)
+    power = np.abs(want).mean(axis=(0, 2))
+    rows = power > 1e-3
+    np.testing.assert_allclose(got[:, rows], want[:, rows], atol=5e-4)
+
+    with pytest.raises(ValueError, match="stream batch"):
+        ChannelShardedChain(chain.bind(StreamSig(3, 1024, 1024000.0)),
+                            mesh, axis="c", stream_axis="s")
