@@ -25,7 +25,8 @@ from radiorust_tpu import config
 from ..math import sinc
 from ..windowing import Kaiser
 
-__all__ = ["design_prototype", "pfb_channelize"]
+__all__ = ["design_prototype", "pfb_channelize", "branch_fir",
+           "dft_channels"]
 
 
 def design_prototype(num_channels: int, taps_per_branch: int,
@@ -54,6 +55,42 @@ def _dft_planes(m: int):
     return (w.real.astype(np.float32), w.imag.astype(np.float32))
 
 
+def branch_fir(fr: jax.Array, fi: jax.Array, taps: jax.Array,
+               t_out: int):
+    """K-tap polyphase branch FIR as K shifted fused multiply-adds.
+
+    ``fr/fi``: [b, T+K-1, branches] frame planes; ``taps``: [K, branches].
+    Returns (vr, vi) [b, t_out, branches].  Shared by the single-device
+    PFB and the channel-sharded branch groups
+    (``parallel/channel_shard.py``) so the two paths cannot diverge
+    numerically."""
+    k = taps.shape[0]
+    b, _, m = fr.shape
+    vr = jnp.zeros((b, t_out, m), jnp.float32)
+    vi = jnp.zeros((b, t_out, m), jnp.float32)
+    for j in range(k):
+        tj = taps[j][None, None, :].astype(jnp.float32)
+        vr = vr + fr[:, j: j + t_out, :] * tj
+        vi = vi + fi[:, j: j + t_out, :] * tj
+    return vr, vi
+
+
+def dft_channels(vr: jax.Array, vi: jax.Array, dr: jax.Array,
+                 di: jax.Array) -> jax.Array:
+    """Branch DFT as a 4-mul complex matmul on the MXU.
+
+    ``vr/vi``: [b, T, M] branch-value planes; ``dr/di``: [M, C] DFT
+    column planes (C = all M channels, or one device's channel group).
+    Returns complex [b, T, C]."""
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=config.matmul_precision())
+    yr = (jnp.einsum("btm,mc->btc", vr, dr, **kw)
+          - jnp.einsum("btm,mc->btc", vi, di, **kw))
+    yi = (jnp.einsum("btm,mc->btc", vr, di, **kw)
+          + jnp.einsum("btm,mc->btc", vi, dr, **kw))
+    return jax.lax.complex(yr, yi)
+
+
 def pfb_channelize(xp: jax.Array, taps: jax.Array,
                    num_channels: int) -> jax.Array:
     """Critically sampled analysis filterbank.
@@ -79,22 +116,9 @@ def pfb_channelize(xp: jax.Array, taps: jax.Array,
     fi = jnp.imag(frames).astype(jnp.float32)
     # Branch FIR: v[b, t, m] = sum_k frames[b, t+k, m] * taps[k, m] —
     # K shifted elementwise FMAs (K is small, typically 4-16).
-    vr = jnp.zeros((b, t_out, m), jnp.float32)
-    vi = jnp.zeros((b, t_out, m), jnp.float32)
-    for j in range(k):
-        tj = taps[j][None, None, :].astype(jnp.float32)
-        vr = vr + fr[:, j: j + t_out, :] * tj
-        vi = vi + fi[:, j: j + t_out, :] * tj
+    vr, vi = branch_fir(fr, fi, taps, t_out)
     # DFT across branches -> channels (numpy bin convention) as a complex
     # matmul: Y[.., c] = sum_m V[.., m] * W[m, c].
     dr, di = _dft_planes(m)
-    dr = jnp.asarray(dr)
-    di = jnp.asarray(di)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=config.matmul_precision())
-    yr = (jnp.einsum("btm,mc->btc", vr, dr, **kw)
-          - jnp.einsum("btm,mc->btc", vi, di, **kw))
-    yi = (jnp.einsum("btm,mc->btc", vr, di, **kw)
-          + jnp.einsum("btm,mc->btc", vi, dr, **kw))
-    y = jax.lax.complex(yr, yi)                      # [b, T, M]
+    y = dft_channels(vr, vi, jnp.asarray(dr), jnp.asarray(di))  # [b, T, M]
     return jnp.swapaxes(y, 1, 2).astype(jnp.complex64)  # [b, M, T]

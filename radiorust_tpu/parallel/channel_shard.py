@@ -38,10 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from radiorust_tpu import config
-
 from ..blocks.channelize import _BoundChannelizer
-from ..ops.channelizer import _dft_planes
+from ..ops.channelizer import _dft_planes, branch_fir, dft_channels
 
 __all__ = ["ChannelShardedChain"]
 
@@ -70,12 +68,7 @@ def _local_channelize(chan, params, hist, x, reset, axis: str, ndev: int):
         jnp.imag(frames).astype(jnp.float32), d_idx * mg, mg, axis=2)
     taps = jax.lax.dynamic_slice_in_dim(
         params["taps"].astype(jnp.float32), d_idx * mg, mg, axis=1)
-    vr = jnp.zeros((b, t_out, mg), jnp.float32)
-    vi = jnp.zeros((b, t_out, mg), jnp.float32)
-    for j in range(k):
-        tj = taps[j][None, None, :]
-        vr = vr + fr[:, j: j + t_out, :] * tj
-        vi = vi + fi[:, j: j + t_out, :] * tj
+    vr, vi = branch_fir(fr, fi, taps, t_out)
     # The only collective: assemble all branches (decimated data, 1/D of
     # the input per device).  Device order == branch-group order, so the
     # gather axis folds straight back into the branch axis.
@@ -87,13 +80,7 @@ def _local_channelize(chan, params, hist, x, reset, axis: str, ndev: int):
     dr, di = _dft_planes(m)
     dr = jax.lax.dynamic_slice_in_dim(jnp.asarray(dr), d_idx * mg, mg, 1)
     di = jax.lax.dynamic_slice_in_dim(jnp.asarray(di), d_idx * mg, mg, 1)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=config.matmul_precision())
-    yr = (jnp.einsum("btm,mc->btc", vr_full, dr, **kw)
-          - jnp.einsum("btm,mc->btc", vi_full, di, **kw))
-    yi = (jnp.einsum("btm,mc->btc", vr_full, di, **kw)
-          + jnp.einsum("btm,mc->btc", vi_full, dr, **kw))
-    y = jax.lax.complex(yr, yi)                        # [b, T, mg]
+    y = dft_channels(vr_full, vi_full, dr, di)         # [b, T, mg]
     y = jnp.swapaxes(y, 1, 2).reshape(b * mg, t_out).astype(jnp.complex64)
     new_hist = xp[:, -chan.hist_len:] if chan.hist_len else hist
     return new_hist, y
@@ -199,12 +186,12 @@ class ChannelShardedChain:
         hist_spec = P(s_ax) if s_ax else P()
         down_spec = P(s_ax, axis)
         state_specs = tuple([hist_spec] + [down_spec] * len(self.rest))
-        return jax.shard_map(
+        return jax.jit(jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), state_specs, P(s_ax, None) if s_ax else P(),
                       P(s_ax) if s_ax else P()),
             out_specs=(state_specs, P(s_ax, axis, None)),
-            check_vma=False)
+            check_vma=False))
 
     def process(self, params, state, x, reset=None):
         if reset is None:
