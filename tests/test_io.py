@@ -241,3 +241,10 @@ def test_wfm_receiver_example_runs():
     out = _run_example("wfm_receiver.py")
     assert out.returncode == 0, out.stderr
     assert "dominant tone 1000 Hz" in out.stdout
+
+
+def test_fleet_receiver_example_runs():
+    out = _run_example("fleet_receiver.py", timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "fleet: 16/16" in out.stdout
+    assert "wideband: 3/3" in out.stdout
