@@ -64,11 +64,47 @@ def get_cpu_baseline():
     return measure_cpu_baseline()
 
 
+def wait_for_backend():
+    """Wait out relay flaps before touching the backend in-process.
+
+    The experimental relay backend intermittently reports UNAVAILABLE or
+    hangs during init; JAX caches a failed platform init for the process
+    lifetime, so the probe runs in fresh subprocesses and the main
+    process only proceeds once a probe succeeds.  Bounded: after
+    BENCH_BACKEND_RETRIES failed probes the benchmark proceeds anyway and
+    surfaces the real error."""
+    # The sitecustomize pins jax to the TPU plugin programmatically, so a
+    # CPU run must override via jax.config, not just the env var (same
+    # dance as tests/conftest.py and the examples).
+    probe = ("import os, jax\n"
+             "if os.environ.get('JAX_PLATFORMS') == 'cpu':\n"
+             "    jax.config.update('jax_platforms', 'cpu')\n"
+             "jax.devices(); print('ok')")
+    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "8"))
+    for i in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=150)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+            err = (r.stderr.strip().splitlines() or ["?"])[-1]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (relay hang)"
+        sys.stderr.write(f"backend probe {i + 1}/{retries} failed: "
+                         f"{err[:200]}; retrying in 45 s\n")
+        time.sleep(45)
+
+
 def main():
     baseline = get_cpu_baseline()
     baseline_msps = float(baseline["pipelined_msps"])
 
+    wait_for_backend()
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Local smoke runs: honor the CPU override despite the
+        # sitecustomize backend pin (see wait_for_backend).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
