@@ -72,8 +72,10 @@ def run_on(platform, fused=False):
 def main():
     import os
     import numpy as np
+    from bench import wait_for_backend
     fused = os.environ.get("VALIDATE_FUSED", "0") == "1"
     cpu = np.array(run_on("cpu", fused))
+    wait_for_backend()     # ride out relay flaps (bounded retries)
     tpu = np.array(run_on("tpu", fused))
     rel = np.abs(cpu - tpu) / np.maximum(np.abs(cpu), 1e-6)
     print("cpu:", cpu)
