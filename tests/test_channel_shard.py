@@ -132,3 +132,62 @@ def test_channel_sharded_2d_streams_by_channels():
     with pytest.raises(ValueError, match="stream batch"):
         ChannelShardedChain(chain.bind(StreamSig(3, 1024, 1024000.0)),
                             mesh, axis="c", stream_axis="s")
+
+
+def _random_downstream(rng, ch_rate, ch_n):
+    """Random batch-preserving per-channel composition (the channel-shard
+    analog of test_parallel._random_chain)."""
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.modulation import FmMod
+    from radiorust_tpu.blocks.resampling import Downsampler
+
+    def lowpass(cut):
+        def resp(bins, freqs):
+            return np.where(np.abs(freqs) <= cut, 1.0 + 0.0j, 0.0j)
+        return resp
+
+    specs = []
+    n_down = 0
+    rate, n = ch_rate, ch_n
+    for _ in range(int(rng.integers(2, 5))):
+        kind = rng.choice(["shift", "filter", "gain", "demod", "mod",
+                           "down"])
+        if kind == "shift":
+            specs.append(FreqShifter.with_shift(float(rate) / 16.0))
+        elif kind == "filter":
+            specs.append(Filter.new(lowpass(rate / 4.0)))
+        elif kind == "gain":
+            specs.append(GainControl(1.5))
+        elif kind == "demod":
+            specs.append(FmDemod(rate / 8.0))
+        elif kind == "mod":
+            specs.append(FmMod(rate / 8.0))
+        elif kind == "down":
+            if n_down >= 1 or n < 32:
+                specs.append(GainControl(0.5))
+            else:
+                specs.append(Downsampler(rate / 2.0, rate / 4.0))
+                rate, n = rate / 2.0, n // 2
+                n_down += 1
+    return specs
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_channel_sharded_random_downstream(seed):
+    """Random per-channel compositions downstream of the PFB (stateful
+    filters, resamplers, mod/demod) stay numerically identical to the
+    single-device chain under channel sharding."""
+    rng = np.random.default_rng(seed)
+    m, n, rate = 16, 1024, 16000.0
+    specs = [Channelizer(m, taps_per_branch=4)]
+    specs += _random_downstream(rng, rate / m, n // m)
+    chain = Chain(*specs)
+    sig = StreamSig(1, n, rate)
+    bound = chain.bind(sig)
+    mesh = Mesh(np.array(jax.devices()), ("c",))
+    cs = ChannelShardedChain(bound, mesh, axis="c")
+
+    xs = make_iq(3, 1, n, seed=seed + 30)
+    got = drive(cs, xs)
+    _, want = scan(bound, bound.params, bound.init_state(), jnp.asarray(xs))
+    np.testing.assert_allclose(got, np.asarray(want), atol=5e-4)
