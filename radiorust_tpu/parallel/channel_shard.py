@@ -139,11 +139,19 @@ class ChannelShardedChain:
         self.axis = axis
         self.in_sig = bound_chain.in_sig
         self.out_sig = bound_chain.out_sig
+        # Runtime-actor surface (duck-types _BoundChain where it matters):
+        # typed setters walk .blocks/params pairs, warmup reads valid_from.
+        self.blocks = bound_chain.blocks
+        self.valid_from = bound_chain.valid_from
         self._sharded = self._build()
 
     @property
     def params(self):
         return self.bound.params
+
+    @params.setter
+    def params(self, new):
+        self.bound.params = new
 
     def init_state(self):
         """Chain-shaped state; downstream per-channel leaves are stored
@@ -186,12 +194,13 @@ class ChannelShardedChain:
         hist_spec = P(s_ax) if s_ax else P()
         down_spec = P(s_ax, axis)
         state_specs = tuple([hist_spec] + [down_spec] * len(self.rest))
-        return jax.jit(jax.shard_map(
+        self._smapped = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), state_specs, P(s_ax, None) if s_ax else P(),
                       P(s_ax) if s_ax else P()),
             out_specs=(state_specs, P(s_ax, axis, None)),
-            check_vma=False))
+            check_vma=False)
+        return jax.jit(self._smapped)
 
     def process(self, params, state, x, reset=None):
         if reset is None:
@@ -199,3 +208,21 @@ class ChannelShardedChain:
         new_state, y3 = self._sharded(params, state, x, reset)
         b, _, t = y3.shape
         return new_state, y3.reshape(b * self.chan.m, t)
+
+    def jit_step(self):
+        """Wire-safe chunk step (the channel-sharded analog of
+        ``blocks.base.jit_step``): complex leaves cross the boundary as
+        packed float32 planes, so runtime actors can drive the sharded
+        program through backends that cannot marshal complex64."""
+        from ..blocks.base import pack_wire, unpack_wire
+        m = self.chan.m
+        smapped = self._smapped
+
+        @jax.jit
+        def step(pp, ps, px, reset):
+            new_state, y3 = smapped(unpack_wire(pp), unpack_wire(ps),
+                                    unpack_wire(px), reset)
+            b, _, t = y3.shape
+            return pack_wire(new_state), pack_wire(y3.reshape(b * m, t))
+
+        return step

@@ -110,18 +110,31 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
 
     def __init__(self, spec: Block, name: Optional[str] = None,
                  pipeline_depth: int = 0, mesh=None,
-                 mesh_axis: Optional[str] = None):
+                 mesh_axis: Optional[str] = None, shard: str = "streams"):
         from ..utils.profiling import GLOBAL_STATS
         self.spec = spec
         self.name = name or type(spec).__name__
         self.stats = GLOBAL_STATS.unique(self.name)
-        # Data-parallel serving: with a mesh, batched [streams, n] chunks
-        # shard their stream axis across mesh_axis — one actor serving a
-        # fleet of independent streams over the pod slice.  Chunks whose
-        # batch cannot shard (not divisible by the axis size, 1-D
-        # single-stream chunks, or a per-shard kernel constraint like the
-        # pair-packed blocks' even local batch) fall back to the
-        # single-device program.
+        # Mesh serving, two modes:
+        # - shard="streams" (default): batched [streams, n] chunks shard
+        #   their stream axis across mesh_axis — one actor serving a fleet
+        #   of independent streams over the pod slice.  Chunks whose batch
+        #   cannot shard (not divisible by the axis size, 1-D
+        #   single-stream chunks, or a per-shard kernel constraint like
+        #   the pair-packed blocks' even local batch) fall back to the
+        #   single-device program.
+        # - shard="channels": a channelizer-led chain splits its M
+        #   channels (PFB branch groups + all downstream per-channel
+        #   processing) across mesh_axis — one wideband stream served by
+        #   the whole mesh (parallel.channel_shard.ChannelShardedChain).
+        #   Falls back to the single-device program if the bound chain
+        #   cannot channel-shard.
+        if shard not in ("streams", "channels"):
+            raise ValueError(f"shard must be 'streams' or 'channels', "
+                             f"got {shard!r}")
+        if shard == "channels" and mesh is None:
+            raise ValueError("shard='channels' requires a mesh")
+        self.shard = shard
         self.mesh = mesh
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         # TPU-idiomatic pipeline parallelism: with depth d > 0 the actor
@@ -165,7 +178,19 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             bound = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
-            if (self.mesh is not None
+            if self.mesh is not None and self.shard == "channels":
+                from ..parallel.channel_shard import ChannelShardedChain
+                try:
+                    cs = ChannelShardedChain(bound, self.mesh,
+                                             axis=self.mesh_axis)
+                    cs._jit = cs.jit_step()
+                    bound = cs
+                except ValueError as e:
+                    logging.getLogger(__name__).warning(
+                        "%s: cannot channel-shard (%s); using the "
+                        "single-device program", self.name, e)
+                    bound._jit = jit_step(bound)
+            elif (self.mesh is not None
                     and bound.shard_batch_ok(
                         self.mesh.shape[self.mesh_axis])):
                 bound._jit = jit_step_sharded(bound, self.mesh,
@@ -193,7 +218,6 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         """Apply fn(block, block_params) -> new_params over a bound block,
         every sub-block of a bound chain, or every node of a bound graph;
         None leaves params unchanged."""
-        from ..blocks.base import _BoundChain
         from ..blocks.graph import BoundGraph
         if isinstance(bound, BoundGraph):
             out = []
@@ -204,9 +228,12 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 new = fn(node, pp)
                 out.append(pp if new is None else new)
             return tuple(out)
-        if isinstance(bound, _BoundChain):
+        # Anything exposing aligned .blocks/params tuples: _BoundChain and
+        # the sharded chain wrappers (parallel.channel_shard).
+        blocks = getattr(bound, "blocks", None)
+        if blocks is not None:
             out = []
-            for blk, pp in zip(bound.blocks, params):
+            for blk, pp in zip(blocks, params):
                 new = fn(blk, pp)
                 out.append(pp if new is None else new)
             return tuple(out)
@@ -239,15 +266,18 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables
         and the carried phase state of the current binding."""
-        from ..blocks.base import _BoundChain
         from ..blocks.transform import _BoundFreqShifter
         self._sync_state()
         if self._bound is not None and self._state is not None:
             bound = self._bound
-            if isinstance(bound, _BoundChain):
+            blocks = getattr(bound, "blocks", None)
+            if blocks is not None:
+                # _BoundChain and the sharded chain wrappers; retune's
+                # phase fold is elementwise, so it also handles the
+                # channel-sharded [batch, M]-shaped state leaves.
                 params = list(bound.params)
                 state = list(self._state)
-                for i, blk in enumerate(bound.blocks):
+                for i, blk in enumerate(blocks):
                     if isinstance(blk, _BoundFreqShifter):
                         params[i], state[i] = blk.retune(params[i],
                                                          state[i], shift)
@@ -370,8 +400,12 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         # The np.asarray fetch above synchronizes the device, so the
         # recorded wall time covers the real compute.
         self.stats.record_chunk(n_in, time.perf_counter() - t0)
+        # 1-D input stays 1-D downstream — unless the chain grows the
+        # batch (a Channelizer folds channels into it): then the output is
+        # genuinely 2-D [channels, t] and y[0] would strip all but one.
+        flatten = not batched and bound.out_sig.batch == 1
         await self.sender.send(Samples(bound.out_sig.sample_rate,
-                                       y if batched else y[0]))
+                                       y[0] if flatten else y))
 
     async def _flush(self, inflight) -> None:
         while inflight:
@@ -527,6 +561,7 @@ class RuntimeGraph(RuntimeBlock):
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
+        self.shard = "streams"   # graphs shard the stream axis only
         self.mesh = mesh
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         self._init_actor_fields()
@@ -619,8 +654,11 @@ class RuntimeGraph(RuntimeBlock):
         self.chunks_processed += 1
         self.stats.record_chunk(n_in, time.perf_counter() - t0)
         await self._broadcast(
-            lambda name: Samples(bound.out_sigs[name].sample_rate,
-                                 ys[name] if batched else ys[name][0]))
+            lambda name: Samples(
+                bound.out_sigs[name].sample_rate,
+                ys[name][0] if (not batched
+                                and bound.out_sigs[name].batch == 1)
+                else ys[name]))
 
 
 class Silence(_ProducerMixin):

@@ -191,3 +191,91 @@ def test_channel_sharded_random_downstream(seed):
     got = drive(cs, xs)
     _, want = scan(bound, bound.params, bound.init_state(), jnp.asarray(xs))
     np.testing.assert_allclose(got, np.asarray(want), atol=5e-4)
+
+
+def _drive_actor(make_block, chunks, rate, n_out, setter=None, at=None):
+    """Drive a runtime actor with 1-D chunks; optionally call setter(block)
+    after chunk index `at`."""
+    import asyncio
+
+    from radiorust_tpu.runtime import ArraySink
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    async def main():
+        sender, connector = new_sender()
+        blk = make_block()
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for i, c in enumerate(chunks):
+            await sender.send(Samples(rate, c))
+            if setter is not None and i == at:
+                while len(sink.chunks) < i + 1:   # let it drain first
+                    await asyncio.sleep(0.01)
+                setter(blk)
+        for _ in range(2000):
+            if len(sink.chunks) >= n_out:
+                break
+            await asyncio.sleep(0.01)
+        assert blk.failure is None, blk.failure
+        return sink.chunks
+
+    return asyncio.run(main())
+
+
+def test_runtime_batch_growing_chain_keeps_channels():
+    """A 1-D stream through a batch-growing chain (Channelizer) must emit
+    2-D [channels, t] chunks — y[0] would silently strip all but channel
+    0 (regression test for the _fetch_send flatten rule)."""
+    from radiorust_tpu.runtime import RuntimeBlock
+
+    chain = Chain(Channelizer(4, taps_per_branch=2), GainControl(1.0))
+    xs = make_iq(2, 1, 64, seed=7)[:, 0]            # 1-D chunks [64]
+    got = _drive_actor(lambda: RuntimeBlock(chain), list(xs), 8000.0, 2)
+    assert got[0].shape == (4, 16)
+    bound = chain.bind(StreamSig(1, 64, 8000.0))
+    _, want = scan(bound, bound.params, bound.init_state(),
+                   jnp.asarray(xs[:, None, :]))
+    np.testing.assert_allclose(np.stack(got), np.asarray(want), atol=1e-5)
+
+
+def test_runtime_block_channel_sharded_actor():
+    """RuntimeBlock(shard='channels'): one wideband 1-D stream served by
+    the whole mesh; folded-channel outputs, live set_shift retune (phase-
+    continuous on the sharded state), and non-channelizer fallback all
+    match the unsharded actor."""
+    from radiorust_tpu.blocks.modulation import FmDemod
+    from radiorust_tpu.runtime import RuntimeBlock
+
+    mesh = Mesh(np.array(jax.devices()), ("c",))
+    chain = Chain(Channelizer(16, taps_per_branch=4),
+                  FreqShifter.with_shift(50.0), GainControl(0.5))
+    xs = make_iq(4, 1, 512, seed=8)[:, 0]           # 1-D chunks [512]
+
+    def retune(blk):
+        blk.set_shift(75.0)
+
+    got = _drive_actor(
+        lambda: RuntimeBlock(chain, mesh=mesh, shard="channels"),
+        list(xs), 16000.0, 4, setter=retune, at=1)
+    want = _drive_actor(
+        lambda: RuntimeBlock(chain),
+        list(xs), 16000.0, 4, setter=retune, at=1)
+    assert len(got) == len(want) == 4
+    assert got[0].shape == (16, 32)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=5e-4)
+
+    # Non-channelizer spec: warns and falls back to the single-device
+    # program instead of failing the actor.
+    plain = Chain(GainControl(2.0))
+    got_p = _drive_actor(
+        lambda: RuntimeBlock(plain, mesh=mesh, shard="channels"),
+        list(xs), 16000.0, 4)
+    np.testing.assert_allclose(np.stack(got_p), 2.0 * xs, atol=1e-6)
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        RuntimeBlock(chain, shard="channels")
+    with pytest.raises(ValueError, match="streams.*channels"):
+        RuntimeBlock(chain, mesh=mesh, shard="rows")
