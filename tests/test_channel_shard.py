@@ -279,3 +279,38 @@ def test_runtime_block_channel_sharded_actor():
         RuntimeBlock(chain, shard="channels")
     with pytest.raises(ValueError, match="streams.*channels"):
         RuntimeBlock(chain, mesh=mesh, shard="rows")
+
+
+def test_channel_sharded_actor_checkpoint_resume(tmp_path):
+    """A channel-sharded actor's stream state (sharded per-channel leaves
+    included) checkpoints and resumes bit-exactly: the resumed actor's
+    outputs equal an uninterrupted run."""
+    from radiorust_tpu.runtime import RuntimeBlock
+
+    mesh = Mesh(np.array(jax.devices()), ("c",))
+    chain = channelized_receiver(num_channels=16, input_rate=16000.0)
+    xs = make_iq(4, 1, 512, seed=11)[:, 0]          # 1-D chunks [512]
+    path = str(tmp_path / "cs.ckpt.npz")
+
+    def make():
+        return RuntimeBlock(chain, mesh=mesh, shard="channels")
+
+    # Uninterrupted reference run.
+    want = _drive_actor(make, list(xs), 16000.0, 4)
+
+    # Run 2 chunks, checkpoint, resume in a fresh actor for chunks 3-4.
+    def save(blk):
+        blk.save_checkpoint(path)
+
+    first = _drive_actor(make, list(xs[:2]), 16000.0, 2, setter=save, at=1)
+
+    def make_resumed():
+        blk = make()
+        blk.load_checkpoint(path)
+        return blk
+
+    rest = _drive_actor(make_resumed, list(xs[2:]), 16000.0, 2)
+    got = first + rest
+    assert len(got) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=0.0)   # bit-exact resume
