@@ -13,7 +13,7 @@ from radiorust_tpu.blocks.analysis import Fourier
 from radiorust_tpu.blocks.chunks import Overlapper
 from radiorust_tpu.blocks.filters import Filter
 from radiorust_tpu.blocks.modulation import FmDemod, FmMod
-from radiorust_tpu.blocks.resampling import Downsampler
+from radiorust_tpu.blocks.resampling import Downsampler, Upsampler
 from radiorust_tpu.blocks.transform import FreqShifter, GainControl
 from radiorust_tpu.models.wfm import wfm_receiver
 from radiorust_tpu.parallel.time_shard import TimeShardedChain
@@ -68,6 +68,11 @@ CASES = [
     ("filter", Chain(Filter.new(lowpass(2000.0))),
      StreamSig(2, 64, 8000.0)),
     ("downsample", Chain(Downsampler(1000.0, 400.0)),
+     StreamSig(2, 64, 8000.0)),
+    ("upsample", Chain(Upsampler(16000.0, 3000.0)),
+     StreamSig(2, 64, 8000.0)),
+    ("up_then_down", Chain(Upsampler(16000.0, 3000.0),
+                           Downsampler(4000.0, 1500.0)),
      StreamSig(2, 64, 8000.0)),
     ("demod", Chain(FmDemod(1000.0)), StreamSig(2, 64, 8000.0)),
     ("fmmod", Chain(FmMod(1000.0)), StreamSig(2, 64, 8000.0)),
