@@ -43,8 +43,10 @@ struct Loader {
     long map_len = 0;                       // mmap length (raw file size)
     long bytes = 0;
     long pos = 0;                           // consumer cursor (bytes)
+    long vpos = 0;                          // virtual cursor (monotonic,
+                                            // never wraps in loop mode)
     bool loop = false;
-    std::atomic<long> want{0};              // prefetch target (bytes)
+    std::atomic<long> want{0};              // prefetch target (virtual)
     std::atomic<bool> stop{false};
     std::mutex mu;
     std::condition_variable cv;
@@ -52,6 +54,11 @@ struct Loader {
 };
 
 void prefetch_loop(Loader* l) {
+    // `done` and `want` are VIRTUAL offsets (monotonic, wrap-free); the
+    // file offset is done % bytes.  A wrap-resetting cursor here would
+    // leave the wait predicate permanently true after the first pass in
+    // loop mode — the thread would re-walk the whole file at 100% CPU
+    // with no consumer dependence.
     long done = 0;
     for (;;) {
         long target;
@@ -63,20 +70,22 @@ void prefetch_loop(Loader* l) {
             if (l->stop.load()) return;
             target = l->want.load();
         }
-        if (target > l->bytes) target = l->bytes;
+        if (!l->loop && target > l->bytes) target = l->bytes;
         while (done < target && !l->stop.load()) {
-            long chunk = target - done < kWindow ? target - done : kWindow;
-            madvise(const_cast<uint8_t*>(l->map) + done, chunk,
+            long off0 = done % l->bytes;
+            long chunk = target - done;
+            if (chunk > kWindow) chunk = kWindow;
+            if (chunk > l->bytes - off0) chunk = l->bytes - off0;
+            madvise(const_cast<uint8_t*>(l->map) + off0, chunk,
                     MADV_WILLNEED);
             // Touch one byte per page so the fault happens here, not in
             // the consumer's memcpy.
             volatile uint8_t sink = 0;
-            for (long off = done; off < done + chunk; off += 4096)
+            for (long off = off0; off < off0 + chunk; off += 4096)
                 sink ^= l->map[off];
             (void)sink;
             done += chunk;
         }
-        if (done >= l->bytes && l->loop) done = 0;  // re-walk on wrap
     }
 }
 
@@ -125,9 +134,10 @@ long iq_read(void* h, void* out, long n) {
         long avail = l->bytes - l->pos;
         long take = want_bytes - copied < avail ? want_bytes - copied
                                                 : avail;
-        // Kick the prefetcher one window past what this read needs.
-        long ahead = l->pos + take + kWindow;
-        if (ahead > l->bytes) ahead = l->bytes;
+        // Kick the prefetcher one window past what this read needs
+        // (virtual offsets; see prefetch_loop).
+        long ahead = l->vpos + take + kWindow;
+        if (!l->loop && ahead > l->bytes) ahead = l->bytes;
         if (ahead > l->want.load()) {
             {
                 std::lock_guard<std::mutex> lk(l->mu);
@@ -137,6 +147,7 @@ long iq_read(void* h, void* out, long n) {
         }
         std::memcpy(dst + copied, l->map + l->pos, take);
         l->pos += take;
+        l->vpos += take;
         copied += take;
     }
     return copied / kSample;

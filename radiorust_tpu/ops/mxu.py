@@ -23,7 +23,18 @@ import jax.numpy as jnp
 
 from radiorust_tpu import config
 
-__all__ = ["make_dot", "resolve_mode"]
+__all__ = ["make_dot", "resolve_mode", "pallas_call"]
+
+
+def pallas_call(*args, **kw):
+    """``pl.pallas_call`` with the framework's off-TPU policy: on any
+    non-TPU backend (CPU test mesh, multichip dryrun) kernels run in the
+    Pallas interpreter — same semantics, pure XLA ops underneath.  Single
+    owner of that policy for every kernel module."""
+    import jax.experimental.pallas as pl
+    if jax.default_backend() != "tpu":
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
 
 _MODES = {
     jax.lax.Precision.DEFAULT: "default",

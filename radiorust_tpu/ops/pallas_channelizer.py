@@ -61,10 +61,7 @@ M = 64   # channels; fixed at half a lane row (two frames per 128 lanes)
 HIST_FRAMES = 2  # warmup frames recomputed per chunk (continuity + drop)
 
 
-def _pallas_call(*args, **kw):
-    if jax.default_backend() != "tpu":
-        kw.setdefault("interpret", True)
-    return pl.pallas_call(*args, **kw)
+from .mxu import pallas_call as _pallas_call  # off-TPU interpret policy
 
 
 @functools.lru_cache(maxsize=4)

@@ -58,12 +58,7 @@ def _make_cmm(mm):
     return cmm
 
 
-def _pallas_call(*args, **kw):
-    # Off-TPU (CPU test mesh, multichip dryrun) the kernels run in the
-    # Pallas interpreter: same semantics, pure XLA ops underneath.
-    if jax.default_backend() != "tpu":
-        kw.setdefault("interpret", True)
-    return pl.pallas_call(*args, **kw)
+from .mxu import pallas_call as _pallas_call  # off-TPU interpret policy
 
 
 def kernel_factors(n2x: int):

@@ -35,12 +35,7 @@ __all__ = ["fused_mix_decimate", "pallas_decimate", "decimate_supported"]
 LANES = 128
 
 
-def _pallas_call(*args, **kw):
-    # Off-TPU (CPU test mesh, multichip dryrun) the kernels run in the
-    # Pallas interpreter: same semantics, pure XLA ops underneath.
-    if jax.default_backend() != "tpu":
-        kw.setdefault("interpret", True)
-    return pl.pallas_call(*args, **kw)
+from .mxu import pallas_call as _pallas_call  # off-TPU interpret policy
 
 
 def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):

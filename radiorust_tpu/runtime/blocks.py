@@ -266,7 +266,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables
         and the carried phase state of the current binding."""
+        from ..blocks.frontend import _BoundMixerDecimator
         from ..blocks.transform import _BoundFreqShifter
+        shifters = (_BoundFreqShifter, _BoundMixerDecimator)
         self._sync_state()
         if self._bound is not None and self._state is not None:
             bound = self._bound
@@ -278,22 +280,31 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 params = list(bound.params)
                 state = list(self._state)
                 for i, blk in enumerate(blocks):
-                    if isinstance(blk, _BoundFreqShifter):
+                    if isinstance(blk, shifters):
                         params[i], state[i] = blk.retune(params[i],
                                                          state[i], shift)
                 bound.params = tuple(params)
                 self._state = tuple(state)
-            elif isinstance(bound, _BoundFreqShifter):
+            elif isinstance(bound, shifters):
                 bound.params, self._state = bound.retune(
                     bound.params, self._state, shift)
         self._apply_typed(lambda blk, p: blk.shift_params(shift)
-                          if isinstance(blk, _BoundFreqShifter) else None)
+                          if isinstance(blk, shifters) else None)
 
     def update_filter(self, freq_resp, window=None) -> None:
         """``Filter::update`` analog (src/blocks/filters.rs:279-297)."""
         from ..blocks.filters import _BoundFilter
-        self._apply_typed(lambda blk, p: blk.update_params(freq_resp, window)
-                          if isinstance(blk, _BoundFilter) else None)
+        from ..blocks.frontend import _BoundFilterDemodFilter
+
+        def fn(blk, p):
+            if isinstance(blk, _BoundFilter):
+                return blk.update_params(freq_resp, window)
+            if isinstance(blk, _BoundFilterDemodFilter):
+                # The merged kernel's channel-filter response.
+                return blk.update_filter_params(freq_resp, window)
+            return None
+
+        self._apply_typed(fn)
 
     def set_map_params(self, new_params) -> None:
         """Retune a parameterized ``MapSample.with_params`` closure without
@@ -979,8 +990,10 @@ class Rechunker(_ProducerMixin, _ConsumerMixin, EventHandling):
                     patchwork = None
                 n = self.output_chunk_len
                 # A live set_output_chunk_len shrink can strand a patchwork
-                # larger than the new length; signal the loss in-band.
-                if patchwork is not None and len(patchwork[1]) >= n:
+                # larger than the new length; signal the loss in-band.  A
+                # patchwork of exactly n is a complete chunk — the top-up
+                # branch below emits it (take=0), no loss.
+                if patchwork is not None and len(patchwork[1]) > n:
                     await self.sender.send(SamplesLost())
                     patchwork = None
                 # Top up an in-progress patchwork first.

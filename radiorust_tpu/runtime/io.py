@@ -40,9 +40,10 @@ from .blocks import _ConsumerMixin, _ProducerMixin, _spawn
 from .flow import ChannelClosed, new_receiver, new_sender
 
 __all__ = [
-    "SdrDriver", "SyntheticSdrDriver", "FileSdrDriver", "LoopbackSdrDriver",
-    "SoapySdrDriver", "SdrRx", "SdrTx", "AudioDriver", "LoopbackAudioDriver",
-    "SounddeviceAudioDriver", "AudioPlayer", "AudioRecorder", "SdrError",
+    "SdrDriver", "SyntheticSdrDriver", "FileSdrDriver",
+    "NativeFileSdrDriver", "LoopbackSdrDriver", "SoapySdrDriver", "SdrRx",
+    "SdrTx", "AudioDriver", "LoopbackAudioDriver", "SounddeviceAudioDriver",
+    "AudioPlayer", "AudioRecorder", "SdrError",
 ]
 
 

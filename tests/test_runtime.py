@@ -1075,3 +1075,108 @@ def test_interrupt_invalidates_restored_checkpoint(tmp_path):
     import jax
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(la, lb)
+
+
+# ---------------------------------------------------------------------------
+# Typed-setter dispatch to the fused Pallas blocks (review regressions)
+# ---------------------------------------------------------------------------
+
+def test_set_shift_reaches_fused_mixer_decimator():
+    """set_shift must retune _BoundMixerDecimator (the fused frontend) the
+    same way it retunes FreqShifter — a fused actor after set_shift matches
+    an unfused actor after the same set_shift."""
+    from radiorust_tpu.blocks.base import Chain
+    from radiorust_tpu.blocks.frontend import MixerDecimator
+    from radiorust_tpu.blocks.resampling import Downsampler
+
+    rng = np.random.default_rng(21)
+    xs = (rng.standard_normal((4, 2048))
+          + 1j * rng.standard_normal((4, 2048))).astype(np.complex64)
+
+    async def drive(spec):
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for i in range(4):
+            await sender.send(Samples(1024000.0, xs[i]))
+            if i == 1:
+                await until(lambda: len(sink.chunks) >= 2)
+                blk.set_shift(-25000.0)
+        await until(lambda: len(sink.chunks) >= 4)
+        assert blk.failure is None
+        return sink.chunks
+
+    fused = run(drive(Chain(MixerDecimator(-57000.0, 384000.0, 200000.0))))
+    plain = run(drive(Chain(FreqShifter.with_shift(-57000.0),
+                            Downsampler(384000.0, 200000.0))))
+    assert len(fused) == len(plain) == 4
+    # Chunks 2-3 prove the retune landed (phase-continuously) in both.
+    for f, p in zip(fused, plain):
+        np.testing.assert_allclose(f, p, atol=5e-4)
+
+
+def test_update_filter_reaches_filter_demod_filter():
+    """update_filter must redesign the merged mid-chain kernel's channel
+    response (_BoundFilterDemodFilter.update_filter_params)."""
+    from radiorust_tpu.blocks.base import Chain, StreamSig
+    from radiorust_tpu.blocks.frontend import FilterDemodFilter
+    from radiorust_tpu.models.wfm import _deemphasis_band
+    from radiorust_tpu.windowing import Rectangular
+
+    def lp(cut):
+        def resp(bins, freqs):
+            return np.where(np.abs(freqs) <= cut, 1.0 + 0.0j, 0.0j)
+        return resp
+
+    spec = Chain(FilterDemodFilter(lp(100000.0), 150000.0,
+                                   _deemphasis_band))
+    rng = np.random.default_rng(22)
+    xs = (rng.standard_normal((2, 2, 512))
+          + 1j * rng.standard_normal((2, 2, 512))).astype(np.complex64)
+
+    async def main():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        await sender.send(Samples(384000.0, xs[0]))
+        await until(lambda: len(sink.chunks) >= 1)
+        blk.update_filter(lp(50000.0))
+        await sender.send(Samples(384000.0, xs[1]))
+        await until(lambda: len(sink.chunks) >= 2)
+        assert blk.failure is None
+        return blk._bound
+
+    bound = run(main())
+    want = Chain(FilterDemodFilter(lp(50000.0), 150000.0, _deemphasis_band)
+                 ).bind(StreamSig(2, 512, 384000.0))
+    np.testing.assert_array_equal(
+        np.asarray(bound.params[0]["response1"]),
+        np.asarray(want.params[0]["response1"]))
+
+
+def test_rechunker_shrink_to_exact_patchwork_emits_not_drops():
+    """A live shrink to exactly the buffered patchwork length emits the
+    complete chunk instead of raising SamplesLost (off-by-one guard)."""
+    async def main():
+        sender, connector = new_sender()
+        rc = Rechunker(8)
+        sink = ArraySink()
+        rc.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rc)
+        data = np.arange(1, 5, dtype=np.complex64)      # patchwork of 4
+        await sender.send(Samples(8000.0, data))
+        await asyncio.sleep(0.05)                       # let it buffer
+        rc.set_output_chunk_len(4)
+        more = np.arange(5, 9, dtype=np.complex64)
+        await sender.send(Samples(8000.0, more))
+        await until(lambda: len(sink.chunks) >= 2)
+        return sink.chunks, sink.events
+
+    chunks, events = run(main())
+    assert not any(isinstance(e, SamplesLost) for e in events)
+    np.testing.assert_array_equal(chunks[0], np.arange(1, 5))
+    np.testing.assert_array_equal(chunks[1], np.arange(5, 9))
