@@ -142,6 +142,8 @@ def expand_reset(block: "BoundBlock", r, in_batch: int):
 
 
 class _BoundChain(BoundBlock):
+    _input_is_real = False
+
     def __init__(self, bound: Sequence[BoundBlock]):
         self.blocks = tuple(bound)
         self.in_sig = bound[0].in_sig
@@ -170,6 +172,28 @@ class _BoundChain(BoundBlock):
     def shard_batch_ok(self, ndev: int) -> bool:
         return (self.in_sig.batch % ndev == 0
                 and all(b.shard_batch_ok(ndev) for b in self.blocks))
+
+    # Realness propagates THROUGH a nested chain: when a parent (outer
+    # Chain.bind / Graph binding) marks this chain's input real, the flag
+    # must re-propagate into the members (they were bound with the
+    # default False), and the chain must report its last member's
+    # realness — otherwise the pair-packed real-filter and single-plane
+    # resampler paths silently stop composing under nesting.
+    @property
+    def input_is_real(self) -> bool:
+        return self._input_is_real
+
+    @input_is_real.setter
+    def input_is_real(self, value: bool) -> None:
+        self._input_is_real = bool(value)
+        is_real = bool(value)
+        for b in self.blocks:
+            b.input_is_real = is_real
+            is_real = b.output_is_real
+
+    @property
+    def output_is_real(self) -> bool:
+        return self.blocks[-1].output_is_real
 
 
 class Chain(Block):

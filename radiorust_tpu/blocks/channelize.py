@@ -36,8 +36,8 @@ class _BoundChannelizer(BoundBlock):
         self.out_sig = StreamSig(sig.batch * m, sig.chunk_len // m,
                                  sig.sample_rate / m)
         proto = design_prototype(m, k)
-        self.params = {"taps": jnp.asarray(
-            proto.reshape(k, m).astype(np.float32))}
+        # Host numpy leaf (framework convention; see _BoundResampler).
+        self.params = {"taps": proto.reshape(k, m).astype(np.float32)}
 
     def init_state(self):
         return {"hist": np.zeros((self.in_sig.batch, self.hist_len),

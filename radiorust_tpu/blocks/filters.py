@@ -41,6 +41,7 @@ from ..windowing import Kaiser, Rectangular, Window, window_table
 from .base import Block, BoundBlock, StreamSig
 
 __all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor",
+           "extend_response",
            "design_response", "design_impulse_response"]
 
 
@@ -106,7 +107,16 @@ def design_response(freq_resp: Callable, window: Window, n: int,
     reference's per-bin closure calls at ``src/blocks/filters.rs:193-199``).
     """
     ir = design_impulse_response(freq_resp, window, n, sample_rate)
-    # Zero-pad front to 2n, transform once (src/blocks/filters.rs:220-238).
+    return extend_response(ir)
+
+
+def extend_response(ir: np.ndarray) -> np.ndarray:
+    """Zero-pad an n-tap impulse response to 2n and transform once
+    (``src/blocks/filters.rs:220-238``).  The complex64 round-trip matches
+    the reference's f64->Flt cast before the response FFT.  Single owner
+    of this layout — the fused kernels' responses must stay bit-identical
+    to the unfused filter's."""
+    n = ir.shape[-1]
     ext = np.concatenate([np.zeros(n, dtype=np.complex128),
                           ir.astype(np.complex64).astype(np.complex128)])
     return np.fft.fft(ext)
@@ -133,9 +143,7 @@ class _BoundFilter(BoundBlock):
         # (numpy) array: complex leaves must stay host-side until they
         # cross the jit boundary through the wire packer (see
         # blocks/base.py pack_wire).
-        ext = np.concatenate([np.zeros(n, np.complex128),
-                              ir.astype(np.complex64).astype(np.complex128)])
-        self.params = {"response": np.fft.fft(ext).astype(np.complex64)}
+        self.params = {"response": extend_response(ir).astype(np.complex64)}
 
     def init_state(self):
         sig = self.in_sig
@@ -171,8 +179,8 @@ class _BoundFilter(BoundBlock):
         else:
             # Matmul four-step FFT rides the MXU (see ops/fft.py); falls
             # back to the native FFT for small or unfactorable sizes.
-            spec = _fft(buf := jnp.concatenate([prev, x], axis=-1)) \
-                * params["response"]
+            spec = (_fft(jnp.concatenate([prev, x], axis=-1))
+                    * params["response"])
             y = _ifft(spec)[..., :n].astype(jnp.complex64)
         if pair_real:
             yr = jnp.stack([y.real, y.imag], axis=1)

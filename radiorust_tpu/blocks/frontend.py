@@ -19,11 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..math import round_half_away
 from ..numbers import TAU
 from ..ops.pallas_frontend import LANES, fused_mix_decimate
 from ..ops.polyphase import plan_downsample
 from .base import Block, BoundBlock, StreamSig
-from .transform import _inner_block, _shift_tables
+from .transform import (_inner_block, _shift_param_update,
+                        _shift_tables, fold_phase_state)
 
 __all__ = ["MixerDecimator", "FmDemodFilter", "FilterDemodFilter"]
 
@@ -33,8 +35,8 @@ class _BoundMixerDecimator(BoundBlock):
                  output_rate: float, bandwidth: float, quality: float):
         self.in_sig = sig
         n = sig.chunk_len
-        self.denom = int(round(sig.sample_rate / precision_hz))
-        numer = int(round(self.denom * shift / sig.sample_rate))
+        self.denom = round_half_away((sig.sample_rate / precision_hz))
+        numer = round_half_away((self.denom * shift / sig.sample_rate))
         ta, tb, adv = _shift_tables(n, self.denom, numer)
         plan = plan_downsample(sig.sample_rate, output_rate, bandwidth,
                                quality)
@@ -90,20 +92,14 @@ class _BoundMixerDecimator(BoundBlock):
         }
         return new_state, jax.lax.complex(outr, outi)
 
-    # retune API mirrors _BoundFreqShifter
+    # Same retune API (and shared implementation) as _BoundFreqShifter.
     def shift_params(self, shift: float):
-        numer = int(round(self.denom * shift / self.in_sig.sample_rate))
-        ta, tb, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
-        return {**self.params, "table_a": ta, "table_b": tb, "adv": adv}
+        return {**self.params,
+                **_shift_param_update(self.in_sig.chunk_len, self.denom,
+                                      self.in_sig.sample_rate, shift)}
 
     def retune(self, params, state, shift: float):
-        k0 = np.asarray(state["k0"])
-        start = np.asarray(state["start_phase"])
-        new_start = (start + k0.astype(np.float64) * (TAU / self.denom)) % TAU
-        new_state = {**state,
-                     "k0": np.zeros(k0.shape, np.int32),
-                     "start_phase": np.asarray(new_start, np.float32)}
-        return self.shift_params(shift), new_state
+        return self.shift_params(shift), fold_phase_state(state, self.denom)
 
 
 class MixerDecimator(Block):
@@ -149,14 +145,13 @@ class _BoundFmDemodFilter(BoundBlock):
         if np.abs(ir.imag).max() > 1e-9 * peak:
             raise ValueError("FmDemodFilter requires a real impulse "
                              "response (conjugate-symmetric gains)")
-        ext = np.concatenate([np.zeros(n, np.complex128),
-                              ir.astype(np.complex64).astype(np.complex128)])
+        from .filters import extend_response
         # Both the response and the demod factor are traced params: a
         # set_deviation retune swaps a scalar, no recompile — matching the
         # reference's per-chunk watch-channel read
         # (src/blocks/modulation.rs:154-157).
         self.params = {
-            "response": np.fft.fft(ext).astype(np.complex64),
+            "response": extend_response(ir).astype(np.complex64),
             "factor": np.float32(sig.sample_rate / deviation / TAU),
         }
 

@@ -24,6 +24,7 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from ..math import round_half_away
 from ..numbers import COMPLEX_DTYPE
 from ..signal import Event
 
@@ -200,10 +201,13 @@ def units_to_envelope(units: Sequence[Unit], sample_rate: float,
 
     Per-unit sample counts are ``round(unit.samples(rate, speed))`` exactly
     as the keyer task computes them (``src/blocks/morse.rs:355-357``).
+    Rust's ``f64::round`` rounds half AWAY from zero; Python's ``round``
+    is banker's rounding, which would drop one sample on every exact .5
+    tie (e.g. samples_per_dit = 312.5) — hence ``round_half_away``.
     """
     parts = []
     for unit in units:
-        n = int(round(unit.samples(sample_rate, speed)))
+        n = round_half_away(unit.samples(sample_rate, speed))
         parts.append(np.full(n, 1.0 if unit.on else 0.0, dtype=np.float32))
     if not parts:
         return np.zeros(0, dtype=np.float32)

@@ -37,7 +37,10 @@ class _BoundResampler(BoundBlock):
         self.plan = plan
         out_len = plan.out_len(sig.chunk_len)
         self.out_sig = StreamSig(sig.batch, out_len, output_rate)
-        self.params = {"kernel": jnp.asarray(plan.kernel)}
+        # Host numpy leaf (framework convention): an eager device array
+        # here would force a device->host fetch on every checkpoint save
+        # (CLAUDE.md relay rules 4/7).
+        self.params = {"kernel": np.asarray(plan.kernel)}
 
     def init_state(self):
         # Zero history matches the reference's zero-initialized ring buffer

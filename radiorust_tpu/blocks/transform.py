@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..math import round_half_away
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
@@ -35,6 +36,29 @@ class _BoundGain(BoundBlock):
 
     def process(self, params, state, x, reset):
         return state, x * params.astype(jnp.float32)
+
+
+def _shift_param_update(chunk_len: int, denom: int, sample_rate: float,
+                        shift: float):
+    """New factored phasor tables for ``shift`` (the traced mixer params).
+    Shared by FreqShifter and the fused MixerDecimator so the two front
+    ends cannot diverge on retune."""
+    numer = round_half_away((denom * shift / sample_rate))
+    ta, tb, adv = _shift_tables(chunk_len, denom, numer)
+    return {"table_a": ta, "table_b": tb, "adv": adv}
+
+
+def fold_phase_state(state, denom: int):
+    """Phase-continuous retune state: fold the integer phase index into
+    ``start_phase`` and restart the index at 0
+    (``src/blocks/transform.rs:322-328``).  Extra state keys (the fused
+    frontend's decimator history) pass through unchanged."""
+    k0 = np.asarray(state["k0"])
+    start = np.asarray(state["start_phase"])
+    new_start = (start + k0.astype(np.float64) * (TAU / denom)) % TAU
+    return {**state,
+            "k0": np.zeros(k0.shape, np.int32),
+            "start_phase": np.asarray(new_start, np.float32)}
 
 
 class GainControl(Block):
@@ -145,10 +169,10 @@ class _BoundFreqShifter(BoundBlock):
         self.precision = float(precision)
         # Rational quantization exactly as the reference
         # (src/blocks/transform.rs:298-302).
-        self.denom = int(round(sig.sample_rate / precision))
+        self.denom = round_half_away((sig.sample_rate / precision))
         if self.denom <= 0:
             raise ValueError("sample_rate / precision must round to >= 1")
-        numer = int(round(self.denom * shift / sig.sample_rate))
+        numer = round_half_away((self.denom * shift / sig.sample_rate))
         ta, tb, adv = _shift_tables(sig.chunk_len, self.denom, numer)
         # Traced params: retuning the shift only swaps these arrays (host
         # recompute, no XLA recompilation).  Complex tables stay numpy
@@ -190,9 +214,8 @@ class _BoundFreqShifter(BoundBlock):
 
     def shift_params(self, shift: float):
         """Recompute traced params for a new shift (no recompilation)."""
-        numer = int(round(self.denom * shift / self.in_sig.sample_rate))
-        ta, tb, adv = _shift_tables(self.in_sig.chunk_len, self.denom, numer)
-        return {"table_a": ta, "table_b": tb, "adv": adv}
+        return _shift_param_update(self.in_sig.chunk_len, self.denom,
+                                   self.in_sig.sample_rate, shift)
 
     def retune(self, params, state, shift: float):
         """Return (params', state') for a phase-continuous retune.
@@ -201,14 +224,7 @@ class _BoundFreqShifter(BoundBlock):
         (``src/blocks/transform.rs:322-328``): the current phase angle is
         folded into ``start_phase`` and the integer index restarts at 0.
         """
-        k0 = np.asarray(state["k0"])
-        start = np.asarray(state["start_phase"])
-        new_start = (start + k0.astype(np.float64) * (TAU / self.denom)) % TAU
-        new_state = {
-            "k0": np.zeros(np.asarray(state["k0"]).shape, np.int32),
-            "start_phase": np.asarray(new_start, np.float32),
-        }
-        return self.shift_params(shift), new_state
+        return self.shift_params(shift), fold_phase_state(state, self.denom)
 
 
 class FreqShifter(Block):

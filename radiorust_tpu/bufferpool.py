@@ -87,6 +87,12 @@ class Chunk:
     def __array__(self, dtype=None, copy=None):
         v = self.data
         if dtype is not None and dtype != v.dtype:
+            if copy is False:
+                # numpy 2 __array__ contract: copy=False means the caller
+                # requires zero-copy; a dtype conversion cannot satisfy it.
+                raise ValueError(
+                    "Chunk cannot be viewed as a different dtype without "
+                    "copying (copy=False requested)")
             return v.astype(dtype)   # astype always copies here
         # copy=True must NOT hand out a live view of pooled storage
         # (sibling zero-copy Chunks and recycled buffers share it).

@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "bessel_i0",
+    "round_half_away",
     "kaiser_rel_with_beta",
     "kaiser_alpha_to_beta",
     "kaiser_null_at_bin_to_beta",
@@ -82,3 +83,15 @@ def kaiser_null_at_bin_to_beta(n):
 def sinc(x):
     """Normalized sinc: sin(pi x) / (pi x) (``src/math.rs:42-49``)."""
     return np.sinc(np.asarray(x, dtype=np.float64))
+
+
+def round_half_away(x: float) -> int:
+    """Rust ``f64::round`` semantics: ties round half AWAY from zero.
+
+    Python's built-in ``round`` is banker's rounding, which differs on
+    every exact .5 tie — the reference rounds unit sample counts
+    (``src/blocks/morse.rs:355-357``) and mixer rational ratios
+    (``src/blocks/transform.rs:298-302``) with Rust semantics, so parity
+    code must too."""
+    import math
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))

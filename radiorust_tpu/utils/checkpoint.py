@@ -45,7 +45,11 @@ def _flatten(tree, prefix=""):
             yield from _flatten(v, f"{prefix}{_SEP}{tag}{i}" if prefix
                                 else f"{tag}{i}")
     else:
-        yield prefix if prefix else "leaf", tree
+        # A bare leaf at the ROOT needs a reserved name ("=") that
+        # _rebuild recognizes — any alphabetic name would be parsed as a
+        # container-kind prefix (a root np.float32 params leaf, e.g.
+        # GainControl's, previously saved fine but crashed on load).
+        yield prefix if prefix else "=", tree
 
 
 _EMPTY = {"!d": {}, "!l": [], "!t": ()}
@@ -55,6 +59,8 @@ def _rebuild(node):
     if not isinstance(node, dict):
         return node
     keys = list(node.keys())
+    if len(keys) == 1 and keys[0] == "=":
+        return node["="]                     # bare root leaf
     if len(keys) == 1 and keys[0] in _EMPTY:
         return _EMPTY[keys[0]]
     kinds = {k[0] for k in keys}

@@ -385,3 +385,37 @@ def test_chain_valid_from_is_cumulative():
     assert Chain(Filter.new(lp)).bind(sig).valid_from == 1
     assert Chain(Filter.new(lp), GainControl(1.0),
                  Filter.new(lp)).bind(sig).valid_from == 2
+
+
+def test_realness_propagates_through_nested_chain():
+    """A Chain nested inside another Chain re-propagates realness into
+    its members (the pair-packed real-filter path must compose under
+    nesting) and reports its last member's realness downstream."""
+    from radiorust_tpu.blocks.base import Chain, StreamSig, scan
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.modulation import FmDemod
+    from radiorust_tpu.blocks.transform import GainControl
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 2000.0, 1.0 + 0.0j, 0.0j)
+
+    inner = Chain(Filter.new(lp), GainControl(0.5))
+    nested = Chain(FmDemod(1000.0), inner).bind(StreamSig(2, 64, 8000.0))
+    flat = Chain(FmDemod(1000.0), Filter.new(lp),
+                 GainControl(0.5)).bind(StreamSig(2, 64, 8000.0))
+
+    inner_bound = nested.blocks[1]
+    assert inner_bound.input_is_real is True
+    assert inner_bound.blocks[0].input_is_real is True   # the Filter
+    assert inner_bound.output_is_real is True
+    assert nested.blocks[1].blocks[0].output_is_real is True
+
+    rng = np.random.default_rng(3)
+    xs = (rng.standard_normal((3, 2, 64))
+          + 1j * rng.standard_normal((3, 2, 64))).astype(np.complex64)
+    import jax.numpy as jnp
+    _, y_nested = scan(nested, nested.params, nested.init_state(),
+                       jnp.asarray(xs))
+    _, y_flat = scan(flat, flat.params, flat.init_state(), jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(y_nested), np.asarray(y_flat),
+                               atol=1e-6)

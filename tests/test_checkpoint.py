@@ -179,3 +179,18 @@ def test_runtime_block_checkpoint_resume(tmp_path):
     # The fresh (cold) actor emits Warmup; the resumed actor must not.
     assert any(isinstance(e, Warmup) for e in ev_a)
     assert not any(isinstance(e, Warmup) for e in ev_b)
+
+
+def test_bare_root_leaf_round_trips(tmp_path):
+    """A scalar params leaf at the tree ROOT (GainControl/FmDemod-style
+    np.float32 params) must round-trip — the root-leaf name previously
+    parsed as a container kind and load_state crashed."""
+    from radiorust_tpu.utils.checkpoint import load_state, save_state
+
+    p = tmp_path / "leaf.npz"
+    save_state(str(p), np.float32(0.25))
+    got = load_state(str(p))
+    assert got == np.float32(0.25)
+
+    save_state(str(p), np.complex64(1 + 2j))      # complex root scalar
+    assert load_state(str(p)) == np.complex64(1 + 2j)

@@ -96,3 +96,18 @@ def test_keyer_chunks_and_events():
     more = list(k.chunks(1))
     assert any(isinstance(e, EndOfMessages) for e in more[0][1])
     assert np.all(more[0][0] == 0)
+
+
+def test_unit_sample_count_rounds_half_away_from_zero():
+    """Rust f64::round semantics on exact .5 ties (src/blocks/morse.rs:
+    355-357): samples_per_dit = 312.5 must give a 313-sample DIT, not
+    Python banker's 312."""
+    from radiorust_tpu.blocks.morse import Speed, Unit, units_to_envelope
+    from radiorust_tpu.math import round_half_away
+
+    speed = Speed.from_dits_per_minute(1536.0)   # 60*8000/1536 = 312.5
+    assert speed.samples_per_dit(8000.0) == 312.5
+    env = units_to_envelope([Unit.DIT], 8000.0, speed)
+    assert env.size == 313
+    assert round_half_away(-312.5) == -313       # away from zero, both signs
+    assert round_half_away(2.5) == 3 and round_half_away(-2.5) == -3
