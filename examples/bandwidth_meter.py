@@ -21,7 +21,8 @@ import numpy as np
 
 from radiorust_tpu.metering import bandwidth
 from radiorust_tpu.models.bandwidth_meter import bandwidth_meter_chain
-from radiorust_tpu.runtime import ArraySink, Rechunker, RuntimeBlock
+from radiorust_tpu.runtime import (ArraySink, Rechunker, RuntimeBlock,
+                                   wait_until)
 from radiorust_tpu.runtime.io import SdrRx, SyntheticSdrDriver
 
 
@@ -42,8 +43,8 @@ async def main():
     sink.feed_from(chain)
 
     await sdr.activate()
-    while len(sink.chunks) < 12:
-        await asyncio.sleep(0.05)
+    await wait_until(  # fail fast if any actor failed
+        lambda: len(sink.chunks) >= 12, sdr, rechunk, chain, sink)
     await sdr.deactivate()
 
     values = [bandwidth(0.01, sink.sample_rate, c)

@@ -29,7 +29,6 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -37,7 +36,7 @@ from radiorust_tpu.blocks.base import StreamSig
 from radiorust_tpu.models.channelizer import channelized_receiver
 from radiorust_tpu.models.wfm import WFM_INPUT_RATE, wfm_receiver
 from radiorust_tpu.parallel.channel_shard import ChannelShardedChain
-from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+from radiorust_tpu.runtime import ArraySink, RuntimeBlock, wait_until
 from radiorust_tpu.runtime.flow import new_sender
 from radiorust_tpu.signal import Samples
 
@@ -72,9 +71,8 @@ async def serve_fleet(mesh):
     sink.feed_from(fleet)
     for s in range(STEPS):
         await sender.send(Samples(WFM_INPUT_RATE, xs[s]))
-    while len(sink.chunks) < STEPS:
-        await asyncio.sleep(0.01)
-    assert fleet.failure is None
+    await wait_until(  # fail fast if the actor failed
+        lambda: len(sink.chunks) >= STEPS, fleet, sink)
 
     audio = np.concatenate(sink.chunks, axis=-1).real  # [16, steps*out]
     audio_rate = sink.sample_rate
@@ -103,11 +101,19 @@ def wideband(mesh):
         x += iq * np.exp(2j * np.pi * (c * rate / 64) * t)
     xs = x.astype(np.complex64).reshape(STEPS, 1, 8192)
 
-    state = cs.init_state()
+    # Drive the sharded program through the wire-safe step: complex leaves
+    # cross the jit boundary as packed float32 planes, never as eager
+    # complex64 device arrays (required on the TPU relay backend — see
+    # CLAUDE.md rules 1-2; this is also how RuntimeBlock drives it).
+    from radiorust_tpu.blocks.base import pack_wire, unpack_wire
+    step = cs.jit_step()
+    pstate = pack_wire(cs.init_state())
+    pparams = pack_wire(cs.params)
+    reset = np.zeros((1,), dtype=bool)
     outs = []
     for s in range(STEPS):
-        state, y = cs.process(cs.params, state, jnp.asarray(xs[s]))
-        outs.append(np.asarray(y))
+        pstate, py = step(pparams, pstate, pack_wire(xs[s]), reset)
+        outs.append(np.asarray(unpack_wire(jax.tree.map(np.asarray, py))))
     audio = np.concatenate(outs[1:], axis=-1).real      # skip warmup chunk
     ch_rate = rate / 64
     ok = 0

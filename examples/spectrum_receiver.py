@@ -26,7 +26,8 @@ import numpy as np
 
 from radiorust_tpu.metering import bandwidth
 from radiorust_tpu.models.wfm import wfm_receiver_graph
-from radiorust_tpu.runtime import ArraySink, Rechunker, RuntimeGraph
+from radiorust_tpu.runtime import (ArraySink, Rechunker, RuntimeGraph,
+                                   wait_until)
 from radiorust_tpu.runtime.io import SdrRx, SyntheticSdrDriver
 
 
@@ -59,8 +60,9 @@ async def main():
     spectrum_sink.feed_from(rx.out("spectrum"))
 
     await sdr.activate()
-    while sum(len(c) for c in audio_sink.chunks) < 24000:  # 0.5 s of audio
-        await asyncio.sleep(0.05)
+    await wait_until(  # 0.5 s of audio; fail fast if any actor failed
+        lambda: sum(len(c) for c in audio_sink.chunks) >= 24000,
+        sdr, rechunk, rx, audio_sink, spectrum_sink)
     await sdr.deactivate()
 
     audio = audio_sink.samples.real

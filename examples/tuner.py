@@ -85,7 +85,6 @@ async def main(auto: bool):
         if cmd.startswith("f "):
             shift = float(cmd[2:])
             # Down-shift the wanted carrier to baseband.
-            chain._bound  # ensure bound exists after first chunk
             chain.set_shift(-shift)
             sink.chunks.clear()
             print(f"tuned to {shift:+.0f} Hz")
@@ -98,7 +97,13 @@ async def main(auto: bool):
             if audio is None:
                 print("no audio yet")
             else:
-                print(f"audio level {10*np.log10(max(level(audio),1e-12)):.1f} dB")
+                # Occupied bandwidth of the demodulated pass band, like
+                # examples/bandwidth_meter/main.rs:76-94.
+                bins = np.fft.fft(audio * np.hanning(len(audio)))
+                bw = bandwidth(0.01, sink.sample_rate, bins)
+                lvl = 10 * np.log10(max(level(audio), 1e-12))
+                print(f"occupied bandwidth {bw:.0f} Hz "
+                      f"(audio level {lvl:.1f} dB)")
         elif cmd == "q":
             return False
         return True
@@ -111,6 +116,7 @@ async def main(auto: bool):
         await asyncio.sleep(0.2)
         t1 = await dominant_tone()
         print(f"tuned to +200 kHz station: {t1:.0f} Hz (expect ~800)")
+        await handle("b")
         await handle("f -150000")
         await asyncio.sleep(0.2)
         t2 = await dominant_tone()

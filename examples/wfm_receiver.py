@@ -20,7 +20,8 @@ if _os.environ.get("JAX_PLATFORMS") == "cpu":
 import numpy as np
 
 from radiorust_tpu.models.wfm import wfm_receiver
-from radiorust_tpu.runtime import ArraySink, Buffer, Rechunker, RuntimeBlock
+from radiorust_tpu.runtime import (ArraySink, Buffer, Rechunker,
+                                   RuntimeBlock, wait_until)
 from radiorust_tpu.runtime.io import SdrRx, SyntheticSdrDriver
 
 
@@ -53,8 +54,9 @@ async def main():
     sink.feed_from(buffer)
 
     await sdr.activate()
-    while sum(len(c) for c in sink.chunks) < 48000:  # 1 s of audio
-        await asyncio.sleep(0.05)
+    await wait_until(  # 1 s of audio; fail fast if any actor failed
+        lambda: sum(len(c) for c in sink.chunks) >= 48000,
+        sdr, rechunk, chain, buffer, sink)
     await sdr.deactivate()
 
     audio = sink.samples.real

@@ -14,4 +14,4 @@ from .flow import (Receiver, ReceiverConnector, Sender, SenderConnector,
                    new_receiver, new_sender)
 from .blocks import (Blackhole, Buffer, FileSink, ArraySink, ArraySource,
                      KeyerSource, MapSignal, Rechunker, RuntimeBlock,
-                     RuntimeGraph, Silence)
+                     RuntimeGraph, Silence, wait_until)

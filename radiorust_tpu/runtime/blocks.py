@@ -31,8 +31,30 @@ from .flow import (ChannelClosed, Receiver, ReceiverConnector, Sender,
 __all__ = [
     "RuntimeBlock", "RuntimeGraph", "MapSignal", "Silence", "Blackhole",
     "Buffer", "Rechunker", "KeyerSource", "ArraySource", "ArraySink",
-    "FileSink",
+    "FileSink", "wait_until",
 ]
+
+
+async def wait_until(predicate: Callable[[], bool], *actors,
+                     poll: float = 0.02,
+                     timeout: Optional[float] = 120.0) -> None:
+    """Await ``predicate()`` becoming true while watching ``actors``.
+
+    A failed actor stops emitting, so a bare "wait for N output chunks"
+    loop would hang forever; this surfaces any recorded ``.failure`` as
+    the error instead (chained), and raises :class:`TimeoutError` after
+    ``timeout`` seconds (``None`` disables the deadline)."""
+    loop = asyncio.get_running_loop()
+    deadline = None if timeout is None else loop.time() + timeout
+    while not predicate():
+        for a in actors:
+            f = getattr(a, "failure", None)
+            if f is not None:
+                raise RuntimeError(
+                    f"{getattr(a, 'name', type(a).__name__)} failed") from f
+        if deadline is not None and loop.time() > deadline:
+            raise TimeoutError("condition not reached before timeout")
+        await asyncio.sleep(poll)
 
 
 def _resolve_mesh_axis(mesh, mesh_axis: Optional[str]) -> Optional[str]:
@@ -828,11 +850,11 @@ class Buffer(_ProducerMixin, _ConsumerMixin, EventHandling):
                     # A drain (reserve) task that completed in the same
                     # wakeup must still have its result retrieved, else
                     # asyncio warns "Task exception was never retrieved"
-                    # when the channel closed; the reservation itself is
-                    # side-effect free to drop (see comment above).
+                    # when the channel closed; the unused reservation is
+                    # cancelled so it releases its claim on the slot.
                     if drain_task is not None and drain_task in done:
                         try:
-                            drain_task.result()
+                            drain_task.result().cancel()
                         except ChannelClosed:
                             pass
                         drain_task = None
@@ -857,11 +879,13 @@ class Buffer(_ProducerMixin, _ConsumerMixin, EventHandling):
                     marked_missing = self._try_drain(marked_missing)
                 elif drain_task is not None and drain_task in done:
                     try:
-                        drain_task.result()
+                        res = drain_task.result()
                     except ChannelClosed:
                         return
+                    # Use the claimed reservation directly: it holds the
+                    # slot, so a second try_reserve would see it as busy.
                     marked_missing, underrun = self._drain_one(
-                        marked_missing)
+                        marked_missing, res)
         except ChannelClosed:
             return
         except Exception as exc:
@@ -900,21 +924,24 @@ class Buffer(_ProducerMixin, _ConsumerMixin, EventHandling):
         if msg is not None:
             res.send(msg)
             return False
+        res.cancel()
         return marked_missing
 
-    def _drain_one(self, marked_missing):
-        try:
-            res = self.sender.try_reserve()
-        except ChannelClosed:
-            return marked_missing, True
+    def _drain_one(self, marked_missing, res=None):
         if res is None:
-            return marked_missing, False
+            try:
+                res = self.sender.try_reserve()
+            except ChannelClosed:
+                return marked_missing, True
+            if res is None:
+                return marked_missing, False
         if self._drop_stale(keep_last=False):
             if not marked_missing:
                 res.send(BufferOverflow())
                 return True, False
         msg = self._queue.pop()
         if msg is None:
+            res.cancel()
             return marked_missing, True
         res.send(msg)
         return False, False

@@ -44,6 +44,7 @@ class _Channel:
         self.receivers = 0
         self.senders = 1
         self.enlisters = 1
+        self.reserved = False     # a Reservation holds the slot
         self.cond = asyncio.Condition()
 
     # -- sender side -------------------------------------------------------
@@ -53,7 +54,8 @@ class _Channel:
             while True:
                 if self.enlisters == 0 and self.receivers == 0:
                     raise ChannelClosed
-                if self.unseen == 0 and self.receivers > 0:
+                if (self.unseen == 0 and self.receivers > 0
+                        and not self.reserved):
                     break
                 await self.cond.wait()
             self.value = value
@@ -99,14 +101,19 @@ class Sender(Generic[T]):
         await self._channel.send(value)
 
     async def reserve(self) -> "Reservation":
-        """Wait until a send would proceed immediately
-        (two-phase send, ``src/sync/broadcast_bp.rs:225-292``)."""
+        """Claim the slot for a later non-blocking commit (two-phase send,
+        ``src/sync/broadcast_bp.rs:225-292``).  While the reservation is
+        outstanding, competing ``send``/``reserve`` calls block (the
+        reference holds the channel guard inside its ``Reservation``);
+        drop it via :meth:`Reservation.cancel` if unused."""
         ch = self._channel
         async with ch.cond:
             while True:
                 if ch.enlisters == 0 and ch.receivers == 0:
                     raise ChannelClosed
-                if ch.unseen == 0 and ch.receivers > 0:
+                if (ch.unseen == 0 and ch.receivers > 0
+                        and not ch.reserved):
+                    ch.reserved = True
                     return Reservation(self)
                 await ch.cond.wait()
 
@@ -114,7 +121,8 @@ class Sender(Generic[T]):
         ch = self._channel
         if ch.enlisters == 0 and ch.receivers == 0:
             raise ChannelClosed
-        if ch.unseen == 0 and ch.receivers > 0:
+        if ch.unseen == 0 and ch.receivers > 0 and not ch.reserved:
+            ch.reserved = True
             return Reservation(self)
         return None
 
@@ -132,17 +140,40 @@ class Sender(Generic[T]):
 
 
 class Reservation:
-    """Committed send slot; ``send`` cannot block."""
+    """Claimed send slot; ``send`` commits without blocking
+    (``src/sync/broadcast_bp.rs:284-292``)."""
 
     def __init__(self, sender: Sender):
         self._sender = sender
+        self._active = True
 
     def send(self, value) -> None:
+        if not self._active:
+            raise RuntimeError("reservation already used or cancelled")
         ch = self._sender._channel
+        self._active = False
+        ch.reserved = False
+        if ch.enlisters == 0 and ch.receivers == 0:
+            # Every receiver (and the subscription point) vanished since
+            # the claim; delivering would silently drop the value.
+            ch._sync_notify()
+            raise ChannelClosed
         ch.value = value
         ch.seq += 1
         ch.unseen = ch.receivers
         ch._sync_notify()
+
+    def cancel(self) -> None:
+        """Release the claim without sending.  Idempotent; also invoked by
+        garbage collection (the reference's ``Reservation`` Drop)."""
+        if self._active:
+            self._active = False
+            ch = self._sender._channel
+            ch.reserved = False
+            ch._sync_notify()
+
+    def __del__(self):
+        self.cancel()
 
 
 class SenderConnector(Generic[T]):
@@ -257,6 +288,14 @@ class Receiver(Generic[T]):
             if self._sub is None:
                 await c._changed.wait()
                 continue
+            ch = self._sub.channel
+            if ch.seq != self._sub.seq or ch.senders == 0:
+                # Fast path: a value (or closure) is already waiting, so
+                # skip the rewire race entirely — in saturated steady state
+                # this avoids two task allocations per chunk.  Taking the
+                # ready value over a concurrent rewire is a valid outcome
+                # of the reference's select! race (src/flow.rs:191-224).
+                return await self._sub.recv()
             recv_task = asyncio.ensure_future(self._sub.recv())
             change_task = asyncio.ensure_future(c._changed.wait())
             try:

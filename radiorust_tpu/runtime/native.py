@@ -74,6 +74,8 @@ def load_library() -> ctypes.CDLL:
                                     ctypes.POINTER(ctypes.c_size_t),
                                     ctypes.c_int]
     lib.bp_recv_timeout.restype = ctypes.c_int
+    lib.bp_enlister_retain.argtypes = [ctypes.c_void_p]
+    lib.bp_enlister_release.argtypes = [ctypes.c_void_p]
     lib.iq_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.iq_open.restype = ctypes.c_void_p
     lib.iq_size.argtypes = [ctypes.c_void_p]
@@ -98,6 +100,8 @@ class NativeChannel:
         self._tokens = itertools.count(1)
         self._registry: Dict[int, tuple] = {}
         self._reg_lock = threading.Lock()
+        self._enlisted = True   # subscription point held open (see below)
+        self._leak = False      # skip freeing (threads may still block on it)
 
     def send(self, obj) -> bool:
         """Blocking send; False when the channel is closed."""
@@ -119,6 +123,16 @@ class NativeChannel:
     def close_sender(self):
         self._lib.bp_sender_close(self._ptr)
 
+    def release_enlister(self):
+        """Drop the subscription point (the reference's ``Enlister`` Drop,
+        ``src/sync/broadcast_bp.rs:181-190``).  Until this is called the
+        channel assumes more receivers may subscribe and a sender with no
+        receivers blocks; afterwards, a sender whose receivers are all
+        gone observes closure (``send`` returns False).  Idempotent."""
+        if self._enlisted:
+            self._enlisted = False
+            self._lib.bp_enlister_release(self._ptr)
+
     def subscribe(self) -> int:
         return self._lib.bp_subscribe(self._ptr)
 
@@ -137,6 +151,11 @@ class NativeChannel:
         return True, obj
 
     def __del__(self):
+        # A channel whose graph timed out may still have daemon threads
+        # parked inside bp_recv/bp_send; freeing the C++ state under them
+        # is use-after-free.  NativeGraph marks such channels leaked.
+        if self._leak:
+            return
         try:
             self._lib.bp_channel_free(self._ptr)
         except Exception:
@@ -148,6 +167,7 @@ class _Node:
         self.name = name
         self.out_channel: Optional[NativeChannel] = None
         self.thread: Optional[threading.Thread] = None
+        self.failure: Optional[BaseException] = None
 
 
 class _SinkNode(_Node):
@@ -176,10 +196,16 @@ class NativeGraph:
         node.out_channel = NativeChannel()
 
         def run():
-            for msg in messages:
-                if not node.out_channel.send(msg):
-                    return
-            node.out_channel.close_sender()
+            try:
+                for msg in messages:
+                    if not node.out_channel.send(msg):
+                        return
+            except BaseException as exc:  # surfaced by NativeGraph.run
+                node.failure = exc
+            finally:
+                # Always close: a raising iterator must not leave
+                # downstream parked in recv forever.
+                node.out_channel.close_sender()
 
         node.thread = threading.Thread(target=run, name=name, daemon=True)
         self._nodes.append(node)
@@ -196,11 +222,15 @@ class NativeGraph:
         node.out_channel = NativeChannel()
         node.stats = GLOBAL_STATS.unique(node.name)
         in_ch = upstream.out_channel
+        # Subscribe at wiring time (main thread): the subscription exists
+        # before any thread starts, so run() can release the channels'
+        # enlisters and closure becomes observable to blocked senders.
+        rid = in_ch.subscribe()
 
         def run():
             import time as _time
+            from ..signal import Warmup
             from ..blocks.base import jit_step, pack_wire, unpack_wire
-            rid = in_ch.subscribe()
             bindings: Dict = {}
             bound = None
             pstate = None
@@ -209,7 +239,6 @@ class NativeGraph:
                 while True:
                     ok, msg = in_ch.recv(rid)
                     if not ok:
-                        node.out_channel.close_sender()
                         return
                     if isinstance(msg, Event):
                         if msg.is_interrupt:
@@ -226,11 +255,19 @@ class NativeGraph:
                         # Wire-safe step (complex leaves packed as planes).
                         b._jit = jit_step(b)
                         bindings[key] = b
-                    if bindings[key] is not bound:
+                    fresh = bindings[key] is not bound
+                    if fresh:
                         bound = bindings[key]
                         pstate = pack_wire(bound.init_state())
-                        pending_reset = False
-                    reset = np.asarray([pending_reset])
+                    if (fresh or pending_reset) and bound.valid_from > 0:
+                        # Zero-primed history (first chunk, mid-stream
+                        # signature change, or interrupt): warn consumers
+                        # like the compiled path does
+                        # (runtime/blocks.py::_send_warmup).
+                        if not node.out_channel.send(Warmup(
+                                bound.valid_from)):
+                            return
+                    reset = np.asarray([pending_reset and not fresh])
                     pending_reset = False
                     pstate, py = bound._jit(pack_wire(bound.params), pstate,
                                             pack_wire(chunk[None, :]), reset)
@@ -240,7 +277,13 @@ class NativeGraph:
                     out = Samples(bound.out_sig.sample_rate, y[0])
                     if not node.out_channel.send(out):
                         return
+            except BaseException as exc:  # surfaced by NativeGraph.run
+                node.failure = exc
             finally:
+                # Close before unsubscribing so downstream drains out and
+                # upstream's next send observes this receiver gone instead
+                # of deadlocking on an undelivered slot.
+                node.out_channel.close_sender()
                 in_ch.unsubscribe(rid)
 
         node.thread = threading.Thread(target=run, name=node.name,
@@ -251,9 +294,9 @@ class NativeGraph:
     def sink(self, upstream: _Node, name: str = "sink") -> _SinkNode:
         node = _SinkNode(name)
         in_ch = upstream.out_channel
+        rid = in_ch.subscribe()  # wiring-time, see block()
 
         def run():
-            rid = in_ch.subscribe()
             try:
                 while True:
                     ok, msg = in_ch.recv(rid)
@@ -264,6 +307,8 @@ class NativeGraph:
                     else:
                         node.sample_rate = msg.sample_rate
                         node.chunks.append(np.asarray(msg.chunk))
+            except BaseException as exc:  # surfaced by NativeGraph.run
+                node.failure = exc
             finally:
                 in_ch.unsubscribe(rid)
 
@@ -272,11 +317,36 @@ class NativeGraph:
         return node
 
     def run(self, timeout: Optional[float] = 60.0):
-        """Start all threads and join until the pipeline drains."""
-        # Start sinks/processors before sources so subscriptions exist.
+        """Start all threads and join until the pipeline drains.
+
+        Raises the first node failure (a block/source thread exception) as
+        a ``RuntimeError`` chained to the original exception; raises
+        ``TimeoutError`` when a node neither finishes nor fails within
+        ``timeout`` seconds."""
+        # Wiring is complete: every subscription was taken at graph-build
+        # time, so drop the channels' subscription points.  From here on a
+        # sender whose receivers are all gone observes closure instead of
+        # waiting for receivers that can no longer appear (the reference's
+        # Enlister drop, src/sync/broadcast_bp.rs:181-190).
+        for node in self._nodes:
+            if node.out_channel is not None:
+                node.out_channel.release_enlister()
         for node in reversed(self._nodes):
             node.thread.start()
         for node in self._nodes:
             node.thread.join(timeout)
             if node.thread.is_alive():
+                # Threads may still be parked inside the C++ channel;
+                # freeing it under them is use-after-free, so leak instead.
+                for n in self._nodes:
+                    if n.out_channel is not None:
+                        n.out_channel._leak = True
+                self._raise_failure()
                 raise TimeoutError(f"node {node.name} did not finish")
+        self._raise_failure()
+
+    def _raise_failure(self) -> None:
+        for node in self._nodes:
+            if node.failure is not None:
+                raise RuntimeError(
+                    f"node {node.name} failed") from node.failure

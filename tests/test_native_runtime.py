@@ -73,3 +73,72 @@ def test_native_graph_pipeline():
     # Per-block counters (tracing subsystem) record in the native graph too.
     assert gain.stats.chunks == 4 and gain.stats.samples == 32
     assert gain.stats.wall_seconds > 0.0
+
+
+def test_channel_closure_observable_after_enlister_release():
+    # With the subscription point dropped and every receiver gone, a send
+    # must observe closure (return False) instead of blocking forever for
+    # receivers that can no longer appear (broadcast_bp.rs:181-190).
+    ch = NativeChannel()
+    rid = ch.subscribe()
+    ch.release_enlister()
+    ch.unsubscribe(rid)
+    assert ch.send("x") is False
+
+
+def test_graph_source_failure_surfaces():
+    def boom():
+        yield Samples(48000.0, np.zeros(8, np.complex64))
+        raise ValueError("driver died")
+
+    g = NativeGraph()
+    src = g.source(boom())
+    g.sink(g.block(GainControl(1.0), src))
+    with pytest.raises(RuntimeError) as ei:
+        g.run(timeout=30.0)
+    assert isinstance(ei.value.__cause__, ValueError)
+
+
+def test_graph_block_failure_surfaces_not_hangs():
+    # A block whose bind() raises must fail the whole graph loudly and
+    # promptly: its out-channel closes (sink drains out) and its
+    # unsubscribe lets the upstream source observe closure, so run()
+    # raises the real error instead of a masking TimeoutError.
+    class _BadSpec:
+        def bind(self, sig):
+            raise ValueError("bad bind")
+
+    data = np.arange(64, dtype=np.complex64)
+    msgs = [Samples(48000.0, data[i:i + 8]) for i in range(0, 64, 8)]
+    g = NativeGraph()
+    src = g.source(msgs)
+    g.sink(g.block(_BadSpec(), src, name="bad"))
+    with pytest.raises(RuntimeError) as ei:
+        g.run(timeout=30.0)
+    assert isinstance(ei.value.__cause__, ValueError)
+
+
+def test_graph_emits_warmup_on_rebind():
+    # A mid-stream (chunk_len, rate) change silently re-initializes DSP
+    # history; the native graph must announce it with a Warmup event like
+    # the compiled actor path does (runtime/blocks.py::_send_warmup).
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.signal import Warmup
+
+    rng = np.random.default_rng(7)
+    iq = (rng.standard_normal(1536) + 1j * rng.standard_normal(1536)
+          ).astype(np.complex64)
+    msgs = [Samples(48000.0, iq[:512]), Samples(48000.0, iq[512:1024]),
+            Samples(48000.0, iq[1024:1280]),   # rebind: 512 -> 256
+            Samples(48000.0, iq[1280:1536])]
+    g = NativeGraph()
+    src = g.source(msgs)
+    lp = Filter(lambda bins, freqs: np.where(np.abs(freqs) <= 8000.0,
+                                             1.0 + 0.0j, 0.0j))
+    filt = g.block(lp, src)
+    out = g.sink(filt)
+    g.run(timeout=120.0)
+    warmups = [e for e in out.events if isinstance(e, Warmup)]
+    assert len(warmups) == 2          # initial bind + mid-stream rebind
+    assert all(w.steps == 1 for w in warmups)
+    assert len(out.chunks) == 4

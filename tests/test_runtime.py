@@ -1180,3 +1180,67 @@ def test_rechunker_shrink_to_exact_patchwork_emits_not_drops():
     assert not any(isinstance(e, SamplesLost) for e in events)
     np.testing.assert_array_equal(chunks[0], np.arange(1, 5))
     np.testing.assert_array_equal(chunks[1], np.arange(5, 9))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase send: a Reservation claims the slot (broadcast_bp.rs:225-292)
+# ---------------------------------------------------------------------------
+
+def test_reservation_claims_slot_against_competing_send():
+    async def main():
+        sender, connector = new_sender()
+        receiver, rc = new_receiver()
+        rc.connect(connector)
+        recv1 = asyncio.ensure_future(receiver.recv())
+        await asyncio.sleep(0)  # let the receiver subscribe
+        # Claim the slot, then race a plain send against it: the plain
+        # send must wait for the reservation's commit (the reference holds
+        # the channel guard inside Reservation).
+        res = await sender.reserve()
+        plain = asyncio.ensure_future(sender.send("second"))
+        await asyncio.sleep(0.05)
+        assert not plain.done()  # blocked on the outstanding reservation
+        res.send("first")
+        assert await recv1 == "first"
+        assert await receiver.recv() == "second"
+        await plain
+    run(main())
+
+
+def test_reservation_cancel_releases_slot():
+    async def main():
+        sender, connector = new_sender()
+        receiver, rc = new_receiver()
+        rc.connect(connector)
+        recv1 = asyncio.ensure_future(receiver.recv())
+        await asyncio.sleep(0)  # let the receiver subscribe
+        res = await sender.reserve()
+        plain = asyncio.ensure_future(sender.send("x"))
+        await asyncio.sleep(0.02)
+        assert not plain.done()
+        res.cancel()
+        await plain  # proceeds once the claim is dropped
+        assert await recv1 == "x"
+        with pytest.raises(RuntimeError):
+            res.send("y")  # a cancelled reservation cannot commit
+    run(main())
+
+
+def test_reservation_send_raises_when_channel_closed():
+    async def main():
+        sender, connector = new_sender()
+        receiver, rc = new_receiver()
+        rc.connect(connector)
+        recv1 = asyncio.ensure_future(receiver.recv())
+        await asyncio.sleep(0)  # let the receiver subscribe
+        res = await sender.reserve()
+        recv1.cancel()
+        try:
+            await recv1
+        except asyncio.CancelledError:
+            pass
+        receiver.close()
+        connector.close()
+        with pytest.raises(ChannelClosed):
+            res.send("lost")  # all receivers and the enlister are gone
+    run(main())
