@@ -169,21 +169,23 @@ def main():
     pstate = pack_wire(bound.init_state())
     # Warmup / compile; the float() fetch is the synchronization point and
     # also surfaces any silent runtime failure.  If the fused Pallas paths
-    # fail on this backend, fall back to the plain chain rather than fail
-    # the benchmark.
+    # fail on this backend, fall back to the plain chain — in a FRESH
+    # process: a backend failure poisons every subsequent op in this one
+    # (CLAUDE.md rules 2/8), so an in-process retry could publish garbage.
     try:
         warm = float(bench(pparams, pstate, 0, 1))
         assert np.isfinite(warm) and warm > 0.0
     except Exception:
         if not (fuse or fuse_d):
             raise
-        sys.stderr.write("fused chain failed; falling back to unfused\n")
-        bound = build(False, False)
-        bench = make_bench(bound)
-        pparams = pack_wire(bound.params)
-        pstate = pack_wire(bound.init_state())
-        warm = float(bench(pparams, pstate, 0, 1))
-        assert np.isfinite(warm) and warm > 0.0, f"bad warmup {warm}"
+        sys.stderr.write("fused chain failed; rerunning unfused in a "
+                         "fresh process\n")
+        env = dict(os.environ,
+                   BENCH_FUSE_FRONTEND="0", BENCH_FUSE_DEMOD="0")
+        r = subprocess.run([sys.executable, __file__], env=env,
+                           stdout=subprocess.PIPE, text=True)
+        sys.stdout.write(r.stdout)
+        sys.exit(r.returncode)
 
     # The relay adds a FIXED ~31 ms dispatch+fetch cost per timed call
     # (measured via an identity-loop variant in tools/exp_filter.py); at

@@ -187,7 +187,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._restored_state = None  # pending load_checkpoint state
         self.failure: Optional[Exception] = None  # fatal error, if any
         self._pending_reset = False
-        self._param_override: Optional[Callable] = None
+        # One override slot per tunable (the reference keeps one watch
+        # channel per parameter): a rebind re-applies ALL live retunes,
+        # not just the most recent one.
+        self._param_overrides: Dict[str, Callable] = {}
         self.chunks_processed = 0
 
 
@@ -222,10 +225,15 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             self._bindings[key] = bound
         return bound
 
-    def update_params(self, fn: Callable[[Any, Any], Any]) -> None:
+    def update_params(self, fn: Callable[[Any, Any], Any],
+                      slot: str = "update_params") -> None:
         """Host-side retune: ``fn(bound, params) -> params`` applied to the
-        current and future bindings (analog of watch-channel setters)."""
-        self._param_override = fn
+        current and future bindings (analog of watch-channel setters).
+        ``slot`` names the tunable: a later call with the same slot
+        replaces it, while calls with different slots compose — each typed
+        setter uses its own slot so e.g. a ``set_gain`` survives a
+        subsequent ``set_deviation`` across rebinds."""
+        self._param_overrides[slot] = fn
         if self._bound is not None:
             self._bound.params = fn(self._bound, self._bound.params)
 
@@ -270,19 +278,18 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             self._state = unpack_wire(jax.tree.map(np.asarray, self._pstate))
             self._pstate = None
 
-    def _apply_typed(self, fn) -> None:
+    def _apply_typed(self, fn, slot: str) -> None:
         def override(bound, params):
             return self._map_blocks(bound, params, fn)
-        self._param_override = override
-        if self._bound is not None:
-            self._bound.params = override(self._bound, self._bound.params)
+        self.update_params(override, slot=slot)
 
     def set_gain(self, gain: float) -> None:
         """``GainControl::set`` analog (src/blocks/transform.rs:89-91)."""
         import numpy as _np
         from ..blocks.transform import _BoundGain
         self._apply_typed(lambda blk, p: _np.float32(gain)
-                          if isinstance(blk, _BoundGain) else None)
+                          if isinstance(blk, _BoundGain) else None,
+                          slot="set_gain")
 
     def set_shift(self, shift: float) -> None:
         """``FreqShifter::set_shift`` analog with phase continuity
@@ -311,7 +318,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 bound.params, self._state = bound.retune(
                     bound.params, self._state, shift)
         self._apply_typed(lambda blk, p: blk.shift_params(shift)
-                          if isinstance(blk, shifters) else None)
+                          if isinstance(blk, shifters) else None,
+                          slot="set_shift")
 
     def update_filter(self, freq_resp, window=None) -> None:
         """``Filter::update`` analog (src/blocks/filters.rs:279-297)."""
@@ -326,7 +334,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 return blk.update_filter_params(freq_resp, window)
             return None
 
-        self._apply_typed(fn)
+        self._apply_typed(fn, slot="update_filter")
 
     def set_map_params(self, new_params) -> None:
         """Retune a parameterized ``MapSample.with_params`` closure without
@@ -340,7 +348,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 return new_params
             return None
 
-        self._apply_typed(fn)
+        self._apply_typed(fn, slot="set_map_params")
 
     def set_deviation(self, deviation: float) -> None:
         """``FmMod/FmDemod::set_deviation`` analog
@@ -368,7 +376,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                     blk.out_sig.sample_rate / deviation / _TAU)}
             return None
 
-        self._apply_typed(fn)
+        self._apply_typed(fn, slot="set_deviation")
 
     # -- checkpoint / resume of the live stream state -----------------------
 
@@ -487,9 +495,10 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 restored = False
                 if fresh:
                     self._bound = bound
-                    if self._param_override is not None:
-                        bound.params = self._param_override(bound,
-                                                            bound.params)
+                    # Re-apply EVERY live retune (one slot per tunable),
+                    # not just the most recent setter.
+                    for override in self._param_overrides.values():
+                        bound.params = override(bound, bound.params)
                     if (self._restored_state is not None
                             and not self._pending_reset):
                         # Resuming a checkpoint: the state is real stream
@@ -760,7 +769,8 @@ class _TemporalQueue:
         self._q.append((self._clock(), msg))
         if isinstance(msg, Event):
             self.event_count += 1
-        self._update()
+        else:
+            self.duration += msg.duration
 
     def pop(self):
         if not self._q:
@@ -768,13 +778,14 @@ class _TemporalQueue:
         _, msg = self._q.pop(0)
         if isinstance(msg, Event):
             self.event_count -= 1
-        self._update()
+        else:
+            # Running total (the reference recomputes by summing the whole
+            # queue each op, buffering.rs:54-59 — O(1) here, same value up
+            # to float accumulation; reset to exact zero when drained).
+            self.duration -= msg.duration
+        if not self._q:
+            self.duration = 0.0
         return msg
-
-    def _update(self):
-        self.duration = sum(
-            m.duration if isinstance(m, Samples) else 0.0
-            for _, m in self._q)
 
     def age(self) -> float:
         return self._clock() - self._q[0][0] if self._q else 0.0
@@ -899,6 +910,9 @@ class Buffer(_ProducerMixin, _ConsumerMixin, EventHandling):
             self.sender.close()
 
     def _drop_stale(self, keep_last: bool) -> bool:
+        # Only a LEADING event vetoes the drop; aged events further back
+        # are discarded with the samples around them, exactly like the
+        # reference's pop loop (buffering.rs:206-247).
         queue = self._queue
         dropped = False
         if queue.leading_event():
@@ -1098,17 +1112,40 @@ class ArraySource(_ProducerMixin):
 
     async def _run(self):
         try:
+            carry = np.zeros(0, np.complex64)  # tail straddling a wrap
             while True:
                 # Chunks are zero-copy views split off one backing array
                 # (the reference's separate_beginning pattern,
-                # src/bufferpool.rs:70-79).
+                # src/bufferpool.rs:70-79); only wrap-straddling chunks
+                # copy (stitched from tail + next cycle's head).
                 whole = Chunk.from_array(self.data)
+                while len(carry) and len(whole):
+                    need = self.chunk_len - len(carry)
+                    take = min(need, len(whole))
+                    carry = np.concatenate(
+                        [carry, np.asarray(whole.separate_beginning(take))])
+                    whole = whole.discard_beginning(take)
+                    if len(carry) == self.chunk_len:
+                        await self.sender.send(
+                            Samples(self.sample_rate, carry))
+                        carry = np.zeros(0, np.complex64)
                 while len(whole) >= self.chunk_len:
                     head = whole.separate_beginning(self.chunk_len)
                     whole = whole.discard_beginning(self.chunk_len)
                     await self.sender.send(Samples(self.sample_rate, head))
-                if not self.repeat:
-                    return
+                if self.repeat:
+                    # Never drop the tail: it leads the next cycle, so the
+                    # repeated stream is gap-free (a silent splice would
+                    # corrupt e.g. FM demod at every wrap).
+                    if len(whole):
+                        carry = (np.concatenate([carry, np.asarray(whole)])
+                                 if len(carry) else
+                                 np.asarray(whole).copy())
+                    continue
+                if len(whole):
+                    # Final partial chunk: emit short rather than discard.
+                    await self.sender.send(Samples(self.sample_rate, whole))
+                return
         except ChannelClosed:
             return
         finally:

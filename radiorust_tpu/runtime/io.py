@@ -199,8 +199,15 @@ class LoopbackSdrDriver(SdrDriver):
             while not self._buf:
                 if not self._cv.wait(timeout=5.0):
                     raise SdrError("loopback read timeout")
-            out = self._buf.pop(0)
-        return out[:n] if len(out) > n else out
+            out = self._buf[0]
+            if len(out) > n:
+                # Keep the tail queued: a write larger than the read MTU
+                # must not silently lose samples.
+                self._buf[0] = out[n:]
+                out = out[:n]
+            else:
+                self._buf.pop(0)
+        return out
 
 
 class SoapySdrDriver(SdrDriver):
@@ -376,6 +383,12 @@ class SdrRx(_ProducerMixin, EventHandling):
         except ChannelClosed:
             ctl.set_state(_CLOSED)
             return
+        except Exception as exc:
+            # Surface unexpected failures to .failure/wait_until AND to
+            # pending control calls (soapysdr.rs:160-163).
+            ctl.set_state(_CLOSED, exc)
+            self._record_failure(exc)
+            return
         finally:
             self.sender.close()
 
@@ -404,10 +417,15 @@ class SdrTx(_ConsumerMixin, EventHandling):
         self._ctl.set_request("deactivate")
         await self._ctl.await_state(_INACTIVE)
 
+    async def close(self):
+        self._ctl.set_request("close")
+        await self._ctl.await_state(_CLOSED)
+
     async def _run(self, receiver):
         loop = asyncio.get_running_loop()
         ctl = self._ctl
         zero = np.zeros(1, np.complex64)
+        recv_task = None  # persistent: pending messages survive control ops
         try:
             while True:
                 while ctl.request is None:
@@ -432,7 +450,24 @@ class SdrTx(_ConsumerMixin, EventHandling):
                 ctl.set_state(_ACTIVE)
                 next_due = time.monotonic()
                 while ctl.request is None:
-                    msg = await receiver.recv()
+                    # Race the receive against control requests so a
+                    # deactivate()/close() issued while no producer is
+                    # sending doesn't hang forever.  The recv task
+                    # persists across wakeups (never cancelled mid-wait),
+                    # so no message is lost.
+                    if recv_task is None:
+                        recv_task = asyncio.ensure_future(receiver.recv())
+                    ctl.changed.clear()
+                    ctl_task = asyncio.ensure_future(ctl.changed.wait())
+                    done, _ = await asyncio.wait(
+                        {recv_task, ctl_task},
+                        return_when=asyncio.FIRST_COMPLETED)
+                    if ctl_task not in done:
+                        ctl_task.cancel()
+                    if recv_task not in done:
+                        continue  # control request: outer check handles it
+                    msg = recv_task.result()  # ChannelClosed -> outer except
+                    recv_task = None
                     if isinstance(msg, Event):
                         self.event_handlers.invoke(msg)
                         continue
@@ -459,7 +494,17 @@ class SdrTx(_ConsumerMixin, EventHandling):
         except ChannelClosed:
             ctl.set_state(_CLOSED)
             return
+        except Exception as exc:
+            ctl.set_state(_CLOSED, exc)
+            self._record_failure(exc)
+            return
         finally:
+            if recv_task is not None:
+                recv_task.cancel()
+                try:
+                    await recv_task
+                except (asyncio.CancelledError, ChannelClosed):
+                    pass
             receiver.close()
 
 
@@ -583,6 +628,12 @@ class AudioPlayer(_ConsumerMixin, EventHandling):
                     np.real(samples).astype(np.float32))
         except ChannelClosed:
             return
+        except Exception as exc:
+            # Rate-mismatch assertion or a driver error: record it so
+            # wait_until/.failure observers see the root cause instead of
+            # a silent dead task.
+            self._record_failure(exc)
+            return
         finally:
             receiver.close()
 
@@ -607,6 +658,9 @@ class AudioRecorder(_ProducerMixin):
                     self.driver.sample_rate,
                     np.asarray(data, np.float32).astype(np.complex64)))
         except ChannelClosed:
+            return
+        except Exception as exc:
+            self._record_failure(exc)
             return
         finally:
             self.sender.close()

@@ -74,12 +74,17 @@ def _rebuild(node):
 
 
 def save_state(path: str, tree: Any) -> None:
-    """Serialize a (possibly nested) params/state pytree to ``.npz``."""
+    """Serialize a (possibly nested) params/state pytree to ``.npz``.
+
+    The file lands at exactly ``path`` (``np.savez`` alone would append
+    ``.npz`` to extension-less paths, breaking the save/load round-trip
+    since ``np.load`` does not)."""
     packed = pack_wire(tree)
     arrays = {}
     for name, leaf in _flatten(packed):
         arrays[name] = np.asarray(leaf)
-    np.savez(path, **arrays)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_state(path: str) -> Any:

@@ -194,3 +194,17 @@ def test_bare_root_leaf_round_trips(tmp_path):
 
     save_state(str(p), np.complex64(1 + 2j))      # complex root scalar
     assert load_state(str(p)) == np.complex64(1 + 2j)
+
+
+def test_extensionless_path_round_trips(tmp_path):
+    """save_state('/x/wfm.ckpt') must land at exactly that path: np.savez
+    alone appends .npz when the extension is missing, but np.load does
+    not, so the save/load pair previously broke for such paths."""
+    from radiorust_tpu.utils.checkpoint import load_state, save_state
+
+    p = tmp_path / "wfm.ckpt"              # no .npz extension
+    state = {"prev": np.arange(4, dtype=np.complex64)}
+    save_state(str(p), state)
+    assert p.exists()
+    got = load_state(str(p))
+    np.testing.assert_array_equal(got["prev"], state["prev"])

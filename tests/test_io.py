@@ -133,7 +133,39 @@ def test_audio_player_rate_mismatch_raises():
         player.receiver_connector.connect(conn)
         await sender.send(Samples(44100.0, np.zeros(16, np.complex64)))
         await until(lambda: player._task.done())
-        assert isinstance(player._task.exception(), AssertionError)
+        # The failure is recorded (visible to wait_until/.failure
+        # observers) instead of dying as an unretrieved task exception.
+        assert player._task.exception() is None
+        assert isinstance(player.failure, AssertionError)
+
+    run(main())
+
+
+def test_loopback_driver_requeues_oversized_write_tail():
+    drv = LoopbackSdrDriver(48000.0)
+    data = np.arange(12, dtype=np.complex64)
+    drv.write(data)
+    np.testing.assert_array_equal(drv.read(8), data[:8])
+    np.testing.assert_array_equal(drv.read(8), data[8:])  # tail kept
+
+
+def test_sdr_tx_deactivate_while_idle():
+    # deactivate()/close() must complete even when no producer is sending
+    # (the actor used to be parked in receiver.recv() and never re-check
+    # its control requests).
+    async def main():
+        drv = LoopbackSdrDriver(48000.0)
+        tx = SdrTx(drv)
+        from radiorust_tpu.runtime.flow import new_sender
+        sender, conn = new_sender()
+        tx.receiver_connector.connect(conn)
+        await tx.activate()
+        await asyncio.wait_for(tx.deactivate(), 5.0)
+        await tx.activate()
+        # A message sent after the idle deactivate/reactivate still flows.
+        await sender.send(Samples(48000.0, np.arange(4, dtype=np.complex64)))
+        await until(lambda: sum(len(c) for c in drv._buf) >= 4)
+        await asyncio.wait_for(tx.close(), 5.0)
 
     run(main())
 

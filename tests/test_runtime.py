@@ -1244,3 +1244,63 @@ def test_reservation_send_raises_when_channel_closed():
         with pytest.raises(ChannelClosed):
             res.send("lost")  # all receivers and the enlister are gone
     run(main())
+
+
+def test_typed_setters_compose_across_rebind():
+    # set_gain then set_deviation: BOTH must survive a mid-stream rebind
+    # (one override slot per tunable; previously last-writer-wins).
+    from radiorust_tpu.blocks.base import Chain
+    from radiorust_tpu.blocks.modulation import FmDemod, FmMod
+
+    async def main():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(Chain(FmMod(5000.0), FmDemod(5000.0),
+                                 GainControl(1.0)), name="c")
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+
+        x = (0.25 * np.ones(256)).astype(np.complex64)
+        await sender.send(Samples(8000.0, x))
+        await until(lambda: len(sink.chunks) == 1)
+        blk.set_gain(2.0)
+        blk.set_deviation(2500.0)  # mod+demod retune together: passthrough
+        # Different chunk length forces a rebind: both retunes re-apply.
+        await sender.send(Samples(8000.0, np.resize(x, 128)))
+        await until(lambda: len(sink.chunks) == 2)
+        assert blk.failure is None
+        # mod/demod deviations cancel; gain doubles the steady level.
+        got = np.real(sink.chunks[1][8:])
+        np.testing.assert_allclose(got, 0.5, atol=1e-3)
+
+    run(main())
+
+
+def test_array_source_emits_partial_tail():
+    async def main():
+        data = np.arange(10, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=4, sample_rate=1000.0)
+        sink = ArraySink()
+        sink.feed_from(src)
+        await until(lambda: sum(len(c) for c in sink.chunks) >= 10)
+        assert [len(c) for c in sink.chunks] == [4, 4, 2]
+        np.testing.assert_array_equal(sink.samples, data)
+
+    run(main())
+
+
+def test_array_source_repeat_is_gap_free():
+    # The wrap-straddling tail stitches onto the next cycle: the repeated
+    # stream is data tiled with no dropped samples (no silent splice).
+    async def main():
+        data = np.arange(10, dtype=np.complex64)
+        src = ArraySource(data, chunk_len=4, sample_rate=1000.0,
+                          repeat=True)
+        sink = ArraySink()
+        sink.feed_from(src)
+        await until(lambda: sum(len(c) for c in sink.chunks) >= 30)
+        src.stop()
+        got = sink.samples[:30]
+        np.testing.assert_array_equal(got, np.resize(data, 30))
+
+    run(main())
