@@ -257,6 +257,13 @@ class Receiver(Generic[T]):
         self._sub: Optional[_Subscription] = None
         self._seen_version = -1
 
+    def clone(self) -> "Receiver":
+        """An additional receiver on the same connector (the reference's
+        ``Receiver`` Clone impl, ``src/sync/broadcast_bp.rs:337-375`` uses
+        one): it subscribes independently on first ``recv`` and sees every
+        value sent from then on, participating in lock-step delivery."""
+        return Receiver(self._connector)
+
     def close(self):
         """Drop the receiving half (the reference's ``Receiver`` Drop impl,
         ``src/sync/broadcast_bp.rs:192-205``): unsubscribes so the upstream

@@ -34,13 +34,16 @@ async def until(cond, timeout=15.0, interval=0.02):
 # ---------------------------------------------------------------------------
 
 def test_broadcast_all_receivers_get_each_value():
+    # Mirrors the reference's test_broadcast: 1 sender, 3 receivers, one
+    # of them created via Receiver clone (broadcast_bp.rs:337-375).
     async def main():
         sender, connector = new_sender()
         recvs = []
-        for _ in range(3):
+        for _ in range(2):
             r, rc = new_receiver()
             rc.connect(connector)
             recvs.append(r)
+        recvs.append(recvs[0].clone())
         results = [[] for _ in range(3)]
 
         async def consume(i):
