@@ -208,3 +208,60 @@ def test_extensionless_path_round_trips(tmp_path):
     assert p.exists()
     got = load_state(str(p))
     np.testing.assert_array_equal(got["prev"], state["prev"])
+
+
+def test_random_pytrees_round_trip(tmp_path):
+    """Property test over the wire format: random nested containers
+    (dicts/lists/tuples, empty containers, bare leaves, scalar and n-d
+    leaves, complex/float/int/bool dtypes) must round-trip exactly —
+    the two bugs found so far (dropped empty containers, crashing root
+    leaves) were both shape-of-tree cases a generator covers."""
+    from radiorust_tpu.utils.checkpoint import load_state, save_state
+
+    rng = np.random.default_rng(42)
+    dtypes = [np.complex64, np.float32, np.float64, np.int32, np.bool_]
+
+    def leaf():
+        dt = dtypes[rng.integers(len(dtypes))]
+        shape = tuple(rng.integers(1, 4, size=rng.integers(0, 3)))
+        if dt == np.complex64:
+            a = (rng.standard_normal(shape)
+                 + 1j * rng.standard_normal(shape))
+        else:
+            a = rng.standard_normal(shape) * 10
+        v = a.astype(dt)
+        return dt(v[()]) if shape == () else v
+
+    def tree(depth):
+        kind = rng.integers(6)
+        if depth == 0 or kind >= 3:
+            return leaf()
+        n = int(rng.integers(0, 4))  # 0 => empty container
+        children = [tree(depth - 1) for _ in range(n)]
+        if kind == 0:
+            return {f"k{i}": c for i, c in enumerate(children)}
+        return children if kind == 1 else tuple(children)
+
+    def assert_same(a, b, path="root"):
+        assert type(a) is type(b) or (np.isscalar(a) and np.isscalar(b)) \
+            or (isinstance(a, np.ndarray) and isinstance(b, np.ndarray)), \
+            (path, type(a), type(b))
+        if isinstance(a, dict):
+            assert sorted(a) == sorted(b), path
+            for k in a:
+                assert_same(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b), (path, len(a), len(b))
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert_same(x, y, f"{path}[{i}]")
+        else:
+            aa, bb = np.asarray(a), np.asarray(b)
+            assert aa.dtype == bb.dtype, (path, aa.dtype, bb.dtype)
+            assert aa.shape == bb.shape, (path, aa.shape, bb.shape)
+            np.testing.assert_array_equal(aa, bb, err_msg=path)
+
+    for case in range(25):
+        t = tree(3)
+        p = tmp_path / f"t{case}.npz"
+        save_state(str(p), t)
+        assert_same(t, load_state(str(p)))
