@@ -70,9 +70,11 @@ def wait_for_backend():
     The experimental relay backend intermittently reports UNAVAILABLE or
     hangs during init; JAX caches a failed platform init for the process
     lifetime, so the probe runs in fresh subprocesses and the main
-    process only proceeds once a probe succeeds.  Bounded: after
-    BENCH_BACKEND_RETRIES failed probes the benchmark proceeds anyway and
-    surfaces the real error."""
+    process only proceeds once a probe succeeds.  Bounded by a wall-clock
+    deadline (BENCH_BACKEND_DEADLINE seconds, default 45 min): when the
+    relay is down its failure mode is a *hang*, not an error, so
+    proceeding would stall forever — fail fast with a clear message
+    instead (override with BENCH_ALLOW_DEAD_BACKEND=1 to proceed anyway)."""
     # The sitecustomize pins jax to the TPU plugin programmatically, so a
     # CPU run must override via jax.config, not just the env var (same
     # dance as tests/conftest.py and the examples).
@@ -80,8 +82,11 @@ def wait_for_backend():
              "if os.environ.get('JAX_PLATFORMS') == 'cpu':\n"
              "    jax.config.update('jax_platforms', 'cpu')\n"
              "jax.devices(); print('ok')")
-    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "8"))
-    for i in range(retries):
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_BACKEND_DEADLINE", "2700"))
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, text=True, timeout=150)
@@ -90,7 +95,17 @@ def wait_for_backend():
             err = (r.stderr.strip().splitlines() or ["?"])[-1]
         except subprocess.TimeoutExpired:
             err = "probe timed out (relay hang)"
-        sys.stderr.write(f"backend probe {i + 1}/{retries} failed: "
+        if time.monotonic() >= deadline:
+            if os.environ.get("BENCH_ALLOW_DEAD_BACKEND") == "1":
+                sys.stderr.write("backend still down past deadline; "
+                                 "proceeding anyway (override set)\n")
+                return
+            sys.stderr.write(
+                f"backend unreachable past deadline (last: {err[:200]}); "
+                "refusing to run — a dead relay hangs instead of erroring, "
+                "and a hung benchmark records nothing useful\n")
+            sys.exit(3)
+        sys.stderr.write(f"backend probe {attempt} failed: "
                          f"{err[:200]}; retrying in 45 s\n")
         time.sleep(45)
 
