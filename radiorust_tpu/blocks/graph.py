@@ -61,12 +61,35 @@ class Graph:
         self._inputs[name] = ref.idx
         return ref
 
-    def add(self, block: Block, upstream: NodeRef) -> NodeRef:
+    def add(self, block: Block, upstream) -> NodeRef:
+        """Add a block fed by ``upstream`` — a :class:`NodeRef`, or a
+        sequence of them for fan-in blocks (the block must implement
+        ``bind_multi``, e.g. :class:`~radiorust_tpu.blocks.transform.
+        Combine`)."""
+        if isinstance(upstream, (tuple, list)):
+            ups = tuple(upstream)
+            if not ups:
+                raise ValueError("fan-in upstream list is empty")
+            for u in ups:
+                self._check_ref(u)
+            if len(ups) == 1:
+                self._nodes.append(("block", (block, ups[0].idx)))
+            else:
+                if not hasattr(block, "bind_multi"):
+                    raise TypeError(
+                        f"{type(block).__name__} takes one input; fan-in "
+                        "nodes need a block with bind_multi (e.g. Combine)")
+                self._nodes.append(
+                    ("block", (block, tuple(u.idx for u in ups))))
+            return NodeRef(len(self._nodes) - 1)
+        self._check_ref(upstream)
+        self._nodes.append(("block", (block, upstream.idx)))
+        return NodeRef(len(self._nodes) - 1)
+
+    def _check_ref(self, upstream) -> None:
         if not isinstance(upstream, NodeRef) or not (
                 0 <= upstream.idx < len(self._nodes)):
             raise ValueError("upstream must be a NodeRef from this graph")
-        self._nodes.append(("block", (block, upstream.idx)))
-        return NodeRef(len(self._nodes) - 1)
 
     def chain(self, blocks, upstream: NodeRef) -> NodeRef:
         """Convenience: add several blocks in sequence."""
@@ -126,6 +149,23 @@ class BoundGraph:
                 valid_from.append(0)
             else:
                 spec, up = payload
+                if isinstance(up, tuple):
+                    # Fan-in node: bind against every upstream signature.
+                    origins = {self._origin[u] for u in up}
+                    if len(origins) != 1:
+                        raise ValueError(
+                            "fan-in upstreams must derive from one graph "
+                            f"input (reset-mask origin); got {sorted(origins)}")
+                    b = spec.bind_multi(tuple(out_sig[u] for u in up))
+                    b.input_is_real_flags = [is_real[u] for u in up]
+                    self.bound.append(b)
+                    self._upstream.append(up)
+                    self._origin.append(origins.pop())
+                    out_sig.append(b.out_sig)
+                    is_real.append(b.output_is_real)
+                    valid_from.append(max(valid_from[u] for u in up)
+                                      + b.valid_from)
+                    continue
                 b = spec.bind(out_sig[up])
                 b.input_is_real = is_real[up]
                 self.bound.append(b)
@@ -162,7 +202,10 @@ class BoundGraph:
             origin = self._origin[i]
             r = expand_reset(b, resets[origin],
                              self.in_sigs[origin].batch)
-            s, y = b.process(params[i], state[i], vals[self._upstream[i]], r)
+            up = self._upstream[i]
+            xin = (tuple(vals[u] for u in up) if isinstance(up, tuple)
+                   else vals[up])
+            s, y = b.process(params[i], state[i], xin, r)
             vals[i] = y
             new_state.append(s)
         ys = {n: vals[i] for n, i in self._outputs.items()}

@@ -15,7 +15,7 @@ from ..math import round_half_away
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["GainControl", "FreqShifter", "MapSample", "Nop"]
+__all__ = ["GainControl", "FreqShifter", "MapSample", "Nop", "Combine"]
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +117,64 @@ class MapSample(Block):
 
     def bind(self, sig: StreamSig) -> _BoundMap:
         return _BoundMap(sig, self.fn, self.fn_params)
+
+
+# ---------------------------------------------------------------------------
+# Combine (fan-in)
+# ---------------------------------------------------------------------------
+
+class _BoundCombine(BoundBlock):
+    def __init__(self, sigs, fn: Callable, preserves_real: bool):
+        sigs = tuple(sigs)
+        first = sigs[0]
+        for s in sigs[1:]:
+            if (s.batch, s.chunk_len, s.sample_rate) != (
+                    first.batch, first.chunk_len, first.sample_rate):
+                raise ValueError(
+                    f"Combine inputs must share one signature; got {sigs}")
+        self.in_sigs = sigs
+        self.in_sig = self.out_sig = first
+        self.fn = fn
+        self._preserves_real = preserves_real
+        #: Per-input realness flags, set by the binding graph.
+        self.input_is_real_flags = [False] * len(sigs)
+
+    @property
+    def output_is_real(self):
+        return self._preserves_real and all(self.input_is_real_flags)
+
+    def process(self, params, state, xs, reset):
+        if not isinstance(xs, tuple):
+            xs = (xs,)  # degenerate single-input use in a linear chain
+        return state, self.fn(*xs)
+
+
+class Combine(Block):
+    """Elementwise fan-in of several streams: ``fn(*chunks) -> chunk``.
+
+    The reference has no combine blocks — its channels only fan *out* (one
+    producer, many lock-step consumers, ``src/flow.rs:44-52``); merging two
+    streams would need a block holding two receivers, which no reference
+    block does.  On the compiled path a :class:`~radiorust_tpu.blocks.graph.
+    Graph` node may take several upstream nodes, and this block is the
+    general fan-in operator: ``fn`` must be a pure jax-traceable elementwise
+    map over equal-signature chunks (it fuses into the one XLA program).
+
+    ``preserves_real=True`` declares that ``fn`` maps all-real inputs to
+    real output (enables downstream pair-packed real paths).  Stateless;
+    use inside a ``Graph`` via ``g.add(Combine(fn), (a, b))``.
+    """
+
+    def __init__(self, fn: Callable, preserves_real: bool = False):
+        self.fn = fn
+        self.preserves_real = bool(preserves_real)
+
+    def bind(self, sig: StreamSig) -> _BoundCombine:
+        # Degenerate single-input use in a linear chain.
+        return self.bind_multi((sig,))
+
+    def bind_multi(self, sigs) -> "_BoundCombine":
+        return _BoundCombine(sigs, self.fn, self.preserves_real)
 
 
 # ---------------------------------------------------------------------------

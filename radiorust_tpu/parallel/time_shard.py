@@ -117,6 +117,14 @@ def _sharded_stateless(block, params, state, x, axis):
     return (), y
 
 
+def _sharded_combine(block, params, state, xs, axis):
+    # Stateless elementwise fan-in: every input chunk is already this
+    # device's time shard, so the combine is purely local.
+    x0 = xs[0] if isinstance(xs, tuple) else xs
+    _, y = block.process(params, (), xs, _no_reset(x0))
+    return (), y
+
+
 def _sharded_filter(block, params, state, x, axis):
     """Overlap-save filter: state = previous input chunk
     (src/blocks/filters.rs:240-260), rebuilt from the neighbor's chunk."""
@@ -371,6 +379,7 @@ _HANDLERS = {
     _transform._BoundFreqShifter: _sharded_freq_shifter,
     _transform._BoundGain: _sharded_stateless,
     _transform._BoundMap: _sharded_stateless,
+    _transform._BoundCombine: _sharded_combine,
     _analysis._BoundFourier: _sharded_stateless,
 }
 
@@ -461,8 +470,10 @@ class TimeShardedGraph:
                     vals[i] = xs[bg._origin[i]]
                     new_pieces.append(())
                     continue
-                piece, y = handlers[i](b, params[i], state[i],
-                                       vals[bg._upstream[i]], taxis)
+                up = bg._upstream[i]
+                xin = (tuple(vals[u] for u in up)
+                       if isinstance(up, tuple) else vals[up])
+                piece, y = handlers[i](b, params[i], state[i], xin, taxis)
                 vals[i] = y
                 new_pieces.append(
                     jax.tree.map(lambda a: a[None, ...], piece))

@@ -25,7 +25,7 @@ from .blocks.graph import BoundGraph, Graph, graph_scan
 from .blocks.modulation import FmDemod, FmMod
 from .blocks.morse import Keyer, Speed, encode
 from .blocks.resampling import Downsampler, Upsampler
-from .blocks.transform import FreqShifter, GainControl, MapSample
+from .blocks.transform import Combine, FreqShifter, GainControl, MapSample
 from .metering import bandwidth, bandwidth_jax, level, level_jax, \
     rescale_energy, rescale_energy_jax
 from .signal import (BufferOverflow, Disconnection, Event, Samples,
@@ -40,6 +40,7 @@ __all__ = [
     "Graph", "BoundGraph", "graph_scan",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
     "Downsampler", "Upsampler", "FreqShifter", "GainControl", "MapSample",
+    "Combine",
     "bandwidth", "bandwidth_jax", "level", "level_jax",
     "rescale_energy", "rescale_energy_jax",
     "Event", "Samples", "Disconnection", "SamplesLost", "BufferOverflow",

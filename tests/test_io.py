@@ -240,6 +240,17 @@ def test_spectrum_receiver_example_runs():
     assert "occupied bandwidth" in out.stdout
 
 
+def test_stereo_receiver_example_runs():
+    import re
+    out = _run_example("stereo_receiver.py")
+    assert out.returncode == 0, out.stderr
+    m = re.search(r"L tone (\d+) Hz, R tone (\d+) Hz", out.stdout)
+    assert m, out.stdout
+    assert abs(int(m.group(1)) - 1000) <= 5   # left ear: 1 kHz tone
+    assert abs(int(m.group(2)) - 2500) <= 5   # right ear: 2.5 kHz tone
+    assert "STEREO" in out.stdout
+
+
 def _run_example(name, timeout=300):
     import pathlib
     import subprocess
