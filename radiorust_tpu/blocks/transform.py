@@ -141,7 +141,13 @@ class _BoundCombine(BoundBlock):
 
     @property
     def output_is_real(self):
-        return self._preserves_real and all(self.input_is_real_flags)
+        flags = list(self.input_is_real_flags)
+        if len(flags) == 1:
+            # Degenerate single-input use in a linear chain: Chain.bind /
+            # BoundGraph's single-upstream path communicate realness via the
+            # scalar ``input_is_real`` attribute, not the per-input flags.
+            flags[0] = flags[0] or self.input_is_real
+        return self._preserves_real and all(flags)
 
     def process(self, params, state, xs, reset):
         if not isinstance(xs, tuple):

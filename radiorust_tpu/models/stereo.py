@@ -43,8 +43,7 @@ from ..blocks.graph import Graph, NodeRef
 from ..blocks.modulation import FmDemod
 from ..blocks.resampling import Downsampler
 from ..blocks.transform import Combine, FreqShifter, GainControl, MapSample
-from .wfm import (WFM_AUDIO_RATE, WFM_INPUT_CHUNK, WFM_INPUT_RATE,
-                  _deemphasis_band, _lowpass_100k)
+from .wfm import WFM_AUDIO_RATE, _deemphasis_band, _lowpass_100k
 
 __all__ = ["wfm_stereo_receiver", "stereo_mpx_decoder",
            "PILOT_FREQ", "MPX_RATE"]
@@ -136,7 +135,10 @@ def wfm_stereo_receiver(tune_shift: float = 0.0, volume: float = 1.0,
     Outputs "stereo" (L + jR at 48 kHz) and "pilot".  The front end and
     demodulator are exactly the mono receiver's blocks
     (``models/wfm.py::wfm_receiver``); only the post-demod audio path
-    differs.  Every node time-shards (tests/test_parallel.py).
+    differs.  Every node time-shards (the MPX decode subgraph:
+    tests/test_stereo.py::test_stereo_graph_time_shards and
+    __graft_entry__ dryrun case 7; the front-end blocks: the WFM cases in
+    tests/test_parallel.py).
     """
     g = Graph()
     iq = g.input("iq")

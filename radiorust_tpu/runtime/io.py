@@ -138,7 +138,7 @@ class FileSdrDriver(SdrDriver):
 
 class NativeFileSdrDriver(SdrDriver):
     """GIL-free IQ file replay via the C++ mmap/prefetch loader
-    (``native/runtime/iq_loader.cpp``).
+    (``radiorust_tpu/native/iq_loader.cpp``).
 
     The native analog of the reference's FFI stream readers
     (``src/blocks/io/rf/soapysdr.rs:99-125`` — MTU-sized blocking reads on

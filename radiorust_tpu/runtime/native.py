@@ -4,7 +4,7 @@ The reference pipelines blocks across CPU cores via Tokio tasks and its
 ``broadcast_bp`` channel (``src/sync/broadcast_bp.rs``).  This module is
 the native equivalent for the TPU build: each block runs on an OS thread,
 handing Signal messages through the GIL-free C++ channel
-(``native/runtime/broadcast_bp.cpp``).  JAX device dispatch releases the
+(``radiorust_tpu/native/broadcast_bp.cpp``).  JAX device dispatch releases the
 GIL, so host I/O, keying/control logic, and device compute for different
 pipeline stages genuinely overlap — the same steady-state pipelining the
 reference gets from its runtime, with the per-chunk math still on TPU.
@@ -38,8 +38,37 @@ from ..signal import Event, Samples
 
 __all__ = ["NativeChannel", "NativeGraph", "load_library"]
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native" / "runtime"
+# C++ sources ship inside the package (pyproject package-data) so the
+# native runtime works from an installed wheel, not just a repo checkout.
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[1] / "native"
 _LIB = None
+
+
+def _build_so(srcs) -> pathlib.Path:
+    """Compile the shared library, preferring a build next to the sources
+    (repo checkout) and falling back to a user cache dir when the package
+    directory is read-only (system-installed wheel)."""
+    import os
+    override = os.environ.get("RRTPU_NATIVE_BUILD_DIR")
+    candidates = ([pathlib.Path(override)] if override
+                  else [_NATIVE_DIR,
+                        pathlib.Path.home() / ".cache" / "radiorust_tpu"])
+    last_err = None
+    for d in candidates:
+        so = d / "libbroadcast_bp.so"
+        try:
+            if so.exists() and all(so.stat().st_mtime >= s.stat().st_mtime
+                                   for s in srcs):
+                return so
+            d.mkdir(parents=True, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(so)] + [str(s) for s in srcs] + ["-lpthread"],
+                check=True)
+            return so
+        except (OSError, subprocess.CalledProcessError) as e:
+            last_err = e
+    raise RuntimeError(f"could not build the native runtime: {last_err}")
 
 
 def load_library() -> ctypes.CDLL:
@@ -49,13 +78,7 @@ def load_library() -> ctypes.CDLL:
     if _LIB is not None:
         return _LIB
     srcs = [_NATIVE_DIR / "broadcast_bp.cpp", _NATIVE_DIR / "iq_loader.cpp"]
-    so = _NATIVE_DIR / "libbroadcast_bp.so"
-    if not so.exists() or any(so.stat().st_mtime < s.stat().st_mtime
-                              for s in srcs):
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(so)] + [str(s) for s in srcs] + ["-lpthread"],
-            check=True)
+    so = _build_so(srcs)
     lib = ctypes.CDLL(str(so))
     lib.bp_channel_new.restype = ctypes.c_void_p
     lib.bp_channel_free.argtypes = [ctypes.c_void_p]

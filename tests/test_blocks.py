@@ -419,3 +419,30 @@ def test_realness_propagates_through_nested_chain():
     _, y_flat = scan(flat, flat.params, flat.init_state(), jnp.asarray(xs))
     np.testing.assert_allclose(np.asarray(y_nested), np.asarray(y_flat),
                                atol=1e-6)
+
+
+def test_combine_preserves_realness_in_linear_chain():
+    """A preserves_real Combine used single-input in a linear chain must
+    propagate realness from the scalar ``input_is_real`` attribute (set by
+    Chain.bind / the graph's single-upstream path), not only from the
+    per-input flags the fan-in path sets."""
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import Chain, StreamSig
+    from radiorust_tpu.blocks.filters import Filter
+    from radiorust_tpu.blocks.modulation import FmDemod
+    from radiorust_tpu.blocks.transform import Combine
+
+    def lp(bins, freqs):
+        return np.where(np.abs(freqs) <= 2000.0, 1.0 + 0.0j, 0.0j)
+
+    bound = Chain(FmDemod(1000.0),
+                  Combine(lambda x: 2.0 * x, preserves_real=True),
+                  Filter.new(lp)).bind(StreamSig(2, 64, 8000.0))
+    assert bound.blocks[1].input_is_real is True
+    assert bound.blocks[1].output_is_real is True
+    assert bound.blocks[2].input_is_real is True  # the pair-packed path
+
+    # A non-preserving fn must still report complex output.
+    bound2 = Chain(FmDemod(1000.0),
+                   Combine(lambda x: 1j * x)).bind(StreamSig(2, 64, 8000.0))
+    assert bound2.blocks[1].output_is_real is False

@@ -200,7 +200,7 @@ def test_audiopipe_example_runs():
 
 
 def test_native_file_driver_roundtrip(tmp_path):
-    """C++ mmap/prefetch IQ loader (native/runtime/iq_loader.cpp): exact
+    """C++ mmap/prefetch IQ loader (radiorust_tpu/native/iq_loader.cpp): exact
     sample replay, end-of-file, loop wraparound, and SdrRx integration."""
     from radiorust_tpu.runtime.io import NativeFileSdrDriver, SdrError
 
