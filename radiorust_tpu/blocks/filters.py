@@ -40,7 +40,7 @@ from ..ops.fft import fft as _fft, ifft as _ifft
 from ..windowing import Kaiser, Rectangular, Window, window_table
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["Filter", "SlewRateLimiter", "deemphasis_factor",
+__all__ = ["Filter", "FilterBank", "SlewRateLimiter", "deemphasis_factor",
            "extend_response",
            "design_response", "design_impulse_response"]
 
@@ -232,6 +232,85 @@ class Filter(Block):
 
     def bind(self, sig: StreamSig) -> _BoundFilter:
         return _BoundFilter(sig, self.freq_resp, self.window)
+
+
+class _BoundFilterBank(BoundBlock):
+    """K overlap-save filters sharing one forward transform.
+
+    Each band goes through the exact reference design pipeline
+    (``src/blocks/filters.rs:184-239``) independently, so band ``j``'s
+    output is bit-identical to ``Filter(freq_resps[j])`` on the same
+    stream — but the hot loop computes FFT(prev || x) once, multiplies K
+    responses, and runs the K inverse transforms as one batched call,
+    carrying a single shared previous-chunk state instead of K copies.
+    """
+
+    def __init__(self, sig: StreamSig, freq_resps, window: Window):
+        self.in_sig = self.out_sig = sig
+        self.window = window
+        self.valid_from = 1
+        n = sig.chunk_len
+        irs = [design_impulse_response(fr, window, n, sig.sample_rate)
+               for fr in freq_resps]
+        self.num_outputs = len(irs)
+        self.out_sigs = (sig,) * self.num_outputs
+        self._real_irs = tuple(
+            bool(np.abs(ir.imag).max()
+                 <= 1e-9 * max(float(np.abs(ir.real).max()), 1e-30))
+            for ir in irs)
+        # One retunable response per band (same wire layout as Filter).
+        self.params = {"responses": np.stack(
+            [extend_response(ir).astype(np.complex64) for ir in irs])}
+
+    @property
+    def outputs_real(self):
+        return tuple(self.input_is_real and r for r in self._real_irs)
+
+    def init_state(self):
+        sig = self.in_sig
+        return {"prev": np.zeros((sig.batch, sig.chunk_len), np.complex64)}
+
+    def process(self, params, state, x, reset):
+        n = self.in_sig.chunk_len
+        b = x.shape[0]
+        k = self.num_outputs
+        prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
+                         state["prev"])
+        spec = _fft(jnp.concatenate([prev, x], axis=-1))        # [b, 2n] once
+        prod = spec[None, :, :] * params["responses"][:, None, :]
+        ys = _ifft(prod.reshape(k * b, 2 * n))[..., :n].astype(jnp.complex64)
+        ys = ys.reshape(k, b, n)
+        return {"prev": x}, tuple(ys[j] for j in range(k))
+
+    def update_params(self, freq_resps, window: Optional[Window] = None):
+        """Redesign every band's response host-side (Filter::update
+        analog, ``src/blocks/filters.rs:279-297``)."""
+        w = window if window is not None else self.window
+        return {"responses": np.stack(
+            [design_response(fr, w, self.in_sig.chunk_len,
+                             self.in_sig.sample_rate).astype(np.complex64)
+             for fr in freq_resps])}
+
+
+class FilterBank(Block):
+    """Several :class:`Filter` bands over one stream, sharing the forward
+    transform — the multi-band analysis primitive (stereo MPX decode,
+    spectrum splitting).  A graph-only multi-output block: add it with
+    :meth:`radiorust_tpu.blocks.graph.Graph.bank`, which returns one
+    :class:`NodeRef` per band.  Per-band outputs match standalone
+    ``Filter`` blocks exactly (shared-transform identity of linear
+    filtering; equivalence-tested)."""
+
+    def __init__(self, freq_resps, window: Optional[Window] = None):
+        self.freq_resps = tuple(freq_resps)
+        if not self.freq_resps:
+            raise ValueError("FilterBank needs at least one band")
+        self.window = (window if window is not None
+                       else Kaiser.with_null_at_bin(2.0))
+        self.num_outputs = len(self.freq_resps)
+
+    def bind(self, sig: StreamSig) -> _BoundFilterBank:
+        return _BoundFilterBank(sig, self.freq_resps, self.window)
 
 
 class _BoundSlewRateLimiter(BoundBlock):

@@ -36,6 +36,24 @@ from .base import Block, BoundBlock, StreamSig, expand_reset
 __all__ = ["Graph", "BoundGraph", "NodeRef", "graph_scan"]
 
 
+class _BoundSelect(BoundBlock):
+    """Projection of one output of a multi-output (bank) node.  Stateless
+    and free at runtime — it only picks an element of the bank's output
+    tuple inside the fused program."""
+
+    def __init__(self, bank: BoundBlock, index: int):
+        self.index = index
+        self.in_sig = self.out_sig = bank.out_sigs[index]
+        self._bank = bank
+
+    @property
+    def output_is_real(self):
+        return self._bank.outputs_real[self.index]
+
+    def process(self, params, state, xs, reset):
+        return (), xs[self.index]
+
+
 @dataclass(frozen=True)
 class NodeRef:
     """Handle to a graph node (an input or an added block)."""
@@ -90,6 +108,30 @@ class Graph:
         if not isinstance(upstream, NodeRef) or not (
                 0 <= upstream.idx < len(self._nodes)):
             raise ValueError("upstream must be a NodeRef from this graph")
+        if self._nodes[upstream.idx][0] == "bank":
+            raise ValueError(
+                "a bank node itself is not a stream; use the per-output "
+                "NodeRefs returned by Graph.bank")
+
+    def bank(self, block: Block, upstream: NodeRef):
+        """Add a multi-output block (e.g. :class:`~radiorust_tpu.blocks.
+        filters.FilterBank`) fed by ``upstream``; returns one
+        :class:`NodeRef` per output.  The block must declare
+        ``num_outputs`` and its bound form must set ``out_sigs`` and
+        return a tuple of chunks from ``process``."""
+        self._check_ref(upstream)
+        k = getattr(block, "num_outputs", None)
+        if not isinstance(k, int) or k < 1:
+            raise TypeError(
+                f"{type(block).__name__} is not a multi-output block "
+                "(missing num_outputs); use Graph.add")
+        self._nodes.append(("bank", (block, upstream.idx)))
+        bank_idx = len(self._nodes) - 1
+        refs = []
+        for j in range(k):
+            self._nodes.append(("select", (bank_idx, j)))
+            refs.append(NodeRef(len(self._nodes) - 1))
+        return tuple(refs)
 
     def chain(self, blocks, upstream: NodeRef) -> NodeRef:
         """Convenience: add several blocks in sequence."""
@@ -147,6 +189,27 @@ class BoundGraph:
                 out_sig.append(sigs[name])
                 is_real.append(False)
                 valid_from.append(0)
+            elif kind == "bank":
+                spec, up = payload
+                b = spec.bind(out_sig[up])
+                b.input_is_real = is_real[up]
+                self.bound.append(b)
+                self._upstream.append(up)
+                self._origin.append(self._origin[up])
+                # The bank node's value is a tuple, not a stream; only its
+                # select projections are referenceable (Graph enforces it).
+                out_sig.append(b.out_sig)
+                is_real.append(False)
+                valid_from.append(valid_from[up] + b.valid_from)
+            elif kind == "select":
+                bank_idx, j = payload
+                b = _BoundSelect(self.bound[bank_idx], j)
+                self.bound.append(b)
+                self._upstream.append(bank_idx)
+                self._origin.append(self._origin[bank_idx])
+                out_sig.append(b.out_sig)
+                is_real.append(b.output_is_real)
+                valid_from.append(valid_from[bank_idx])
             else:
                 spec, up = payload
                 if isinstance(up, tuple):

@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..blocks.filters import Filter
+from ..blocks.filters import Filter, FilterBank
 from ..blocks.graph import Graph, NodeRef
 from ..blocks.modulation import FmDemod
 from ..blocks.resampling import Downsampler
@@ -87,7 +87,7 @@ def _lr_matrix(m, d):
 
 
 def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
-                       volume: float):
+                       volume: float, use_bank: bool = True):
     """Add the MPX stereo decode nodes; returns (stereo, pilot) node refs.
 
     ``mpx`` must be the real-valued composite baseband at 384 kHz.  The
@@ -95,10 +95,19 @@ def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
     ``pilot`` is the analytic 19 kHz pilot at MPX rate (its level gates
     stereo/mono blending in a real receiver).
     """
-    mono = g.add(Filter.new(_mono_band), mpx)
-    pilot = g.add(Filter.new(_pilot_band), mpx)
+    # One FilterBank: the three analysis bands share a single forward FFT
+    # and one previous-chunk state (per-band outputs are identical to
+    # standalone Filter blocks — shared-transform linearity).  The
+    # separate-filters form is kept as an equivalence/benchmark reference
+    # (use_bank=False).
+    if use_bank:
+        mono, pilot, sub = g.bank(
+            FilterBank([_mono_band, _pilot_band, _subcarrier_band]), mpx)
+    else:
+        mono = g.add(Filter.new(_mono_band), mpx)
+        pilot = g.add(Filter.new(_pilot_band), mpx)
+        sub = g.add(Filter.new(_subcarrier_band), mpx)
     carrier = g.add(MapSample(_double_phase), pilot)
-    sub = g.add(Filter.new(_subcarrier_band), mpx)
     diff = g.add(Combine(_mix_subcarrier), (sub, carrier))
     # Tunable stereo separation (1 = full stereo, 0 = mono on both ears):
     # a live-settable gain on the difference path.
@@ -113,12 +122,13 @@ def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
 
 
 def stereo_mpx_decoder(separation: float = 1.0,
-                       volume: float = 1.0) -> Graph:
+                       volume: float = 1.0,
+                       use_bank: bool = True) -> Graph:
     """Standalone MPX decoder: input "mpx" (real composite at 384 kHz) ->
     outputs "stereo" (L + jR at 48 kHz) and "pilot" (analytic pilot)."""
     g = Graph()
     mpx = g.input("mpx")
-    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume)
+    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume, use_bank)
     g.output("stereo", stereo)
     g.output("pilot", pilot)
     return g

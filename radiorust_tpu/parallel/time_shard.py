@@ -42,6 +42,7 @@ from ..blocks import channelize as _channelize
 from ..blocks import chunks as _chunks
 from ..blocks import filters as _filters
 from ..blocks import frontend as _frontend
+from ..blocks import graph as _graph
 from ..blocks import modulation as _modulation
 from ..blocks import resampling as _resampling
 from ..blocks import transform as _transform
@@ -130,6 +131,17 @@ def _sharded_filter(block, params, state, x, axis):
     (src/blocks/filters.rs:240-260), rebuilt from the neighbor's chunk."""
     prev = _halo_tail(x, state["prev"], x.shape[-1], axis)
     return block.process(params, {"prev": prev}, x, _no_reset(x))
+
+
+def _sharded_filter_bank(block, params, state, x, axis):
+    # Same halo as Filter (the bands share one previous-input state).
+    prev = _halo_tail(x, state["prev"], x.shape[-1], axis)
+    return block.process(params, {"prev": prev}, x, _no_reset(x))
+
+
+def _sharded_select(block, params, state, xs, axis):
+    # Pure projection of a bank output tuple; no cross-chunk state.
+    return (), xs[block.index]
 
 
 def _sharded_resampler(block, params, state, x, axis):
@@ -373,6 +385,8 @@ _HANDLERS = {
     _frontend._BoundMixerDecimator: _sharded_mixer_decimator,
     _frontend._BoundFmDemodFilter: _sharded_fm_demod_filter,
     _filters._BoundFilter: _sharded_filter,
+    _filters._BoundFilterBank: _sharded_filter_bank,
+    _graph._BoundSelect: _sharded_select,
     _resampling._BoundResampler: _sharded_resampler,
     _modulation._BoundFmDemod: _sharded_fm_demod,
     _modulation._BoundFmMod: _sharded_fm_mod,

@@ -212,3 +212,22 @@ def test_fan_in_validation_errors():
     with pytest.raises(ValueError, match="share one signature"):
         Combine(lambda u, v: u + v).bind_multi(
             (StreamSig(1, 16, 8000.0), StreamSig(1, 32, 8000.0)))
+
+
+def test_decoder_bank_matches_separate_filters():
+    """The FilterBank-based decoder (default) and the separate-Filter form
+    (use_bank=False, kept as the benchmark reference) are the same math."""
+    n, t_chunks = 1536, 4
+    ts = np.arange(t_chunks * n) / MPX_RATE
+    mpx = make_mpx(ts).astype(np.complex64)
+    xs = {"mpx": jnp.asarray(
+        np.stack([mpx, 0.6 * mpx]).reshape(2, t_chunks, n).swapaxes(0, 1))}
+    sig = StreamSig(2, n, MPX_RATE)
+    ga = stereo_mpx_decoder(use_bank=True).bind({"mpx": sig})
+    gb = stereo_mpx_decoder(use_bank=False).bind({"mpx": sig})
+    assert ga.valid_from == gb.valid_from
+    _, ya = graph_scan(ga, ga.params, ga.init_state(), xs)
+    _, yb = graph_scan(gb, gb.params, gb.init_state(), xs)
+    for k in ya:
+        np.testing.assert_allclose(np.asarray(ya[k]), np.asarray(yb[k]),
+                                   atol=2e-5)
