@@ -20,7 +20,8 @@ from .blocks.base import (Block, BoundBlock, Chain, StreamSig, jit_step,
 from .blocks.channelize import Channelizer
 from .blocks.frontend import MixerDecimator
 from .blocks.chunks import Overlapper, rechunk
-from .blocks.filters import (Filter, SlewRateLimiter, deemphasis_factor)
+from .blocks.filters import (Filter, FilterBank, SlewRateLimiter,
+                             deemphasis_factor)
 from .blocks.graph import BoundGraph, Graph, graph_scan
 from .blocks.modulation import FmDemod, FmMod
 from .blocks.morse import Keyer, Speed, encode
@@ -36,7 +37,7 @@ __all__ = [
     "Block", "BoundBlock", "Chain", "StreamSig", "jit_step", "make_scan",
     "scan", "pack_wire", "unpack_wire",
     "Fourier", "Channelizer", "MixerDecimator", "Overlapper", "rechunk",
-    "Filter", "SlewRateLimiter", "deemphasis_factor",
+    "Filter", "FilterBank", "SlewRateLimiter", "deemphasis_factor",
     "Graph", "BoundGraph", "graph_scan",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
     "Downsampler", "Upsampler", "FreqShifter", "GainControl", "MapSample",
