@@ -77,9 +77,15 @@ class GainControl(Block):
 # ---------------------------------------------------------------------------
 
 class _BoundMap(BoundBlock):
-    def __init__(self, sig: StreamSig, fn: Callable, fn_params=None):
+    @property
+    def output_is_real(self):
+        return self._real_output
+
+    def __init__(self, sig: StreamSig, fn: Callable, fn_params=None,
+                 real_output: bool = False):
         self.in_sig = self.out_sig = sig
         self.fn = fn
+        self._real_output = bool(real_output)
         self._parameterized = fn_params is not None
         self.params = fn_params if self._parameterized else ()
 
@@ -102,21 +108,28 @@ class MapSample(Block):
     ``src/blocks/transform.rs:132-179`` for parameter changes).
     """
 
-    def __init__(self, fn: Callable = lambda x: x):
+    def __init__(self, fn: Callable = lambda x: x,
+                 real_output: bool = False):
         self.fn = fn
         self.fn_params = None
+        # Structural promise that ``fn`` emits zero imaginary parts
+        # (e.g. an AM envelope detector) so downstream filters keep
+        # their pair-packed real fast path.
+        self.real_output = bool(real_output)
 
     @classmethod
-    def with_params(cls, fn: Callable, params) -> "MapSample":
+    def with_params(cls, fn: Callable, params,
+                    real_output: bool = False) -> "MapSample":
         """``fn(x, params) -> y`` with ``params`` a traced pytree (numpy
         leaves; complex leaves stay numpy until wire-packed)."""
         self = cls.__new__(cls)
         self.fn = fn
         self.fn_params = params
+        self.real_output = bool(real_output)
         return self
 
     def bind(self, sig: StreamSig) -> _BoundMap:
-        return _BoundMap(sig, self.fn, self.fn_params)
+        return _BoundMap(sig, self.fn, self.fn_params, self.real_output)
 
 
 # ---------------------------------------------------------------------------
