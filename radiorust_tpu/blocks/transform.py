@@ -15,7 +15,8 @@ from ..math import round_half_away
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["GainControl", "FreqShifter", "MapSample", "Nop", "Combine"]
+__all__ = ["GainControl", "AgcControl", "FreqShifter", "MapSample", "Nop",
+           "Combine"]
 
 
 # ---------------------------------------------------------------------------
@@ -70,6 +71,70 @@ class GainControl(Block):
 
     def bind(self, sig: StreamSig) -> _BoundGain:
         return _BoundGain(sig, self.gain)
+
+
+# ---------------------------------------------------------------------------
+# AgcControl
+# ---------------------------------------------------------------------------
+
+class _BoundAgc(BoundBlock):
+    @property
+    def output_is_real(self):
+        return self.input_is_real  # real gain preserves realness
+
+    def __init__(self, sig: StreamSig, reference: float, rate: float,
+                 max_gain: float):
+        self.in_sig = self.out_sig = sig
+        # All three knobs are traced params: retune per chunk without
+        # recompiling, like GainControl's watch-channel analog.
+        self.params = {"reference": np.float32(reference),
+                       "rate": np.float32(rate),
+                       "max_gain": np.float32(max_gain)}
+
+    def init_state(self):
+        return {"gain": np.ones((self.in_sig.batch,), np.float32)}
+
+    def process(self, params, state, x, reset):
+        # y[n] = g[n] x[n];  g[n+1] = clip(g[n] + rate (ref - |y[n]|)).
+        # The loop gain tracks the *output* envelope, so it is a true
+        # per-sample recurrence (like SlewRateLimiter): scan over samples,
+        # batched over streams on the VPU.  Audio-rate block — the
+        # sequential depth stays off the wideband hot path.  Gain is a
+        # receiver tuning state, deliberately carried across stream
+        # discontinuities (``reset`` leaves it untouched).
+        rate = params["rate"]
+        ref = params["reference"]
+        max_gain = params["max_gain"]
+
+        def step(g, sample):
+            y = sample * g.astype(jnp.complex64)
+            g = g + rate * (ref - jnp.abs(y))
+            g = jnp.clip(g, jnp.zeros_like(g), max_gain)
+            return g, y
+
+        gain, ys = jax.lax.scan(step, state["gain"],
+                                jnp.swapaxes(x, 0, 1), unroll=8)
+        return {"gain": gain}, jnp.swapaxes(ys, 0, 1)
+
+
+class AgcControl(Block):
+    """Automatic gain control: drives the output envelope toward
+    ``reference`` with loop gain ``rate`` per sample.
+
+    The reference library has no AGC — its ``GainControl`` is a manually
+    tuned scalar (``src/blocks/transform.rs:29-92``) — but any AM/SSB
+    receiver needs one; this is the classic feedback AGC loop
+    (``g += rate * (reference - |g*x|)``), clamped to ``[0, max_gain]``.
+    """
+
+    def __init__(self, reference: float = 1.0, rate: float = 1e-3,
+                 max_gain: float = 65536.0):
+        self.reference = float(reference)
+        self.rate = float(rate)
+        self.max_gain = float(max_gain)
+
+    def bind(self, sig: StreamSig) -> _BoundAgc:
+        return _BoundAgc(sig, self.reference, self.rate, self.max_gain)
 
 
 # ---------------------------------------------------------------------------

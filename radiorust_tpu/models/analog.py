@@ -27,7 +27,7 @@ import numpy as np
 from ..blocks.base import Chain
 from ..blocks.filters import Filter
 from ..blocks.resampling import Downsampler
-from ..blocks.transform import FreqShifter, GainControl, MapSample
+from ..blocks.transform import AgcControl, FreqShifter, GainControl, MapSample
 
 __all__ = ["am_receiver", "ssb_receiver",
            "ANALOG_INPUT_RATE", "ANALOG_INPUT_CHUNK",
@@ -69,8 +69,8 @@ def _sideband(low: float, high: float, lsb: bool):
 
 
 def am_receiver(tune_shift: float = 0.0, volume: float = 1.0,
-                audio_low: float = 20.0,
-                audio_high: float = 5000.0) -> Chain:
+                audio_low: float = 20.0, audio_high: float = 5000.0,
+                agc: bool = False) -> Chain:
     """AM broadcast receiver as one compiled chain.
 
     IQ at 256 ksps -> FreqShifter (center the carrier) -> Downsampler to
@@ -88,13 +88,14 @@ def am_receiver(tune_shift: float = 0.0, volume: float = 1.0,
         # 43-50): a windowed IR smears the one-bin DC notch and lets the
         # (large) carrier term leak into the audio.
         Filter.new_rectangular(_audio_band(audio_low, audio_high)),
-        GainControl(volume),
+        AgcControl(reference=volume, rate=1e-2) if agc
+        else GainControl(volume),
     )
 
 
 def ssb_receiver(tune_shift: float = 0.0, volume: float = 1.0,
                  lsb: bool = False, audio_low: float = 100.0,
-                 audio_high: float = 3100.0) -> Chain:
+                 audio_high: float = 3100.0, agc: bool = False) -> Chain:
     """Single-sideband receiver (filter method), USB by default.
 
     IQ at 256 ksps -> FreqShifter (suppressed carrier to DC) ->
@@ -108,5 +109,6 @@ def ssb_receiver(tune_shift: float = 0.0, volume: float = 1.0,
         Downsampler(ANALOG_AUDIO_RATE, 2.0 * audio_high),
         Filter.new(_sideband(audio_low, audio_high, lsb)),
         MapSample(_real_part, real_output=True),
-        GainControl(volume),
+        AgcControl(reference=volume, rate=1e-2) if agc
+        else GainControl(volume),
     )

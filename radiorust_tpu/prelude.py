@@ -26,7 +26,8 @@ from .blocks.graph import BoundGraph, Graph, graph_scan
 from .blocks.modulation import FmDemod, FmMod
 from .blocks.morse import Keyer, Speed, encode
 from .blocks.resampling import Downsampler, Upsampler
-from .blocks.transform import Combine, FreqShifter, GainControl, MapSample
+from .blocks.transform import (AgcControl, Combine, FreqShifter,
+                               GainControl, MapSample)
 from .metering import bandwidth, bandwidth_jax, level, level_jax, \
     rescale_energy, rescale_energy_jax
 from .signal import (BufferOverflow, Disconnection, Event, Samples,
@@ -40,7 +41,8 @@ __all__ = [
     "Filter", "FilterBank", "SlewRateLimiter", "deemphasis_factor",
     "Graph", "BoundGraph", "graph_scan",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
-    "Downsampler", "Upsampler", "FreqShifter", "GainControl", "MapSample",
+    "Downsampler", "Upsampler", "FreqShifter", "GainControl",
+    "AgcControl", "MapSample",
     "Combine",
     "bandwidth", "bandwidth_jax", "level", "level_jax",
     "rescale_energy", "rescale_energy_jax",

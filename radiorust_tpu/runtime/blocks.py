@@ -291,6 +291,26 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                           if isinstance(blk, _BoundGain) else None,
                           slot="set_gain")
 
+    def set_agc(self, reference: float = None, rate: float = None,
+                max_gain: float = None) -> None:
+        """Retune AgcControl loop knobs (only the given ones) without
+        touching the carried gain state."""
+        import numpy as _np
+        from ..blocks.transform import _BoundAgc
+
+        def upd(blk, p):
+            if not isinstance(blk, _BoundAgc):
+                return None
+            new = dict(p)
+            if reference is not None:
+                new["reference"] = _np.float32(reference)
+            if rate is not None:
+                new["rate"] = _np.float32(rate)
+            if max_gain is not None:
+                new["max_gain"] = _np.float32(max_gain)
+            return new
+        self._apply_typed(upd, slot="set_agc")
+
     def set_shift(self, shift: float) -> None:
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables

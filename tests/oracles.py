@@ -79,6 +79,18 @@ def oracle_slew_rate_limiter(x, sample_rate, slew_rate, prev=0.0 + 0.0j):
     return y, prev
 
 
+def oracle_agc(x, reference, rate, max_gain, gain0=1.0):
+    """Per-sample feedback AGC loop in f32 (the AgcControl recurrence)."""
+    g = np.float32(gain0)
+    y = np.empty(len(x), np.complex64)
+    for n in range(len(x)):
+        y[n] = np.complex64(x[n]) * g
+        g = np.float32(g + np.float32(rate)
+                       * (np.float32(reference) - np.float32(abs(y[n]))))
+        g = np.float32(min(max(g, np.float32(0.0)), np.float32(max_gain)))
+    return y, g
+
+
 def oracle_downsample(x, input_rate, output_rate, bandwidth, quality=3.0):
     """Reference Downsampler loop (src/blocks/resampling.rs:61-133)."""
     margin = (output_rate - bandwidth) / 2.0

@@ -102,6 +102,24 @@ def test_ssb_lsb_end_to_end():
     assert abs(peak - 1500.0) < 20.0, f"peak at {peak} Hz"
 
 
+def test_am_receiver_agc_rides_out_fading():
+    # The carrier amplitude drops 6 dB mid-stream; with agc=True the
+    # program audio level stays put (a manual GainControl would halve).
+    t_chunks = 16
+    t = np.arange(t_chunks * N) / RATE
+    fade = np.where(t < t_chunks * N // 2 / RATE, 0.8, 0.4)
+    audio = np.sin(2 * np.pi * 1000.0 * t)
+    iq = (fade * (1.0 + 0.5 * audio) * np.exp(2j * np.pi * 30000.0 * t)
+          ).astype(np.complex64).reshape(t_chunks, 1, N)
+    ys, _ = run_chain(am_receiver(tune_shift=-30000.0, agc=True),
+                      StreamSig(1, N, RATE), iq)
+    out = ys[:, 0, :].reshape(-1).real
+    half = len(out) // 2
+    rms_before = np.sqrt(np.mean(out[half - 4096:half] ** 2))
+    rms_after = np.sqrt(np.mean(out[-4096:] ** 2))
+    assert abs(rms_after / rms_before - 1.0) < 0.15, (rms_before, rms_after)
+
+
 def test_am_ssb_example_runs():
     # Live-runtime smoke test: both receivers fan out from one SDR source.
     import os

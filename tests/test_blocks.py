@@ -203,6 +203,55 @@ def test_slew_rate_limiter_matches_oracle():
 
 
 # ---------------------------------------------------------------------------
+# AgcControl vs oracle
+# ---------------------------------------------------------------------------
+
+def test_agc_matches_oracle():
+    from radiorust_tpu.blocks.transform import AgcControl
+    rng = np.random.default_rng(11)
+    n = 64
+    x = (0.2 * (rng.standard_normal(4 * n) + 1j * rng.standard_normal(4 * n))
+         ).astype(np.complex64)
+    b = AgcControl(reference=1.0, rate=5e-3, max_gain=100.0).bind(
+        sig(chunk_len=n))
+    ys, state = run_chunks(b, x.reshape(4, n))
+    want, g = oracles.oracle_agc(x, 1.0, 5e-3, 100.0)
+    np.testing.assert_allclose(ys.reshape(-1), want, atol=2e-4)
+    # The carried loop gain matches the per-sample oracle too.
+    np.testing.assert_allclose(np.asarray(state["gain"])[0], g, atol=2e-3)
+
+
+def test_agc_converges_and_holds_level():
+    from radiorust_tpu.blocks.transform import AgcControl
+    n, steps = 256, 12
+    t = np.arange(steps * n)
+    # A weak tone whose amplitude drops midway: the loop re-converges.
+    amp = np.where(t < steps * n // 2, 0.05, 0.04)
+    x = (amp * np.exp(2j * np.pi * 0.01 * t)).astype(np.complex64)
+    b = AgcControl(reference=1.0, rate=1e-1).bind(sig(chunk_len=n))
+    ys, _ = run_chunks(b, x.reshape(steps, n))
+    out = np.abs(ys.reshape(-1))
+    # Settled windows before and after the level step both sit at the
+    # reference envelope.
+    assert abs(out[steps * n // 2 - n:steps * n // 2].mean() - 1.0) < 0.05
+    assert abs(out[-n:].mean() - 1.0) < 0.05
+
+
+def test_agc_realness_and_reset_keep_gain():
+    from radiorust_tpu.blocks.transform import AgcControl
+    b = AgcControl().bind(sig(chunk_len=16))
+    b.input_is_real = True
+    assert b.output_is_real
+    n = 16
+    x = (0.1 * np.ones(2 * n)).astype(np.complex64)
+    resets = jnp.asarray(np.array([[False], [True]]))
+    ys, state = run_chunks(b, x.reshape(2, n), resets=resets)
+    # Gain is receiver tuning state: a stream discontinuity does not
+    # re-seed it (chunk 2 starts from chunk 1's adapted gain).
+    assert np.abs(ys[1, 0]) > np.abs(ys[0, 0])
+
+
+# ---------------------------------------------------------------------------
 # Filter vs oracle
 # ---------------------------------------------------------------------------
 

@@ -14,7 +14,8 @@ from radiorust_tpu.blocks.chunks import Overlapper
 from radiorust_tpu.blocks.filters import Filter
 from radiorust_tpu.blocks.modulation import FmDemod, FmMod
 from radiorust_tpu.blocks.resampling import Downsampler, Upsampler
-from radiorust_tpu.blocks.transform import FreqShifter, GainControl
+from radiorust_tpu.blocks.transform import FreqShifter, GainControl, MapSample
+from radiorust_tpu.models.analog import _envelope
 from radiorust_tpu.models.wfm import wfm_receiver
 from radiorust_tpu.parallel.time_shard import TimeShardedChain
 
@@ -85,6 +86,17 @@ CASES = [
     ("overlap_fourier", Chain(Overlapper(4), Fourier()),
      StreamSig(2, 64, 8000.0)),
     ("overlap_deep", Chain(Overlapper(6)), StreamSig(2, 64, 8000.0)),
+    # An AM-receiver-shaped chain: the MapSample envelope's real_output
+    # promise must survive sharding (the downstream filter pair-packs).
+    ("am_envelope", Chain(
+        FreqShifter.with_shift(500.0), Downsampler(2000.0, 700.0),
+        MapSample(_envelope, real_output=True),
+        Filter.new_rectangular(
+            lambda bins, freqs: np.where(
+                (np.abs(bins) >= 1) & (np.abs(freqs) <= 700.0),
+                1.0 + 0.0j, 0.0j)),
+        GainControl(0.7),
+    ), StreamSig(2, 64, 8000.0)),
 ]
 
 
