@@ -15,8 +15,8 @@ from ..math import round_half_away
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
 
-__all__ = ["GainControl", "AgcControl", "FreqShifter", "MapSample", "Nop",
-           "Combine"]
+__all__ = ["GainControl", "AgcControl", "Squelch", "FreqShifter",
+           "MapSample", "Nop", "Combine"]
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +71,73 @@ class GainControl(Block):
 
     def bind(self, sig: StreamSig) -> _BoundGain:
         return _BoundGain(sig, self.gain)
+
+
+# ---------------------------------------------------------------------------
+# Squelch
+# ---------------------------------------------------------------------------
+
+class _BoundSquelch(BoundBlock):
+    @property
+    def output_is_real(self):
+        return self.input_is_real  # gating by a real mask preserves realness
+
+    def __init__(self, sig: StreamSig, threshold: float, alpha: float):
+        self.in_sig = self.out_sig = sig
+        # Both knobs traced: open/close the gate per chunk without
+        # recompiling.
+        self.params = {"threshold": np.float32(threshold),
+                       "alpha": np.float32(alpha)}
+
+    def init_state(self):
+        return {"env": np.zeros((self.in_sig.batch,), np.float32)}
+
+    def process(self, params, state, x, reset):
+        # Smoothed power e[n] = alpha e[n-1] + (1-alpha) |x[n]|^2 is a
+        # first-order *linear* recurrence, so unlike the nonlinear
+        # AGC/slew loops it parallelizes exactly: compose the per-sample
+        # affine maps (a, b) with a log-depth associative scan on the VPU
+        # instead of a length-n sequential scan.
+        alpha = params["alpha"]
+        e_prev = jnp.where(reset, jnp.zeros_like(state["env"]), state["env"])
+        p = jnp.real(x * jnp.conj(x))
+        a = jnp.broadcast_to(alpha, p.shape)
+        b = (1.0 - alpha) * p
+
+        def comb(l, r):
+            a1, b1 = l
+            a2, b2 = r
+            return a1 * a2, b2 + a2 * b1
+
+        big_a, big_b = jax.lax.associative_scan(comb, (a, b), axis=1)
+        env = big_a * e_prev[:, None] + big_b
+        gate = (env > params["threshold"]).astype(jnp.float32)
+        return ({"env": env[:, -1]},
+                x * gate.astype(jnp.complex64))
+
+
+class Squelch(Block):
+    """Mute the stream while its smoothed power sits below a threshold.
+
+    Not in the reference library (its receivers play unconditionally);
+    the standard construction is a one-pole power envelope
+    ``e += (1-alpha)(|x|^2 - e)`` gating the samples.  Here the one-pole
+    IIR — normally a per-sample loop — runs as an exact log-depth
+    ``associative_scan`` over the chunk (the recurrence is affine, so
+    per-sample maps compose), keeping the whole block parallel on the
+    VPU.  ``threshold`` is linear power of the unit-full-scale stream;
+    both knobs retune per chunk (``RuntimeBlock.set_squelch``).  A stream
+    reset clears the envelope (the gate re-opens only after the smoother
+    re-converges).
+    """
+
+    def __init__(self, threshold: float = 1e-4, alpha: float = 0.999):
+        assert 0.0 < alpha < 1.0, "alpha must be in (0, 1)"
+        self.threshold = float(threshold)
+        self.alpha = float(alpha)
+
+    def bind(self, sig: StreamSig) -> _BoundSquelch:
+        return _BoundSquelch(sig, self.threshold, self.alpha)
 
 
 # ---------------------------------------------------------------------------

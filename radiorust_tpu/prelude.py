@@ -27,7 +27,7 @@ from .blocks.modulation import FmDemod, FmMod
 from .blocks.morse import Keyer, Speed, encode
 from .blocks.resampling import Downsampler, Upsampler
 from .blocks.transform import (AgcControl, Combine, FreqShifter,
-                               GainControl, MapSample)
+                               GainControl, MapSample, Squelch)
 from .metering import bandwidth, bandwidth_jax, level, level_jax, \
     rescale_energy, rescale_energy_jax
 from .signal import (BufferOverflow, Disconnection, Event, Samples,
@@ -42,7 +42,7 @@ __all__ = [
     "Graph", "BoundGraph", "graph_scan",
     "FmDemod", "FmMod", "Keyer", "Speed", "encode",
     "Downsampler", "Upsampler", "FreqShifter", "GainControl",
-    "AgcControl", "MapSample",
+    "AgcControl", "Squelch", "MapSample",
     "Combine",
     "bandwidth", "bandwidth_jax", "level", "level_jax",
     "rescale_energy", "rescale_energy_jax",

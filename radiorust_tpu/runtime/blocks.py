@@ -311,6 +311,23 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             return new
         self._apply_typed(upd, slot="set_agc")
 
+    def set_squelch(self, threshold: float = None,
+                    alpha: float = None) -> None:
+        """Retune Squelch gating knobs (only the given ones)."""
+        import numpy as _np
+        from ..blocks.transform import _BoundSquelch
+
+        def upd(blk, p):
+            if not isinstance(blk, _BoundSquelch):
+                return None
+            new = dict(p)
+            if threshold is not None:
+                new["threshold"] = _np.float32(threshold)
+            if alpha is not None:
+                new["alpha"] = _np.float32(alpha)
+            return new
+        self._apply_typed(upd, slot="set_squelch")
+
     def set_shift(self, shift: float) -> None:
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables

@@ -91,6 +91,18 @@ def oracle_agc(x, reference, rate, max_gain, gain0=1.0):
     return y, g
 
 
+def oracle_squelch(x, threshold, alpha, env0=0.0):
+    """Per-sample one-pole power squelch in f32 (the Squelch recurrence)."""
+    e = np.float32(env0)
+    y = np.empty(len(x), np.complex64)
+    for n in range(len(x)):
+        s = np.complex64(x[n])
+        e = np.float32(np.float32(alpha) * e
+                       + np.float32(1.0 - alpha) * np.float32(abs(s)) ** 2)
+        y[n] = s if e > np.float32(threshold) else np.complex64(0.0)
+    return y, e
+
+
 def oracle_downsample(x, input_rate, output_rate, bandwidth, quality=3.0):
     """Reference Downsampler loop (src/blocks/resampling.rs:61-133)."""
     margin = (output_rate - bandwidth) / 2.0

@@ -203,6 +203,54 @@ def test_slew_rate_limiter_matches_oracle():
 
 
 # ---------------------------------------------------------------------------
+# Squelch vs oracle
+# ---------------------------------------------------------------------------
+
+def test_squelch_matches_oracle():
+    from radiorust_tpu.blocks.transform import Squelch
+    rng = np.random.default_rng(12)
+    n = 64
+    # Alternate loud and quiet stretches so the gate toggles mid-stream.
+    loud = (rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+    quiet = 1e-3 * (rng.standard_normal(2 * n)
+                    + 1j * rng.standard_normal(2 * n))
+    x = np.concatenate([loud, quiet]).astype(np.complex64)
+    b = Squelch(threshold=1e-2, alpha=0.9).bind(sig(chunk_len=n))
+    ys, state = run_chunks(b, x.reshape(4, n))
+    want, env = oracles.oracle_squelch(x, 1e-2, 0.9)
+    np.testing.assert_allclose(ys.reshape(-1), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state["env"])[0], env, rtol=1e-4)
+
+
+def test_squelch_gates_noise_floor():
+    from radiorust_tpu.blocks.transform import Squelch
+    n = 128
+    t = np.arange(4 * n)
+    carrier = np.where((t >= n) & (t < 3 * n), 1.0, 0.0)
+    x = (carrier * np.exp(2j * np.pi * 0.05 * t)
+         + 1e-4 * np.cos(0.3 * t)).astype(np.complex64)
+    b = Squelch(threshold=1e-2, alpha=0.9).bind(sig(chunk_len=n))
+    ys, _ = run_chunks(b, x.reshape(4, n))
+    out = np.abs(ys.reshape(-1))
+    assert out[:n].max() == 0.0              # noise floor muted
+    assert out[n + 64:3 * n].min() > 0.9     # carrier passes once converged
+    assert out[3 * n + 64:].max() == 0.0     # muted again after carrier drop
+
+
+def test_squelch_reset_closes_gate():
+    from radiorust_tpu.blocks.transform import Squelch
+    n = 32
+    x = np.ones(2 * n, np.complex64)
+    b = Squelch(threshold=0.5, alpha=0.5).bind(sig(chunk_len=n))
+    resets = jnp.asarray(np.array([[False], [True]]))
+    ys, _ = run_chunks(b, x.reshape(2, n), resets=resets)
+    # After the interrupt the envelope restarts from zero: the first
+    # post-reset sample sits below threshold again.
+    assert np.abs(ys[1, 0]) == 0.0
+    assert np.abs(ys[1, -1]) > 0.9
+
+
+# ---------------------------------------------------------------------------
 # AgcControl vs oracle
 # ---------------------------------------------------------------------------
 
