@@ -206,7 +206,17 @@ class Chain(Block):
     """
 
     def __init__(self, *blocks: Block):
-        self.specs = blocks
+        # Flatten nested chains (e.g. Chain(Squelch(...), am_receiver()))
+        # so composition stays a flat block list — per-block machinery
+        # (typed setters, time-shard handlers, checkpoints) sees the
+        # constituent blocks, not an opaque sub-chain.
+        flat = []
+        for b in blocks:
+            if isinstance(b, Chain):
+                flat.extend(b.specs)
+            else:
+                flat.append(b)
+        self.specs = tuple(flat)
 
     def bind(self, sig: StreamSig) -> _BoundChain:
         bound = []

@@ -24,8 +24,10 @@ analog of sequence parallelism with halo exchange.
 Blocks implement ``process_sharded(params, state, x, axis)`` (running
 inside ``shard_map``); :class:`TimeShardedChain` assembles the mesh
 program.  ``Overlapper`` uses the generic multi-hop halo (its state is
-exactly a (k-1)-chunk halo).  ``SlewRateLimiter`` is inherently sequential
-per sample and is rejected; it remains channel-shardable.
+exactly a (k-1)-chunk halo).  ``Squelch``'s one-pole envelope is affine in
+its carry and shards via an exclusive prefix of per-device affine maps.
+``SlewRateLimiter`` and ``AgcControl`` are inherently sequential per sample
+(nonlinear recurrences) and are rejected; they remain channel-shardable.
 """
 
 from __future__ import annotations
@@ -189,6 +191,28 @@ def _sharded_fm_mod(block, params, state, x, axis):
     theta = jnp.mod(theta, np.float32(TAU))
     y = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
     return {"phase": theta[:, -1]}, y
+
+
+def _sharded_squelch(block, params, state, x, axis):
+    """Squelch under time sharding.  The one-pole envelope is affine in
+    its carry (e -> alpha^n e + B_d), so unlike the nonlinear AGC/slew
+    loops it shards exactly: each device computes its local offset
+    B_d = (1-alpha) sum_k alpha^(n-1-k) |x_k|^2 (a weighted reduction,
+    no scan), one ``all_gather`` of scalars-per-stream shares them, and
+    the exclusive prefix of the affine maps seeds this device's incoming
+    envelope; the block's own ``process`` then runs unchanged."""
+    alpha = params["alpha"]
+    n = x.shape[-1]
+    p = jnp.real(x * jnp.conj(x))
+    powers = alpha ** jnp.arange(n - 1, -1, -1).astype(jnp.float32)
+    b_loc = (1.0 - alpha) * jnp.sum(p * powers[None, :], axis=-1)  # [batch]
+    all_b = jax.lax.all_gather(b_loc, axis)                        # [D, b]
+    d = jax.lax.axis_index(axis)
+    k = jnp.arange(all_b.shape[0])
+    a_n = alpha ** np.float32(n)
+    w = jnp.where(k < d, a_n ** jnp.clip(d - 1 - k, 0, None), 0.0)
+    e_in = (a_n ** d) * state["env"] + jnp.sum(w[:, None] * all_b, axis=0)
+    return block.process(params, {"env": e_in}, x, _no_reset(x))
 
 
 def _sharded_overlapper(block, params, state, x, axis):
@@ -392,6 +416,7 @@ _HANDLERS = {
     _modulation._BoundFmMod: _sharded_fm_mod,
     _transform._BoundFreqShifter: _sharded_freq_shifter,
     _transform._BoundGain: _sharded_stateless,
+    _transform._BoundSquelch: _sharded_squelch,
     _transform._BoundMap: _sharded_stateless,
     _transform._BoundCombine: _sharded_combine,
     _analysis._BoundFourier: _sharded_stateless,

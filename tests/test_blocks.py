@@ -202,6 +202,16 @@ def test_slew_rate_limiter_matches_oracle():
     np.testing.assert_allclose(ys.reshape(-1), want, atol=1e-5)
 
 
+def test_chain_flattens_nested_chains():
+    # Composing a block with a prebuilt model chain yields a flat block
+    # list, so per-block machinery (setters, shard handlers, checkpoints)
+    # sees the constituents.
+    inner = Chain(GainControl(2.0), FreqShifter.with_shift(100.0))
+    outer = Chain(MapSample(lambda x: x), inner, GainControl(0.5))
+    assert len(outer.specs) == 4
+    assert not any(isinstance(s, Chain) for s in outer.specs)
+
+
 # ---------------------------------------------------------------------------
 # Squelch vs oracle
 # ---------------------------------------------------------------------------
@@ -485,9 +495,10 @@ def test_chain_valid_from_is_cumulative():
 
 
 def test_realness_propagates_through_nested_chain():
-    """A Chain nested inside another Chain re-propagates realness into
-    its members (the pair-packed real-filter path must compose under
-    nesting) and reports its last member's realness downstream."""
+    """A Chain nested inside another Chain flattens at construction, so
+    realness propagates into the (former) inner members exactly as in the
+    hand-flattened chain — the pair-packed real-filter path composes
+    under nesting."""
     from radiorust_tpu.blocks.base import Chain, StreamSig, scan
     from radiorust_tpu.blocks.filters import Filter
     from radiorust_tpu.blocks.modulation import FmDemod
@@ -501,11 +512,10 @@ def test_realness_propagates_through_nested_chain():
     flat = Chain(FmDemod(1000.0), Filter.new(lp),
                  GainControl(0.5)).bind(StreamSig(2, 64, 8000.0))
 
-    inner_bound = nested.blocks[1]
-    assert inner_bound.input_is_real is True
-    assert inner_bound.blocks[0].input_is_real is True   # the Filter
-    assert inner_bound.output_is_real is True
-    assert nested.blocks[1].blocks[0].output_is_real is True
+    assert len(nested.blocks) == 3                       # flattened
+    assert nested.blocks[1].input_is_real is True        # the Filter
+    assert nested.blocks[1].output_is_real is True
+    assert nested.output_is_real is True
 
     rng = np.random.default_rng(3)
     xs = (rng.standard_normal((3, 2, 64))

@@ -110,6 +110,28 @@ def test_time_sharded_matches_sequential(devices, name, chain, sig):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_time_sharded_squelch_gate_toggles(devices):
+    # The squelch envelope is affine in its carry, so it time-shards via
+    # an exclusive prefix of per-device affine maps; the gate must open
+    # and close at exactly the sequential sample positions even when
+    # bursts straddle device boundaries.
+    from radiorust_tpu.blocks.transform import Squelch
+    mesh = jax.make_mesh((4,), ("t",))
+    n = 64
+    sig = StreamSig(2, n, 8000.0)
+    chain = Chain(Squelch(threshold=0.25, alpha=0.8))
+    steps = 3
+    T = steps * 4
+    t = np.arange(T * n)
+    on = ((t // 96) % 2 == 0)  # bursts not aligned to chunk/device edges
+    x = on * np.exp(2j * np.pi * 0.03 * t) + 0.01 * np.exp(1j * 0.1 * t)
+    xs = np.stack([x, 0.7 * x]).astype(np.complex64)
+    xs = np.moveaxis(xs.reshape(2, T, n), 1, 0)
+    got, _ = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_time_and_channel_sharded_wfm(devices):
     # Full WFM chain on a 2x4 (channel x time) mesh, tiny shapes.
     mesh = jax.make_mesh((2, 4), ("ch", "t"))
