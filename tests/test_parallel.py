@@ -400,6 +400,38 @@ def test_jit_step_sharded_matches_single_device():
                          mesh, "streams")
 
 
+def test_jit_step_sharded_conditioning_blocks():
+    """Squelch/AGC per-stream loop state ([batch] leaves) splits cleanly
+    under data-parallel serving: identical to the single-device step."""
+    import jax
+    from jax.sharding import Mesh
+
+    from radiorust_tpu.blocks.base import (Chain, StreamSig, jit_step,
+                                           jit_step_sharded, pack_wire,
+                                           unpack_wire)
+    from radiorust_tpu.blocks.transform import AgcControl, Squelch
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("streams",))
+    chain = Chain(Squelch(threshold=1e-3, alpha=0.9),
+                  AgcControl(reference=0.5, rate=5e-2))
+    sig = StreamSig(8, 128, 8000.0)
+    bound = chain.bind(sig)
+    rng = np.random.default_rng(13)
+    x = (0.2 * (rng.standard_normal((8, 128))
+                + 1j * rng.standard_normal((8, 128)))).astype(np.complex64)
+    # Mute half the streams so gates differ per stream.
+    x[1::2] *= 1e-3
+    reset = np.zeros((8,), bool)
+    pp, ps, px = (pack_wire(bound.params), pack_wire(bound.init_state()),
+                  pack_wire(x))
+    s1, y1 = jit_step(bound)(pp, ps, px, reset)
+    s2, y2 = jit_step_sharded(bound, mesh, "streams")(pp, ps, px, reset)
+    np.testing.assert_allclose(np.asarray(unpack_wire(y2)),
+                               np.asarray(unpack_wire(y1)), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_runtime_block_mesh_serving_matches_unsharded():
     """RuntimeBlock(mesh=...): batched [streams, n] chunks shard the
     stream axis across the mesh; values and state carry match the
