@@ -164,6 +164,30 @@ class ChannelShardedChain:
                 blk.init_state()))
         return tuple(state)
 
+    def state_from_chain(self, chain_state):
+        """Convert a sequential chain checkpoint into this executor's
+        layout (downstream per-channel leaves ``[batch*M, ...]`` ->
+        ``[batch, M, ...]``): restore a single-device checkpoint onto a
+        channel mesh (scale-up migration)."""
+        b = self.in_sig.batch
+        out = [chain_state[0]]
+        for s in chain_state[1:]:
+            out.append(jax.tree.map(
+                lambda a: np.reshape(np.asarray(a),
+                                     (b, self.chan.m) + a.shape[1:]), s))
+        return tuple(out)
+
+    def state_to_chain(self, state):
+        """Inverse of :meth:`state_from_chain`: flatten the sharded state
+        back to the sequential chain layout (scale-down migration /
+        backend-agnostic checkpoints)."""
+        out = [jax.tree.map(np.asarray, state[0])]
+        for s in state[1:]:
+            out.append(jax.tree.map(
+                lambda a: np.reshape(np.asarray(a),
+                                     (-1,) + a.shape[2:]), s))
+        return tuple(out)
+
     def _build(self):
         mg = self.chan.m // self.ndev
         axis = self.axis

@@ -178,6 +178,42 @@ class PipelinedChain:
         tail = outs[-1]
         return None if tail is None else tail[0]
 
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the full pipeline snapshot mid-stream: every stage's
+        carried state **and** the in-flight inter-stage chunks.  A pipeline
+        holds up to ``depth - 1`` chunks in flight between pushes; dropping
+        them would lose samples on resume, so they are part of the
+        checkpoint (the analog of the reference's capacity-1 channel slots,
+        ``src/flow.rs:44-52``, being persisted along with block state).
+        Restore with :meth:`load_checkpoint` on a pipeline built from the
+        same chain and partition."""
+        from ..utils.checkpoint import save_state
+        stages = [unpack_wire(jax.device_get(st.state))
+                  for st in self.stages]
+        bufs = [() if b is None else
+                (unpack_wire(jax.device_get(b[0])),
+                 np.asarray(jax.device_get(b[1])))
+                for b in self._buf]
+        save_state(path, {"stages": stages, "bufs": bufs})
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from :meth:`save_checkpoint` (possibly in another
+        process): stage states and in-flight chunks land back on their
+        stages' devices; the next ``push`` continues bit-exactly."""
+        from ..utils.checkpoint import load_state
+        data = load_state(path)
+        if len(data["stages"]) != len(self.stages):
+            raise ValueError(
+                f"checkpoint has {len(data['stages'])} stages, pipeline "
+                f"has {len(self.stages)}: partition must match")
+        for st, s in zip(self.stages, data["stages"]):
+            st.state = jax.device_put(pack_wire(s), st.device)
+        self._buf = [
+            None if len(b) == 0 else
+            (jax.device_put(pack_wire(b[0]), self.stages[i].device),
+             jax.device_put(np.asarray(b[1]), self.stages[i].device))
+            for i, b in enumerate(data["bufs"])]
+
     def run(self, xs, resets=None):
         """Bulk: feed ``xs[T, batch, chunk_len]``, drain, return host
         complex outputs ``[T, batch, out_chunk_len]`` in order."""

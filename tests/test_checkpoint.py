@@ -265,3 +265,176 @@ def test_random_pytrees_round_trip(tmp_path):
         p = tmp_path / f"t{case}.npz"
         save_state(str(p), t)
         assert_same(t, load_state(str(p)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded executors (VERDICT r2 item 7): the operational checkpoint story
+# for exactly the deployments the parallel layer exists for.
+# ---------------------------------------------------------------------------
+
+def _group(xs, d):
+    """[S*D, b, n] chunk stream -> per-step [b, D*n] group inputs."""
+    s = xs.shape[0] // d
+    b, n = xs.shape[1], xs.shape[2]
+    return [np.moveaxis(xs[i * d:(i + 1) * d], 0, 1).reshape(b, d * n)
+            for i in range(s)]
+
+
+def test_time_sharded_checkpoint_resume(tmp_path):
+    """TimeShardedChain state saved mid-stream restores bit-exactly —
+    including restoring a *sequential* scan's checkpoint onto the mesh
+    (the state pytree is identical by construction), the scale-up
+    migration path."""
+    import jax
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+
+    d = 4
+    mesh = jax.make_mesh((d,), ("t",))
+    sig = StreamSig(2, 2048, 1024000.0)
+    bound = wfm_receiver().bind(sig)
+    ts = TimeShardedChain(bound, mesh)
+    xs = (np.random.default_rng(5).standard_normal((4 * d, 2, 2048))
+          + 1j * np.random.default_rng(6).standard_normal((4 * d, 2, 2048))
+          ).astype(np.complex64)
+    groups = _group(xs, d)
+
+    # Uninterrupted sharded run.
+    state = ts.init_state()
+    want = []
+    for g in groups:
+        state, y = ts.process(ts.params, state, jnp.asarray(g))
+        want.append(np.asarray(y))
+
+    # Run half, checkpoint, restore into a FRESH executor, run the rest.
+    state = ts.init_state()
+    got = []
+    for g in groups[:2]:
+        state, y = ts.process(ts.params, state, jnp.asarray(g))
+        got.append(np.asarray(y))
+    path = str(tmp_path / "ts.npz")
+    save_state(path, jax.tree.map(np.asarray, state))
+    ts2 = TimeShardedChain(wfm_receiver().bind(sig), mesh)
+    state2 = load_state(path)
+    for g in groups[2:]:
+        state2, y = ts2.process(ts2.params, state2, jnp.asarray(g))
+        got.append(np.asarray(y))
+    np.testing.assert_array_equal(np.stack(got), np.stack(want))
+
+    # Scale-up migration: a sequential scan's checkpoint (2 chunks = half
+    # a group) has the same pytree; restored on the mesh it must continue
+    # exactly where the scan left off.
+    seq_state, seq_y = scan(bound, bound.params, bound.init_state(),
+                            jnp.asarray(xs[:d]))
+    save_state(path, jax.tree.map(np.asarray, seq_state))
+    state3 = load_state(path)
+    state3, y = ts.process(ts.params, state3, jnp.asarray(groups[1]))
+    np.testing.assert_array_equal(np.asarray(y), want[1])
+
+
+def test_channel_sharded_checkpoint_resume(tmp_path):
+    """ChannelShardedChain (non-actor) mid-stream save/restore, plus
+    layout migration to/from the sequential chain state."""
+    import jax
+    from jax.sharding import Mesh
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    from radiorust_tpu.parallel.channel_shard import ChannelShardedChain
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("c",))
+    chain = channelized_receiver(num_channels=64, input_rate=1024000.0)
+    sig = StreamSig(2, 1024, 1024000.0)
+    bound = chain.bind(sig)
+    cs = ChannelShardedChain(bound, mesh, axis="c")
+    rng = np.random.default_rng(11)
+    xs = (rng.standard_normal((4, 2, 1024))
+          + 1j * rng.standard_normal((4, 2, 1024))).astype(np.complex64)
+
+    state = cs.init_state()
+    want = []
+    for x in xs:
+        state, y = cs.process(cs.params, state, jnp.asarray(x))
+        want.append(np.asarray(y))
+
+    state = cs.init_state()
+    got = []
+    for x in xs[:2]:
+        state, y = cs.process(cs.params, state, jnp.asarray(x))
+        got.append(np.asarray(y))
+    path = str(tmp_path / "cs.npz")
+    save_state(path, jax.tree.map(np.asarray, state))
+    cs2 = ChannelShardedChain(chain.bind(sig), mesh, axis="c")
+    state2 = load_state(path)
+    for x in xs[2:]:
+        state2, y = cs2.process(cs2.params, state2, jnp.asarray(x))
+        got.append(np.asarray(y))
+    np.testing.assert_array_equal(np.stack(got), np.stack(want))
+
+    # Layout migration: sequential chain state -> sharded layout and back.
+    # Sharded and sequential reassociate float sums (the DFT grouping), so
+    # the comparison is the tolerance + signal-power row guard of
+    # test_channel_shard, not bit equality — a wrong reshape layout would
+    # scramble channels and blow far past it.
+    _, seq_full = scan(bound, bound.params, bound.init_state(),
+                       jnp.asarray(xs))
+    seq_full = np.asarray(seq_full)
+    power = np.abs(seq_full).mean(axis=(0, 2))
+    rows = power > 1e-3
+    seq_state, _ = scan(bound, bound.params, bound.init_state(),
+                        jnp.asarray(xs[:2]))
+    mig = cs.state_from_chain(jax.tree.map(np.asarray, seq_state))
+    mig2, y = cs.process(cs.params, mig, jnp.asarray(xs[2]))
+    np.testing.assert_allclose(np.asarray(y)[rows], seq_full[2][rows],
+                               atol=5e-4)
+    back = cs.state_to_chain(mig2)
+    _, seq_y = scan(bound, bound.params,
+                    jax.tree.map(jnp.asarray, back), jnp.asarray(xs[3:]))
+    np.testing.assert_allclose(np.asarray(seq_y)[0][rows],
+                               seq_full[3][rows], atol=5e-4)
+
+
+def test_pipelined_checkpoint_resume_midstream(tmp_path):
+    """PipelinedChain.save_checkpoint captures stage states AND the
+    in-flight inter-stage chunks; a fresh pipeline (new process in real
+    use) resumes with zero sample loss, bit-exact vs uninterrupted."""
+    import jax
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.pipeline import PipelinedChain
+    from radiorust_tpu.blocks.base import unpack_wire
+
+    sig = StreamSig(2, 2048, 1024000.0)
+    chain = wfm_receiver()
+    rng = np.random.default_rng(21)
+    xs = (rng.standard_normal((8, 2, 2048))
+          + 1j * rng.standard_normal((8, 2, 2048))).astype(np.complex64)
+
+    want = PipelinedChain(chain.bind(sig)).run(xs)
+
+    pl = PipelinedChain(chain.bind(sig))
+    got = []
+    # Push 5 chunks: with depth 7 the pipeline is mid-fill, several chunks
+    # in flight, none emitted yet — the hardest point to checkpoint.
+    for t in range(5):
+        y = pl.push(xs[t])
+        if y is not None:
+            got.append(unpack_wire(jax.device_get(y)))
+    assert pl.depth > 5 and not got      # genuinely mid-fill
+    path = str(tmp_path / "pl.ckpt")
+    pl.save_checkpoint(path)
+
+    pl2 = PipelinedChain(chain.bind(sig))
+    pl2.load_checkpoint(path)
+    for t in range(5, 8):
+        y = pl2.push(xs[t])
+        if y is not None:
+            got.append(unpack_wire(jax.device_get(y)))
+    for _ in range(pl2.depth - 1):       # drain
+        y = pl2.push(None)
+        if y is not None:
+            got.append(unpack_wire(jax.device_get(y)))
+    np.testing.assert_array_equal(np.stack(got), want)
+
+    # Partition mismatch is rejected, not silently misassigned.
+    import pytest
+    bad = PipelinedChain(chain.bind(sig), devices=jax.devices()[:2])
+    with pytest.raises(ValueError):
+        bad.load_checkpoint(path)
