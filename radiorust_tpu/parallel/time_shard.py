@@ -432,6 +432,47 @@ def _handler_for(block: BoundBlock):
     return h
 
 
+def _retune_shift(nodes, params, state, shift: float):
+    """Shared live-retune walk for the sharded executors: phase-continuous
+    ``set_shift`` against every FreqShifter/MixerDecimator node
+    (``src/blocks/transform.rs:384-390`` + ``:322-339``).
+
+    Correctness under time sharding: the carried ``k0`` between groups is
+    the *group-start* index for the next step (``take_last`` keeps the last
+    device's advanced index), i.e. it has the same meaning as the
+    sequential carry — so ``fold_phase_state`` applies unchanged, and the
+    per-device offsets ``k0 + d*adv`` inside ``_sharded_freq_shifter`` /
+    ``_sharded_mixer_decimator`` restart from the folded ``start_phase``
+    with the new ``adv``.  State leaves may live sharded on the mesh; the
+    fold pulls them to host numpy (retunes happen between steps, the same
+    contract as the runtime actors' typed setters).
+    """
+    from ..blocks.frontend import _BoundMixerDecimator
+    from ..blocks.transform import _BoundFreqShifter
+    shifters = (_BoundFreqShifter, _BoundMixerDecimator)
+    params = list(params)
+    state = list(state)
+    hit = False
+    for i, blk in enumerate(nodes):
+        if blk is not None and isinstance(blk, shifters):
+            host = jax.tree.map(np.asarray, state[i])
+            params[i], state[i] = blk.retune(params[i], host, shift)
+            hit = True
+    if not hit:
+        raise ValueError("no FreqShifter/MixerDecimator to retune")
+    return tuple(params), tuple(state)
+
+
+def _map_node_params(nodes, params, fn):
+    """Params-only typed setters (gain, deviation, squelch, ...):
+    ``fn(block, params) -> new params or None`` over every node."""
+    out = []
+    for blk, pp in zip(nodes, params):
+        new = None if blk is None else fn(blk, pp)
+        out.append(pp if new is None else new)
+    return tuple(out)
+
+
 class TimeShardedChain:
     """Executes a bound chain over ``t_devices * chunk_len`` samples per
     step, time-sharded across the mesh's ``t_axis`` (and channel-sharded
@@ -471,6 +512,25 @@ class TimeShardedChain:
         new_state, ys = self._graph.process(
             ((), *params), ((), *state), {"in": x_big})
         return tuple(new_state[1:]), ys["out"]
+
+    # -- live retune between groups (the typed-setter surface) --------------
+
+    def set_shift(self, state, shift: float):
+        """Phase-continuous mid-stream retune of every FreqShifter /
+        MixerDecimator (``src/blocks/transform.rs:384-390``): updates
+        ``self.params`` in place and returns the rewritten carry.  Call
+        between ``process`` steps."""
+        new_params, new_state = _retune_shift(
+            self.bound.blocks, self.bound.params, state, shift)
+        self.bound.params = new_params
+        return new_state
+
+    def update_params(self, fn) -> None:
+        """Params-only live retune: ``fn(block, params) -> params or
+        None`` over the chain's blocks (gain, deviation, squelch, AGC —
+        anything that does not rewrite carried state)."""
+        self.bound.params = _map_node_params(self.bound.blocks,
+                                             self.bound.params, fn)
 
 
 class TimeShardedGraph:
@@ -538,6 +598,19 @@ class TimeShardedGraph:
     @property
     def params(self):
         return self.bound.params
+
+    def set_shift(self, state, shift: float):
+        """Phase-continuous mid-stream retune over the DAG's nodes (see
+        :meth:`TimeShardedChain.set_shift`); input nodes pass through."""
+        new_params, new_state = _retune_shift(
+            self.bound.bound, self.bound.params, state, shift)
+        self.bound.params = new_params
+        return new_state
+
+    def update_params(self, fn) -> None:
+        """Params-only live retune over the DAG's nodes."""
+        self.bound.params = _map_node_params(self.bound.bound,
+                                             self.bound.params, fn)
 
     def process(self, params, state, xs_big):
         pieces, ys = self._sharded(params, state, xs_big)

@@ -648,3 +648,153 @@ def test_runtime_block_mesh_wfm_fleet_matches_unsharded():
     assert len(got) == len(want) == steps
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Live retune under time sharding (VERDICT r2 item 5): phase-continuous
+# set_shift against a *running* sharded executor must match a sequentially
+# retuned scan — the folded start_phase interacting with the per-device
+# k0 + d*adv offsets is exactly the kind of thing that breaks silently.
+# ---------------------------------------------------------------------------
+
+def _seq_retuned(chain, sig, xs, d, shift2, update_gain=None):
+    """Sequential oracle: scan half, retune phase-continuously (the
+    per-block retune API the channel-shard tests already validate), scan
+    the rest."""
+    from radiorust_tpu.blocks.frontend import _BoundMixerDecimator
+    from radiorust_tpu.blocks.transform import _BoundFreqShifter, _BoundGain
+    bound = chain.bind(sig)
+    half = xs.shape[0] // 2
+    st, ys_a = scan(bound, bound.params, bound.init_state(),
+                    jnp.asarray(xs[:half]))
+    params = list(bound.params)
+    state = list(st)
+    for i, blk in enumerate(bound.blocks):
+        if isinstance(blk, (_BoundFreqShifter, _BoundMixerDecimator)):
+            params[i], state[i] = blk.retune(
+                params[i], jax.tree.map(np.asarray, state[i]), shift2)
+        if update_gain is not None and isinstance(blk, _BoundGain):
+            params[i] = np.float32(update_gain)
+    _, ys_b = scan(bound, tuple(params), tuple(state), jnp.asarray(xs[half:]))
+    return np.concatenate([np.asarray(ys_a), np.asarray(ys_b)])
+
+
+def _drive_sharded_retuned(ts, bound, xs, d, shift2, update_gain=None):
+    steps = xs.shape[0] // d
+    b, n = xs.shape[1], xs.shape[2]
+    state = ts.init_state()
+    outs = []
+    for s in range(steps):
+        if s == steps // 2:
+            state = ts.set_shift(state, shift2)      # mid-stream retune
+            if update_gain is not None:
+                from radiorust_tpu.blocks.transform import _BoundGain
+                ts.update_params(
+                    lambda blk, p: np.float32(update_gain)
+                    if isinstance(blk, _BoundGain) else None)
+        group = xs[s * d:(s + 1) * d]
+        x_big = np.moveaxis(group, 0, 1).reshape(b, d * n)
+        state, y = ts.process(ts.params, state, jnp.asarray(x_big))
+        out_n = bound.out_sig.chunk_len
+        out_b = bound.out_sig.batch
+        outs.append(np.moveaxis(
+            np.asarray(y).reshape(out_b, d, out_n), 1, 0))
+    return np.concatenate(outs, axis=0)
+
+
+def test_time_sharded_live_retune(devices):
+    """set_shift + a gain update on a running TimeShardedChain (plain
+    FreqShifter front end) vs the sequentially retuned scan."""
+    d = 4
+    mesh = jax.make_mesh((d,), ("t",))
+    sig = StreamSig(2, 2048, 1024000.0)
+    chain = wfm_receiver(tune_shift=100000.0, fuse_frontend=False)
+    xs = make_iq(4 * d, 2, 2048, seed=31)
+    want = _seq_retuned(chain, sig, xs, d, -57000.0, update_gain=0.5)
+    bound = chain.bind(sig)
+    ts = TimeShardedChain(bound, mesh)
+    got = _drive_sharded_retuned(ts, bound, xs, d, -57000.0,
+                                 update_gain=0.5)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_sharded_live_retune_fused_frontend(devices):
+    """Same, with the fused MixerDecimator front end: the retune rewrites
+    the kernel's phasor tables AND must leave its mixed-domain decimator
+    history consistent with the new phase fold."""
+    d = 4
+    mesh = jax.make_mesh((d,), ("t",))
+    n = 2048
+    sig = StreamSig(2, n, 1024000.0)
+    chain = wfm_receiver(tune_shift=100000.0, fuse_frontend=True)
+    xs = make_iq(4 * d, 2, n, seed=32)
+    want = _seq_retuned(chain, sig, xs, d, -57000.0)
+    bound = chain.bind(sig)
+    ts = TimeShardedChain(bound, mesh)
+    got = _drive_sharded_retuned(ts, bound, xs, d, -57000.0)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_sharded_graph_live_retune(devices):
+    """set_shift against a running TimeShardedGraph (fan-out DAG): both
+    outputs continue phase-continuously."""
+    from radiorust_tpu.blocks.graph import Graph, graph_scan
+    from radiorust_tpu.blocks.frontend import _BoundMixerDecimator
+    from radiorust_tpu.blocks.transform import _BoundFreqShifter
+    from radiorust_tpu.parallel.time_shard import TimeShardedGraph
+
+    sig = StreamSig(2, 64, 8000.0)
+
+    def build():
+        g = Graph()
+        src = g.input("iq")
+        mid = g.add(FreqShifter.with_shift(500.0), src)
+        g.output("a", g.add(Filter.new(lowpass(2000.0)), mid))
+        g.output("b", g.add(FmDemod(1000.0), mid))
+        return g.bind(sig)
+
+    d, steps = 4, 4
+    mesh = jax.make_mesh((d,), ("t",))
+    xs = make_iq(steps * d, 2, 64, seed=33)
+    half = steps * d // 2
+
+    # Sequential oracle with a mid-stream retune.
+    bg = build()
+    st, ys_a = graph_scan(bg, bg.params, bg.init_state(),
+                          {"iq": jnp.asarray(xs[:half])})
+    params = list(bg.params)
+    state = list(st)
+    for i, blk in enumerate(bg.bound):
+        if isinstance(blk, (_BoundFreqShifter, _BoundMixerDecimator)):
+            params[i], state[i] = blk.retune(
+                params[i], jax.tree.map(np.asarray, state[i]), -700.0)
+    bg.params = tuple(params)
+    _, ys_b = graph_scan(bg, bg.params, tuple(state),
+                         {"iq": jnp.asarray(xs[half:])})
+    want = {k: np.concatenate([np.asarray(ys_a[k]), np.asarray(ys_b[k])])
+            for k in ("a", "b")}
+
+    bg2 = build()
+    tg = TimeShardedGraph(bg2, mesh)
+    state = tg.init_state()
+    got = {"a": [], "b": []}
+    for s in range(steps):
+        if s == steps // 2:
+            state = tg.set_shift(state, -700.0)
+        group = xs[s * d:(s + 1) * d]
+        x_big = np.moveaxis(group, 0, 1).reshape(2, d * 64)
+        state, ys = tg.process(tg.params, state, {"iq": jnp.asarray(x_big)})
+        for k in ("a", "b"):
+            got[k].append(np.moveaxis(
+                np.asarray(ys[k]).reshape(2, d, -1), 1, 0))
+    for k in ("a", "b"):
+        np.testing.assert_allclose(np.concatenate(got[k]), want[k],
+                                   atol=2e-4)
+
+
+def test_time_sharded_retune_requires_shifter(devices):
+    mesh = jax.make_mesh((4,), ("t",))
+    sig = StreamSig(2, 64, 8000.0)
+    ts = TimeShardedChain(Chain(GainControl(1.0)).bind(sig), mesh)
+    with pytest.raises(ValueError):
+        ts.set_shift(ts.init_state(), 100.0)
