@@ -224,14 +224,23 @@ class ChannelShardedChain:
                       P(s_ax) if s_ax else P()),
             out_specs=(state_specs, P(s_ax, axis, None)),
             check_vma=False)
-        return jax.jit(self._smapped)
+        smapped = self._smapped
+        m = self.chan.m
+
+        # The folded-batch reshape happens inside the compiled program: on
+        # a multi-process mesh an eager reshape of a process-spanning
+        # array is not allowed (jax_spmd_mode='allow_jit').
+        def step(params, state, x, reset):
+            new_state, y3 = smapped(params, state, x, reset)
+            b = y3.shape[0]
+            return new_state, y3.reshape(b * m, y3.shape[-1])
+
+        return jax.jit(step)
 
     def process(self, params, state, x, reset=None):
         if reset is None:
             reset = np.zeros((self.in_sig.batch,), dtype=bool)
-        new_state, y3 = self._sharded(params, state, x, reset)
-        b, _, t = y3.shape
-        return new_state, y3.reshape(b * self.chan.m, t)
+        return self._sharded(params, state, x, reset)
 
     def jit_step(self):
         """Wire-safe chunk step (the channel-sharded analog of

@@ -591,6 +591,25 @@ class TimeShardedGraph:
             out_specs=(piece_spec, ys_specs),
             check_vma=False,
         ))
+        # The carry extraction (keep the LAST device's state piece) runs
+        # as a compiled SPMD program too: on a multi-process (multi-host)
+        # mesh, eager ops on arrays whose shards live on other processes'
+        # devices are not allowed (jax_spmd_mode='allow_jit').  Inside the
+        # shard_map each device's piece is local, so an all_gather over
+        # the time axis plus a static index does the selection with no
+        # sharded-gather lowering involved.
+        t_dev = self.t_devices
+
+        def select_last(pieces):
+            def sel(a):
+                g = jax.lax.all_gather(a[0], taxis)      # [t_dev, ...]
+                return g[t_dev - 1]
+            return jax.tree.map(sel, pieces)
+
+        self._take_last = jax.jit(jax.shard_map(
+            select_last, mesh=mesh,
+            in_specs=piece_spec, out_specs=state_in_spec,
+            check_vma=False))
 
     def init_state(self):
         return self.bound.init_state()
@@ -614,11 +633,4 @@ class TimeShardedGraph:
 
     def process(self, params, state, xs_big):
         pieces, ys = self._sharded(params, state, xs_big)
-        from jax.sharding import NamedSharding
-
-        def take_last(a):
-            spec = P(self.ch_axis) if self.ch_axis else P()
-            return a.at[-1].get(
-                out_sharding=NamedSharding(self.mesh, spec))
-
-        return jax.tree.map(take_last, pieces), ys
+        return self._take_last(pieces), ys

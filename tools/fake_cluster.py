@@ -1,0 +1,216 @@
+"""Multi-process (fake multi-host) validation of the sharded executors.
+
+Launches N identical worker processes (default 2), each owning
+``local_devices`` virtual CPU devices (default 4), joined into one JAX
+job via ``jax.distributed.initialize`` — the honest stand-in for N TPU
+hosts in an environment with a single real chip.  The workers build
+**global** meshes spanning both processes and run the same value checks
+as the driver's single-process dryrun (``__graft_entry__.dryrun_multichip``):
+sharded outputs are compared per addressable shard against a sequential
+scan computed locally, so a wrong cross-process halo or collective fails
+on numbers, not shapes.
+
+Cases (all on the 8-device global mesh over 2 processes):
+
+1. WFM receive chain time-sharded ``t=8`` — the ppermute halo chain
+   crosses the process boundary between devices 3 and 4 — **plus a
+   mid-stream phase-continuous ``set_shift`` retune** (the folded phase
+   state must stay consistent across processes).
+2. WFM on a ``ch=2 x t=4`` mesh with the channel (stream) axis mapped
+   ACROSS processes and time shards within each process — the layout
+   SCALING.md prescribes for real pods (halos ride intra-host ICI).
+3. The 64-channel polyphase channelizer + per-channel FM demod,
+   channel-sharded ``c=8``: the branch all_gather runs across processes.
+
+Run:  python tools/fake_cluster.py            (launcher mode)
+      writes MULTIPROC_r03.json on success.
+
+Reference contract being scaled: lock-step chunk delivery — every
+consumer sees every chunk exactly once, in order
+(``/root/reference/src/sync/broadcast_bp.rs:230-331``); here the
+per-shard equality against the sequential scan is that guarantee's
+compiled-SPMD form.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _fm_iq(total: int, batch: int, rate: float):
+    """Smooth FM-modulated tone (the dryrun's representative signal —
+    the demodulator is chaotic on raw noise)."""
+    tt = np.arange(total) / rate
+    audio = 0.3 * np.sin(2 * np.pi * 1000.0 * tt)
+    iq = np.exp(1j * (2 * np.pi * 150000.0 / rate * np.cumsum(audio)))
+    phases = np.exp(1j * np.linspace(0.0, 1.0, batch))
+    return (iq[None, :] * phases[:, None]).astype(np.complex64)
+
+
+def _case_time_sharded_wfm(mesh, t, ch_axis, retune):
+    """Cases 1 and 2: time(+channel)-sharded WFM vs sequential scan,
+    optionally with a mid-stream retune."""
+    import jax
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.multiprocess import \
+        assert_addressable_allclose
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+
+    batch = 2 * mesh.shape[ch_axis] if ch_axis else 2
+    n, rate, steps = 2048, 1024000.0, 3
+    shift0, shift1 = 100000.0, -57000.0
+    sig = StreamSig(batch, n, rate)
+    bound = chain_bound = wfm_receiver(tune_shift=shift0).bind(sig)
+    ts = TimeShardedChain(bound, mesh, t_axis="t", ch_axis=ch_axis)
+    xs_flat = _fm_iq(steps * t * n, batch, rate)
+    xs = np.moveaxis(xs_flat.reshape(batch, steps * t, n), 1, 0)
+
+    # Sequential oracle computed locally in every process (the full
+    # input is host-resident everywhere).
+    ref = wfm_receiver(tune_shift=shift0).bind(sig)
+    if retune:
+        from radiorust_tpu.blocks.transform import _BoundFreqShifter
+        st, ys_a = scan(ref, ref.params, ref.init_state(),
+                        jnp.asarray(xs[:2 * t]))
+        params, state = list(ref.params), list(st)
+        for i, blk in enumerate(ref.blocks):
+            if isinstance(blk, _BoundFreqShifter):
+                params[i], state[i] = blk.retune(params[i], state[i],
+                                                 shift1)
+        _, ys_b = scan(ref, tuple(params), tuple(state),
+                       jnp.asarray(xs[2 * t:]))
+        want = np.concatenate([np.asarray(ys_a), np.asarray(ys_b)])
+    else:
+        _, want = scan(ref, ref.params, ref.init_state(), jnp.asarray(xs))
+        want = np.asarray(want)
+
+    out_n = bound.out_sig.chunk_len
+    state = ts.init_state()
+    for s in range(steps):
+        if retune and s == 2:
+            state = ts.set_shift(state, shift1)
+        group = xs[s * t:(s + 1) * t]
+        x_big = np.moveaxis(group, 0, 1).reshape(batch, t * n)
+        state, y = ts.process(ts.params, state, x_big)
+        # want for this step, laid out like y: [batch, t*out_n].
+        w = np.moveaxis(want[s * t:(s + 1) * t], 0, 1).reshape(
+            batch, t * out_n)
+        # First group's zero-primed filter tails hit the chaotic arctan2:
+        # skip its first two chunks (same guard as the dryrun).
+        assert_addressable_allclose(y, w, atol=5e-4,
+                                    skip=2 * out_n if s == 0 else 0,
+                                    label=f"wfm t={t} ch={ch_axis} "
+                                          f"step {s}")
+
+
+def _case_channel_sharded(mesh):
+    """Case 3: channel-sharded channelizer chain, branch all_gather
+    across processes."""
+    import jax
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    from radiorust_tpu.parallel.channel_shard import ChannelShardedChain
+    from radiorust_tpu.parallel.multiprocess import \
+        assert_addressable_allclose
+
+    chain = channelized_receiver(num_channels=64, input_rate=1024000.0)
+    sig = StreamSig(1, 1024, 1024000.0)
+    bound = chain.bind(sig)
+    cs = ChannelShardedChain(bound, mesh, axis="c")
+    rng = np.random.default_rng(6)
+    xs = (rng.standard_normal((3, 1, 1024))
+          + 1j * rng.standard_normal((3, 1, 1024))).astype(np.complex64)
+    _, want = scan(bound, bound.params, bound.init_state(),
+                   jnp.asarray(xs))
+    want = np.asarray(want)
+    rows = np.abs(want).mean(axis=(0, 2)) > 1e-3  # channel-energy guard
+    state = cs.init_state()
+    for s in range(3):
+        state, y = cs.process(cs.params, state, xs[s])
+        assert_addressable_allclose(y, want[s], atol=5e-4, rows=rows,
+                                    label=f"channelizer step {s}")
+
+
+def worker(coordinator: str, num_processes: int, process_id: int) -> int:
+    # The environment's sitecustomize pins jax to the experimental TPU
+    # relay programmatically; the env var alone is not enough (same
+    # override as tests/conftest.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from radiorust_tpu.parallel import multiprocess as mp
+    mp.initialize(coordinator, num_processes, process_id)
+    ndev = len(jax.devices())
+    print(f"[p{process_id}] joined: {ndev} global devices "
+          f"({len(jax.local_devices())} local)", flush=True)
+    ok = True
+    cases = []
+    try:
+        mesh_t = jax.make_mesh((ndev,), ("t",))
+        _case_time_sharded_wfm(mesh_t, ndev, None, retune=True)
+        cases.append("wfm_time_sharded_t8_with_retune")
+        print(f"[p{process_id}] case 1 ok (t={ndev} + retune)", flush=True)
+
+        mesh_cht = jax.make_mesh((num_processes, ndev // num_processes),
+                                 ("ch", "t"))
+        _case_time_sharded_wfm(mesh_cht, ndev // num_processes, "ch",
+                               retune=False)
+        cases.append("wfm_ch_across_hosts_x_t_within")
+        print(f"[p{process_id}] case 2 ok (ch={num_processes} x "
+              f"t={ndev // num_processes})", flush=True)
+
+        mesh_c = jax.make_mesh((ndev,), ("c",))
+        _case_channel_sharded(mesh_c)
+        cases.append("channelizer_c8_cross_process_all_gather")
+        print(f"[p{process_id}] case 3 ok (c={ndev})", flush=True)
+    except Exception as e:  # noqa: BLE001 - verdict is the artifact
+        print(f"[p{process_id}] FAILED: {type(e).__name__}: {e}",
+              flush=True)
+        ok = False
+    ok = mp.all_processes_ok(ok)
+    if process_id == 0:
+        art = {"ok": ok, "num_processes": num_processes,
+               "global_devices": ndev, "cases": cases,
+               "skipped": False,
+               "notes": "2-process fake cluster (jax.distributed + Gloo); "
+                        "per-shard value checks vs sequential scan"}
+        with open(os.path.join(REPO, "MULTIPROC_r03.json"), "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"[p0] wrote MULTIPROC_r03.json ok={ok}", flush=True)
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=4)
+    args = ap.parse_args()
+    if args.process_id is not None:
+        sys.exit(worker(args.coordinator, args.num_processes,
+                        args.process_id))
+    # Launcher mode.
+    from radiorust_tpu.parallel.multiprocess import launch_local_cluster
+    codes, outputs = launch_local_cluster(
+        os.path.abspath(__file__), num_processes=args.num_processes,
+        local_devices=args.local_devices)
+    for i, out in enumerate(outputs):
+        print(f"--- process {i} (exit {codes[i]}) ---")
+        print(out)
+    sys.exit(max(codes))
+
+
+if __name__ == "__main__":
+    main()
