@@ -94,8 +94,8 @@ class _BoundSquelch(BoundBlock):
 
     def process(self, params, state, x, reset):
         # Smoothed power e[n] = alpha e[n-1] + (1-alpha) |x[n]|^2 is a
-        # first-order *linear* recurrence, so unlike the nonlinear
-        # AGC/slew loops it parallelizes exactly: compose the per-sample
+        # first-order *linear* recurrence, so unlike the slew limiter's
+        # sequential clamp it parallelizes exactly: compose the per-sample
         # affine maps (a, b) with a log-depth associative scan on the VPU
         # instead of a length-n sequential scan.
         alpha = params["alpha"]
@@ -144,6 +144,34 @@ class Squelch(Block):
 # AgcControl
 # ---------------------------------------------------------------------------
 
+def _agc_elems(params, x):
+    """Per-sample clamped-affine maps of the AGC loop: sample n sends the
+    loop gain through ``g -> clip(a g + b, lo, hi)`` with
+    ``a = 1 - rate |x[n]|``, ``b = rate reference``."""
+    absx = jnp.abs(x)
+    a = 1.0 - params["rate"] * absx
+    b = jnp.broadcast_to(params["rate"] * params["reference"], a.shape)
+    lo = jnp.zeros_like(a)
+    hi = jnp.broadcast_to(params["max_gain"], a.shape)
+    return a, b, lo, hi
+
+
+def _agc_compose(e1, e2):
+    """Compose clamped-affine maps: ``(f2 . f1)(g)`` where
+    ``f(g) = clip(a g + b, lo, hi)``.  The family is closed under
+    composition for *any* slope sign: a scalar multiple of a clip is a
+    clip with (possibly swapped) bounds, and a clip of a clip is a clip
+    with re-clamped bounds — so the element ``(a, b, lo, hi)`` is O(1)
+    and the scan is exactly associative."""
+    a1, b1, l1, h1 = e1
+    a2, b2, l2, h2 = e2
+    a = a1 * a2
+    b = a2 * b1 + b2
+    inner_lo = jnp.minimum(a2 * l1, a2 * h1) + b2
+    inner_hi = jnp.maximum(a2 * l1, a2 * h1) + b2
+    return a, b, jnp.clip(inner_lo, l2, h2), jnp.clip(inner_hi, l2, h2)
+
+
 class _BoundAgc(BoundBlock):
     @property
     def output_is_real(self):
@@ -163,25 +191,24 @@ class _BoundAgc(BoundBlock):
 
     def process(self, params, state, x, reset):
         # y[n] = g[n] x[n];  g[n+1] = clip(g[n] + rate (ref - |y[n]|)).
-        # The loop gain tracks the *output* envelope, so it is a true
-        # per-sample recurrence (like SlewRateLimiter): scan over samples,
-        # batched over streams on the VPU.  Audio-rate block — the
-        # sequential depth stays off the wideband hot path.  Gain is a
+        # Since |y| = |x| g (g >= 0), the update is g' = clip(a g + b)
+        # with a = 1 - rate |x|, b = rate ref — a *clamped-affine* map,
+        # and clamped-affine maps compose into clamped-affine maps
+        # (_agc_compose), so the whole per-sample feedback loop runs as
+        # an exact log-depth associative_scan on the VPU instead of a
+        # length-n sequential scan (measured ~15x on-chip vs
+        # lax.scan/Pallas sample loops, tools/exp_scan.py).  Gain is a
         # receiver tuning state, deliberately carried across stream
         # discontinuities (``reset`` leaves it untouched).
-        rate = params["rate"]
-        ref = params["reference"]
-        max_gain = params["max_gain"]
-
-        def step(g, sample):
-            y = sample * g.astype(jnp.complex64)
-            g = g + rate * (ref - jnp.abs(y))
-            g = jnp.clip(g, jnp.zeros_like(g), max_gain)
-            return g, y
-
-        gain, ys = jax.lax.scan(step, state["gain"],
-                                jnp.swapaxes(x, 0, 1), unroll=8)
-        return {"gain": gain}, jnp.swapaxes(ys, 0, 1)
+        elems = _agc_elems(params, x)
+        pa, pb, plo, phi = jax.lax.associative_scan(
+            _agc_compose, elems, axis=-1)
+        g0 = state["gain"]
+        g_inc = jnp.clip(pa * g0[:, None] + pb, plo, phi)
+        # y[n] uses the gain *before* sample n's update (exclusive form).
+        g_exc = jnp.concatenate([g0[:, None], g_inc[:, :-1]], axis=-1)
+        y = x * g_exc.astype(jnp.complex64)
+        return {"gain": g_inc[:, -1]}, y
 
 
 class AgcControl(Block):

@@ -88,6 +88,23 @@ def set_atan2_poly(enabled: bool | None) -> None:
     _atan2_poly = enabled
 
 
+_pallas_scan: bool | None = None
+
+
+def pallas_scan() -> bool:
+    """Whether per-sample feedback recurrences (SlewRateLimiter,
+    AgcControl) run as Pallas in-kernel sample loops instead of
+    ``lax.scan`` (trace-time; ``RRTPU_PALLAS_SCAN=0`` disables)."""
+    if _pallas_scan is not None:
+        return _pallas_scan
+    return os.environ.get("RRTPU_PALLAS_SCAN", "1") == "1"
+
+
+def set_pallas_scan(enabled: bool | None) -> None:
+    global _pallas_scan
+    _pallas_scan = enabled
+
+
 def complex_mm_3mul() -> bool:
     """Whether complex matmuls use the 3-multiplication Gauss form."""
     if _cmm_3mul is not None:

@@ -25,9 +25,11 @@ Blocks implement ``process_sharded(params, state, x, axis)`` (running
 inside ``shard_map``); :class:`TimeShardedChain` assembles the mesh
 program.  ``Overlapper`` uses the generic multi-hop halo (its state is
 exactly a (k-1)-chunk halo).  ``Squelch``'s one-pole envelope is affine in
-its carry and shards via an exclusive prefix of per-device affine maps.
-``SlewRateLimiter`` and ``AgcControl`` are inherently sequential per sample
-(nonlinear recurrences) and are rejected; they remain channel-shardable.
+its carry and shards via an exclusive prefix of per-device affine maps;
+``AgcControl``'s gain update is *clamped*-affine — still closed under
+composition — and shards the same way with a 4-component map element.
+``SlewRateLimiter`` is inherently sequential per sample (the complex clamp
+has no O(1) composition) and is rejected; it remains channel-shardable.
 """
 
 from __future__ import annotations
@@ -195,8 +197,8 @@ def _sharded_fm_mod(block, params, state, x, axis):
 
 def _sharded_squelch(block, params, state, x, axis):
     """Squelch under time sharding.  The one-pole envelope is affine in
-    its carry (e -> alpha^n e + B_d), so unlike the nonlinear AGC/slew
-    loops it shards exactly: each device computes its local offset
+    its carry (e -> alpha^n e + B_d), so unlike the slew limiter's
+    sequential complex clamp it shards exactly: each device computes its local offset
     B_d = (1-alpha) sum_k alpha^(n-1-k) |x_k|^2 (a weighted reduction,
     no scan), one ``all_gather`` of scalars-per-stream shares them, and
     the exclusive prefix of the affine maps seeds this device's incoming
@@ -213,6 +215,35 @@ def _sharded_squelch(block, params, state, x, axis):
     w = jnp.where(k < d, a_n ** jnp.clip(d - 1 - k, 0, None), 0.0)
     e_in = (a_n ** d) * state["env"] + jnp.sum(w[:, None] * all_b, axis=0)
     return block.process(params, {"env": e_in}, x, _no_reset(x))
+
+
+def _sharded_agc(block, params, state, x, axis):
+    """AgcControl under time sharding.  Each per-sample gain update is a
+    clamped-affine map (``blocks/transform.py:_agc_elems``) and the family
+    is closed under composition, so each device reduces its whole chunk to
+    ONE composed map ``(a, b, lo, hi)``, an ``all_gather`` shares the D
+    maps, a log-depth scan over the (tiny) device axis forms the exclusive
+    prefix composition, and applying it to the carried gain seeds this
+    device's incoming state; the block's own ``process`` then runs
+    unchanged.  Exact in real arithmetic (the sequential scan composes the
+    identical maps in a different association order — f32 rounding can
+    differ by ulps, same caveat as Squelch)."""
+    from ..blocks.transform import _agc_compose, _agc_elems
+    elems = _agc_elems(params, x)
+    inc = jax.lax.associative_scan(_agc_compose, elems, axis=-1)
+    local = tuple(t[:, -1] for t in inc)                     # [batch] x4
+    gathered = tuple(jax.lax.all_gather(t, axis) for t in local)
+    pre = jax.lax.associative_scan(_agc_compose, gathered, axis=0)
+    d = jax.lax.axis_index(axis)
+    a, b, lo, hi = (t[jnp.maximum(d - 1, 0)] for t in pre)
+    # Device 0 takes the identity map (no predecessor).
+    first = d == 0
+    a = jnp.where(first, jnp.ones_like(a), a)
+    b = jnp.where(first, jnp.zeros_like(b), b)
+    lo = jnp.where(first, jnp.full_like(lo, -np.inf), lo)
+    hi = jnp.where(first, jnp.full_like(hi, np.inf), hi)
+    g_in = jnp.clip(a * state["gain"] + b, lo, hi)
+    return block.process(params, {"gain": g_in}, x, _no_reset(x))
 
 
 def _sharded_overlapper(block, params, state, x, axis):
@@ -417,6 +448,7 @@ _HANDLERS = {
     _transform._BoundFreqShifter: _sharded_freq_shifter,
     _transform._BoundGain: _sharded_stateless,
     _transform._BoundSquelch: _sharded_squelch,
+    _transform._BoundAgc: _sharded_agc,
     _transform._BoundMap: _sharded_stateless,
     _transform._BoundCombine: _sharded_combine,
     _analysis._BoundFourier: _sharded_stateless,

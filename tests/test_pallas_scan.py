@@ -1,0 +1,136 @@
+"""Pallas sequential-scan kernels (ops/pallas_scan.py): both slew math
+forms vs the oracle, the multi-time-tile carry, batch lane padding, and
+the XLA fallback for unsupported chunk lengths."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import oracles
+from radiorust_tpu import config
+from radiorust_tpu.blocks.base import StreamSig
+from radiorust_tpu.blocks.filters import SlewRateLimiter
+from radiorust_tpu.ops import pallas_scan
+
+
+def _run(b, x, chunks):
+    params, state = b.params, b.init_state()
+    outs = []
+    reset = np.zeros((x.shape[0],), bool)
+    step = jax.jit(b.process)
+    for c in np.split(x, chunks, axis=-1):
+        state, y = step(params, state, c, reset)
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=-1), state
+
+
+@pytest.mark.parametrize("rsqrt", [False, True])
+def test_slew_kernel_matches_oracle(rsqrt):
+    rng = np.random.default_rng(3)
+    B, T = 5, 256
+    x = (rng.standard_normal((B, T))
+         + 1j * rng.standard_normal((B, T))).astype(np.complex64)
+    md = np.float32(0.4)
+    yr, yi, pr, pi = jax.jit(
+        lambda a, b, c, d: pallas_scan.slew_scan(a, b, c, d, md,
+                                                 rsqrt=rsqrt))(
+        x.real.astype(np.float32), x.imag.astype(np.float32),
+        np.zeros(B, np.float32), np.zeros(B, np.float32))
+    for b in range(B):
+        want, prev = oracles.oracle_slew_rate_limiter(x[b], 1.0, 0.4)
+        got = np.asarray(yr)[b] + 1j * np.asarray(yi)[b]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pr)[b] + 1j * np.asarray(pi)[b], prev, atol=1e-5)
+
+
+def test_slew_kernel_multi_time_tile_carry():
+    # T = 4096 > _MAX_TT: the carry crosses grid steps through VMEM
+    # scratch; any seam shows up as a slew-clamp discontinuity.
+    rng = np.random.default_rng(4)
+    T = 4096
+    x = (rng.standard_normal((1, T))
+         + 1j * rng.standard_normal((1, T))).astype(np.complex64)
+    md = np.float32(0.3)
+    yr, yi, _, _ = jax.jit(
+        lambda a, b, c, d: pallas_scan.slew_scan(a, b, c, d, md,
+                                                 rsqrt=True))(
+        x.real.astype(np.float32), x.imag.astype(np.float32),
+        np.zeros(1, np.float32), np.zeros(1, np.float32))
+    want, _ = oracles.oracle_slew_rate_limiter(x[0], 1.0, 0.3)
+    np.testing.assert_allclose(np.asarray(yr)[0] + 1j * np.asarray(yi)[0],
+                               want, atol=1e-5)
+
+
+def test_slew_block_pallas_equals_scan_path():
+    # The shipping block (kernel path) against the lax.scan fallback —
+    # same chunked streaming semantics, batch 3 (lane padding exercised).
+    rng = np.random.default_rng(5)
+    B, T = 3, 512
+    x = (rng.standard_normal((B, T))
+         + 1j * rng.standard_normal((B, T))).astype(np.complex64)
+    sig = StreamSig(B, T // 4, 1000.0)
+    b1 = SlewRateLimiter(300.0).bind(sig)
+    y1, s1 = _run(b1, x, 4)
+    config.set_pallas_scan(False)
+    try:
+        y2, s2 = _run(SlewRateLimiter(300.0).bind(sig), x, 4)
+    finally:
+        config.set_pallas_scan(None)
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1["prev"]),
+                               np.asarray(s2["prev"]), atol=1e-5)
+
+
+def test_slew_block_falls_back_on_unsupported_chunk():
+    # 2310 > _MAX_TT with no divisor <= 2048 other than... it has
+    # divisors; use a prime-ish length instead: 2309 is prime.
+    assert not pallas_scan.scan_supported(2309)
+    rng = np.random.default_rng(6)
+    B, T = 2, 2309
+    x = (rng.standard_normal((B, T))
+         + 1j * rng.standard_normal((B, T))).astype(np.complex64)
+    b = SlewRateLimiter(500.0).bind(StreamSig(B, T, 1000.0))
+    y, _ = _run(b, x, 1)
+    want, _ = oracles.oracle_slew_rate_limiter(x[0], 1.0, 0.5)
+    np.testing.assert_allclose(y[0], want, atol=1e-5)
+
+
+def test_agc_kernel_matches_oracle():
+    # The sequential AGC kernel (kept for A/B; the shipping AgcControl
+    # uses the clamped-affine associative scan, which beat it on-chip).
+    rng = np.random.default_rng(7)
+    B, T = 3, 192
+    x = (0.2 * (rng.standard_normal((B, T))
+                + 1j * rng.standard_normal((B, T)))).astype(np.complex64)
+    yr, yi, g = jax.jit(
+        lambda a, b, c: pallas_scan.agc_scan(a, b, c, np.float32(5e-3),
+                                             np.float32(1.0),
+                                             np.float32(100.0)))(
+        x.real.astype(np.float32), x.imag.astype(np.float32),
+        np.ones(B, np.float32))
+    for b in range(B):
+        want, gw = oracles.oracle_agc(x[b], 1.0, 5e-3, 100.0)
+        np.testing.assert_allclose(
+            np.asarray(yr)[b] + 1j * np.asarray(yi)[b], want, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g)[b], gw, atol=2e-3)
+
+
+def test_agc_block_assoc_scan_clamps_like_oracle():
+    # Active clamping at both bounds: the clamped-affine composition must
+    # reproduce the sequential trajectory exactly (not just converged
+    # steady state).
+    from radiorust_tpu.blocks.transform import AgcControl
+    rng = np.random.default_rng(8)
+    B, T = 2, 256
+    amp = np.where((np.arange(T) // 40) % 2 == 0, 0.02, 3.0)
+    x = (amp * (rng.standard_normal((B, T))
+                + 1j * rng.standard_normal((B, T)))).astype(np.complex64)
+    b = AgcControl(reference=1.0, rate=0.3, max_gain=2.5).bind(
+        StreamSig(B, T // 2, 1000.0))
+    y, s = _run(b, x, 2)
+    for bb in range(B):
+        want, gw = oracles.oracle_agc(x[bb], 1.0, 0.3, 2.5)
+        np.testing.assert_allclose(y[bb], want, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s["gain"])[-1], gw, atol=2e-3)

@@ -132,6 +132,31 @@ def test_time_sharded_squelch_gate_toggles(devices):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_time_sharded_agc_matches_sequential(devices):
+    # AGC's gain update is a clamped-affine map; the time-shard handler
+    # composes each device's chunk into one map and seeds the carry via
+    # an exclusive prefix — the adapting gain trajectory must match the
+    # sequential scan even while the loop is actively converging and
+    # clamping across device boundaries.
+    from radiorust_tpu.blocks.transform import AgcControl
+    mesh = jax.make_mesh((4,), ("t",))
+    n = 64
+    sig = StreamSig(2, n, 8000.0)
+    chain = Chain(AgcControl(reference=1.0, rate=5e-2, max_gain=4.0))
+    steps = 3
+    T = steps * 4
+    t = np.arange(T * n)
+    # Weak signal (gain rises, clamps at max_gain) then a loud burst
+    # (gain slams down): both regimes cross device boundaries.
+    amp = np.where((t // 160) % 2 == 0, 0.05, 2.0)
+    x = (amp * np.exp(2j * np.pi * 0.03 * t)).astype(np.complex64)
+    xs = np.stack([x, 0.5 * x]).astype(np.complex64)
+    xs = np.moveaxis(xs.reshape(2, T, n), 1, 0)
+    got, _ = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_time_and_channel_sharded_wfm(devices):
     # Full WFM chain on a 2x4 (channel x time) mesh, tiny shapes.
     mesh = jax.make_mesh((2, 4), ("ch", "t"))
