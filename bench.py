@@ -226,12 +226,41 @@ def main():
 
     samples = batch * WFM_INPUT_CHUNK * T * reps
     msps = samples / best / 1e6
-    print(json.dumps({
+    record = {
         "metric": "wfm_chain_input_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / baseline_msps, 2),
-    }))
+    }
+
+    # MFU / roofline fields: FLOPs and HBM bytes per step come from XLA's
+    # cost analysis of the same chain compiled on CPU (Pallas in interpret
+    # mode — every matmul pass the MXU executes appears as a dot there;
+    # tools/mfu.py).  Runs in a subprocess because this process is bound
+    # to the TPU backend.
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   BENCH_BATCH=str(batch))
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "mfu.py"),
+             "--json-only", "wfm"],
+            env=env, capture_output=True, text=True, timeout=900)
+        acct = json.loads(r.stdout.strip().splitlines()[-1])
+        steps = T * reps
+        achieved_tflops = acct["flops_per_step"] * steps / best / 1e12
+        hbm_gbps = acct["hbm_bytes_per_step"] * steps / best / 1e9
+        record.update({
+            "flops_per_input_sample": round(
+                acct["flops_per_input_sample"], 1),
+            "achieved_tflops": round(achieved_tflops, 2),
+            "mfu": round(achieved_tflops / acct["peak_bf16_tflops"], 4),
+            "hbm_model_gbps": round(hbm_gbps, 1),
+            "hbm_fraction": round(hbm_gbps / acct["peak_hbm_gbps"], 4),
+        })
+    except Exception as e:  # accounting is best-effort; never lose the bench
+        sys.stderr.write(f"mfu accounting unavailable: {e}\n")
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -100,16 +100,19 @@ def analyze(name, chain, n, rate, batch):
     rng = np.random.default_rng(7)
     x = (rng.standard_normal((batch, n))
          + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
-    reset = np.zeros((batch,), bool)
 
     stages = []
-    blocks = getattr(bound, "blocks", (bound,))
-    params = bound.params if blocks is not (bound,) else (bound.params,)
-    if blocks == (bound,):
-        params = (bound.params,)
+    blocks = getattr(bound, "blocks", None)
+    if blocks is None:
+        blocks, params = (bound,), (bound.params,)
+    else:
+        params = bound.params
     xcur = x
     for blk, p in zip(blocks, params):
         st = blk.init_state()
+        # Blocks that fold channels into the batch axis (Channelizer)
+        # change the stream count mid-chain — reset tracks it.
+        reset = np.zeros((xcur.shape[0],), bool)
         fl = _flops(blk.process, p, st, xcur, reset)
         io = (_nbytes(xcur) + _nbytes(st) * 2 + _nbytes(p))
         new_st, y = jax.jit(blk.process)(p, st, xcur, reset)
@@ -122,7 +125,7 @@ def analyze(name, chain, n, rate, batch):
         xcur = np.asarray(y)
 
     total_flops = _flops(bound.process, bound.params, bound.init_state(),
-                         x, reset)
+                         x, np.zeros((batch,), bool))
     total_bytes = sum(s["hbm_bytes"] for s in stages)
     in_samples = batch * n
     return {
