@@ -249,9 +249,16 @@ class _BoundMap(BoundBlock):
         self.params = fn_params if self._parameterized else ()
 
     def process(self, params, state, x, reset):
-        if self._parameterized:
-            return state, self.fn(x, params)
-        return state, self.fn(x)
+        y = self.fn(x, params) if self._parameterized else self.fn(x)
+        if self._real_output and jnp.iscomplexobj(y):
+            # Enforce the declaration instead of trusting it: downstream
+            # realness optimizations (pair-packed filter FFTs,
+            # single-plane convs) discard the imaginary plane, so a fn
+            # that violates ``real_output=True`` would corrupt output on
+            # those paths only.  Truncating here makes every path agree
+            # (and XLA DCEs the dead imaginary computation).
+            y = jnp.real(y).astype(y.dtype)
+        return state, y
 
 
 class MapSample(Block):
@@ -273,7 +280,10 @@ class MapSample(Block):
         self.fn_params = None
         # Structural promise that ``fn`` emits zero imaginary parts
         # (e.g. an AM envelope detector) so downstream filters keep
-        # their pair-packed real fast path.
+        # their pair-packed real fast path.  ENFORCED, not trusted: the
+        # bound block truncates the imaginary plane, so a fn violating
+        # the promise yields Re(fn(x)) on every path rather than
+        # silently corrupt output on the pair-packed ones.
         self.real_output = bool(real_output)
 
     @classmethod

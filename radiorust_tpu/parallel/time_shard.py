@@ -202,7 +202,15 @@ def _sharded_squelch(block, params, state, x, axis):
     B_d = (1-alpha) sum_k alpha^(n-1-k) |x_k|^2 (a weighted reduction,
     no scan), one ``all_gather`` of scalars-per-stream shares them, and
     the exclusive prefix of the affine maps seeds this device's incoming
-    envelope; the block's own ``process`` then runs unchanged."""
+    envelope; the block's own ``process`` then runs unchanged.
+
+    f32 caveat: the weighted reduction sums in a different order than the
+    sequential associative_scan, so an envelope landing within ~1 ulp of
+    the hard threshold can gate the opposite way under sharding — the
+    output then differs by that sample's full magnitude, not an epsilon.
+    Exact in real arithmetic; tests pin envelopes away from the
+    threshold.  (Same ordering caveat applies to ``_sharded_agc``'s map
+    composition at its clip bounds.)"""
     alpha = params["alpha"]
     n = x.shape[-1]
     p = jnp.real(x * jnp.conj(x))
@@ -513,7 +521,10 @@ class TimeShardedChain:
     ``process(params, state, x_big)`` consumes ``[batch, D*chunk_len]``
     and returns the next carry and ``[batch, D*out_chunk_len]``; it is
     numerically identical to scanning the chain over the D chunks
-    sequentially.
+    sequentially, up to f32 reduction-order ulps in the prefix handlers
+    — which for the *thresholding* blocks (Squelch's gate, AGC's clip
+    bounds) can flip a decision that lands within ~1 ulp of the
+    threshold (see ``_sharded_squelch``).
 
     A chain is the linear special case of a DAG, so this is a thin
     wrapper over :class:`TimeShardedGraph` (one sharded implementation).

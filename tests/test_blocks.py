@@ -54,6 +54,20 @@ def test_map_sample():
     np.testing.assert_array_equal(ys[0], x / 2.0)
 
 
+def test_map_sample_real_output_enforced():
+    # real_output=True is enforced, not trusted: a fn that violates the
+    # promise gets its imaginary plane truncated on EVERY path, so
+    # downstream pair-packed realness optimizations can't silently see
+    # different data than the unoptimized path.
+    b = MapSample(lambda x: x * (1.0 + 1.0j), real_output=True).bind(
+        sig(chunk_len=4))
+    x = (np.arange(4) + 1.0).astype(np.complex64)
+    ys, _ = run_chunks(b, [x])
+    np.testing.assert_allclose(np.asarray(ys[0]), (x * (1 + 1j)).real,
+                               atol=1e-6)
+    assert float(np.abs(np.asarray(ys[0]).imag).max()) == 0.0
+
+
 # ---------------------------------------------------------------------------
 # Fourier (golden: src/blocks/analysis.rs:139-209)
 # ---------------------------------------------------------------------------
