@@ -35,11 +35,14 @@ T = 4
 
 
 def fm_tone(batch, n, rate, deviation=150000.0, audio=1000.0):
-    # Deterministic FM-modulated tone (arange/trig only): smooth through
-    # the demodulators, so steady-state chunks compare tightly.
+    # Deterministic FM-modulated tone with a CLOSED-FORM phase integral:
+    # theta(t) = 2 pi dev int 0.3 sin(2 pi fa t) dt
+    #          = 0.3 dev (1 - cos(2 pi fa t)) / fa   (bounded, no cumsum).
+    # A cumsum here would be a backend-dependent reduction order — the
+    # two sides would demodulate *different* f32 signals.
     t = jnp.arange(T * n, dtype=jnp.float32) / np.float32(rate)
-    a = 0.3 * jnp.sin(2 * np.pi * np.float32(audio) * t)
-    theta = 2 * np.pi * np.float32(deviation / rate) * jnp.cumsum(a)
+    theta = (np.float32(0.3 * deviation / audio)
+             * (1.0 - jnp.cos(2 * np.pi * np.float32(audio) * t)))
     iq = jnp.exp(1j * theta.astype(jnp.complex64))
     ph = jnp.exp(1j * jnp.linspace(0.0, 1.0, batch).astype(jnp.complex64))
     return (iq[None, :] * ph[:, None]).reshape(batch, T, -1).swapaxes(0, 1)
@@ -77,20 +80,43 @@ def build():
             StreamSig(batch, n, rate))
 
         def gen():
-            # FM carriers on three channel centers (deterministic).
+            # FM carriers on three channel centers.  Carrier phase is
+            # EXACT integer math (channel k advances k/64 cycles per
+            # sample; (idx*k) % 64 stays < 2^24 so f32 is exact) and the
+            # modulation integral is closed-form — fully deterministic
+            # and bounded on both backends, no cumsum, no large-argument
+            # trig.
             ch = rate / 64.0
-            t = jnp.arange(T * n, dtype=jnp.float32) / np.float32(rate)
+            idx = jnp.arange(T * n, dtype=jnp.int32)
+            t = idx.astype(jnp.float32) / np.float32(rate)
             x = jnp.zeros((T * n,), jnp.complex64)
             for k, audio in ((3, 700.0), (17, 1100.0), (40, 400.0)):
-                a = 0.3 * jnp.sin(2 * np.pi * np.float32(audio) * t)
-                th = (2 * np.pi * np.float32(k) * ch * t
-                      + 2 * np.pi * np.float32(0.25 * ch / rate)
-                      * jnp.cumsum(a))
+                carrier = ((idx * k) % 64).astype(jnp.float32) / 64.0
+                dev = 0.25 * ch
+                fm = (np.float32(0.3 * dev / audio)
+                      * (1.0 - jnp.cos(2 * np.pi * np.float32(audio) * t)))
+                th = 2 * np.pi * carrier + fm
                 x = x + jnp.exp(1j * th.astype(jnp.complex64))
             ph = jnp.exp(1j * jnp.linspace(0.0, 0.5, batch)
                          .astype(jnp.complex64))
             return (x[None, :] * ph[:, None]).reshape(
                 batch, T, -1).swapaxes(0, 1)
+
+        return bound, gen, False
+    if MODEL == "morse":
+        # Covers the Pallas slew-scan kernel's on-chip numerics (the
+        # rsqrt clamp): a keyed envelope drives the clamp through both
+        # regimes (slew-limited edges, tracking plateaus).
+        from radiorust_tpu.models.morse_tx import morse_audio_chain
+        batch, n, rate = 4, 4096, 48000.0
+        bound = morse_audio_chain().bind(StreamSig(batch, n, rate))
+
+        def gen():
+            t = jnp.arange(T * n, dtype=jnp.float32)
+            key_env = ((t // 1536) % 2).astype(jnp.float32)  # on/off keying
+            amp = jnp.linspace(0.6, 1.0, batch).astype(jnp.float32)
+            x = (amp[:, None] * key_env[None, :]).astype(jnp.complex64)
+            return x.reshape(batch, T, -1).swapaxes(0, 1)
 
         return bound, gen, False
     if MODEL in ("am", "ssb"):
@@ -135,13 +161,25 @@ def run(pp, ps):
             st, y = bound.process(params, st, x,
                                   jnp.zeros((x.shape[0],), bool))
         leaves = jax.tree.leaves(y)
+        # Energy (strictly positive — no cancellation) plus a Rademacher
+        # fingerprint: sum(y * w) with fixed +-1 weights from threefry
+        # (bit-identical across backends).  |F| ~ sqrt(E*N), so the
+        # comparator can normalize by the signal's natural scale — raw
+        # re/im sums of tones cancel over whole periods and make
+        # relative error meaningless.
         e = sum(jnp.sum(jnp.abs(l) ** 2) for l in leaves)
-        re = sum(jnp.sum(jnp.real(l)) for l in leaves)
-        im = sum(jnp.sum(jnp.imag(l)) for l in leaves)
-        return st, (e, re, im)
+        cnt, fr, fi = 0.0, 0.0, 0.0
+        for i, l in enumerate(leaves):
+            w = jax.random.rademacher(
+                jax.random.key(100 + i), l.shape).astype(jnp.float32)
+            f = jnp.sum(l * w)
+            fr = fr + jnp.real(f)
+            fi = fi + jnp.imag(f)
+            cnt += float(np.prod(l.shape))
+        return st, (e, fr, fi, jnp.float32(cnt))
 
     _, sums = jax.lax.scan(sb, state, xs)
-    return jnp.stack([sums[0], sums[1], sums[2]])
+    return jnp.stack([sums[0], sums[1], sums[2], sums[3]])
 
 
 out = np.asarray(run(pack_wire(bound.params), pack_wire(bound.init_state())))
@@ -152,7 +190,7 @@ print("CHECKSUMS", " ".join(f"{v:.8e}" for v in out.reshape(-1)))
 # (ulps amplify through atan2), tone-driven chains are smooth.
 TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "stereo": 1e-2,
        "channelizer": 1e-2, "channelizer_fused": 1e-2,
-       "am": 1e-3, "ssb": 1e-3}
+       "am": 1e-3, "ssb": 1e-3, "morse": 1e-3}
 
 
 def run_on(platform, model):
@@ -184,12 +222,22 @@ def main():
     wait_for_backend()     # ride out relay flaps (bounded retries)
     results, ok = {}, True
     for model in models:
-        cpu = np.array(run_on("cpu", model))
-        tpu = np.array(run_on("tpu", model))
-        rel = np.abs(cpu - tpu) / np.maximum(np.abs(cpu), 1e-6)
+        cpu = np.array(run_on("cpu", model)).reshape(4, -1)
+        tpu = np.array(run_on("tpu", model)).reshape(4, -1)
+        e_c, fr_c, fi_c, n_c = cpu
+        e_t, fr_t, fi_t, _ = tpu
+        # Energy: plain relative error.  Fingerprint: normalized by the
+        # signal's natural scale sqrt(E*N) (|F| of a +-1-weighted sum is
+        # a random walk of that magnitude — no cancellation blowup).
+        scale = np.sqrt(np.maximum(e_c * n_c, 1e-12))
+        rel = np.stack([
+            np.abs(e_c - e_t) / np.maximum(e_c, 1e-9),
+            np.abs(fr_c - fr_t) / scale,
+            np.abs(fi_c - fi_t) / scale,
+        ])
         # Chunk 0 is warmup (zero-primed filter tails, chaotic through
         # arctan2); steady-state chunks must agree within f32 tolerance.
-        steady = float(rel.reshape(3, -1)[:, 1:].max())
+        steady = float(rel[:, 1:].max())
         good = steady < TOL[model]
         ok &= good
         results[model] = round(steady, 8)
