@@ -72,7 +72,30 @@ def build():
         batch, n = 4, WFM_INPUT_CHUNK
         bound = wfm_stereo_receiver().bind(
             {"iq": StreamSig(batch, n, WFM_INPUT_RATE)})
-        return bound, (lambda: fm_tone(batch, n, WFM_INPUT_RATE)), True
+
+        def gen():
+            # Proper stereo MPX (mono + 19 kHz pilot + 38 kHz DSB-SC),
+            # FM-modulated with a CLOSED-FORM phase integral (each MPX
+            # component is a sinusoid, so the integral is a cosine sum —
+            # no cumsum).  The pilot must be present: an empty pilot
+            # band makes the decoder's phase-doubling normalize a
+            # near-zero vector and ulps blow up to O(1).
+            rate, dev = WFM_INPUT_RATE, 150000.0
+            t = jnp.arange(T * n, dtype=jnp.float32) / np.float32(rate)
+            comps = ((0.45, 1000.0), (0.1, 19000.0),
+                     (0.225, 39200.0), (-0.225, 36800.0))
+            theta = jnp.zeros_like(t)
+            for amp, f in comps:
+                theta = theta + (np.float32(amp * dev / f)
+                                 * (1.0 - jnp.cos(2 * np.pi
+                                                  * np.float32(f) * t)))
+            iq = jnp.exp(1j * theta.astype(jnp.complex64))
+            ph = jnp.exp(1j * jnp.linspace(0.0, 1.0, batch)
+                         .astype(jnp.complex64))
+            return (iq[None, :] * ph[:, None]).reshape(
+                batch, T, -1).swapaxes(0, 1)
+
+        return bound, gen, True
     if MODEL in ("channelizer", "channelizer_fused"):
         from radiorust_tpu.models.channelizer import channelized_receiver
         batch, n, rate = 2, 65536, 16384000.0
@@ -90,7 +113,11 @@ def build():
             idx = jnp.arange(T * n, dtype=jnp.int32)
             t = idx.astype(jnp.float32) / np.float32(rate)
             x = jnp.zeros((T * n,), jnp.complex64)
-            for k, audio in ((3, 700.0), (17, 1100.0), (40, 400.0)):
+            # EVERY channel carries an FM tone: an empty channel's demod
+            # is atan2 of filter-leakage noise — chaotic in ulps — and
+            # would poison the cross-backend checksum.
+            for k in range(64):
+                audio = 300.0 + 23.0 * k
                 carrier = ((idx * k) % 64).astype(jnp.float32) / 64.0
                 dev = 0.25 * ch
                 fm = (np.float32(0.3 * dev / audio)
