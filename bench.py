@@ -239,8 +239,12 @@ def main():
     # tools/mfu.py).  Runs in a subprocess because this process is bound
     # to the TPU backend.
     try:
+        # Pass the fuse knobs so mfu.py accounts the same chain variant
+        # this process actually timed (incl. the unfused fallback).
         env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   BENCH_BATCH=str(batch))
+                   BENCH_BATCH=str(batch),
+                   BENCH_FUSE_FRONTEND="1" if fuse else "0",
+                   BENCH_FUSE_DEMOD="1" if fuse_d else "0")
         r = subprocess.run(
             [sys.executable, str(REPO / "tools" / "mfu.py"),
              "--json-only", "wfm"],

@@ -144,12 +144,23 @@ class Squelch(Block):
 # AgcControl
 # ---------------------------------------------------------------------------
 
+# Slope/offset cap for the composed clamped-affine maps.  Slope products
+# grow exponentially under sustained overdrive (|1 - rate |x|| > 1 every
+# sample); uncapped they overflow f32 to inf and then compose to NaN
+# (inf*0 in the bound arithmetic).  At |a| = 1e18 the unclamped interval
+# of g0 values has width max_gain/1e18 < 1e-13 — far below f32
+# resolution of the [0, max_gain] state — so capping is exact for every
+# representable gain while keeping all composition arithmetic finite
+# (1e18^2 = 1e36 < f32 max).
+_AGC_CAP = np.float32(1e18)
+
+
 def _agc_elems(params, x):
     """Per-sample clamped-affine maps of the AGC loop: sample n sends the
     loop gain through ``g -> clip(a g + b, lo, hi)`` with
     ``a = 1 - rate |x[n]|``, ``b = rate reference``."""
     absx = jnp.abs(x)
-    a = 1.0 - params["rate"] * absx
+    a = jnp.clip(1.0 - params["rate"] * absx, -_AGC_CAP, _AGC_CAP)
     b = jnp.broadcast_to(params["rate"] * params["reference"], a.shape)
     lo = jnp.zeros_like(a)
     hi = jnp.broadcast_to(params["max_gain"], a.shape)
@@ -162,11 +173,13 @@ def _agc_compose(e1, e2):
     composition for *any* slope sign: a scalar multiple of a clip is a
     clip with (possibly swapped) bounds, and a clip of a clip is a clip
     with re-clamped bounds — so the element ``(a, b, lo, hi)`` is O(1)
-    and the scan is exactly associative."""
+    and the scan is exactly associative.  Slope/offset are capped at
+    ``_AGC_CAP`` (see above) so sustained-overdrive products saturate
+    instead of overflowing to inf/NaN."""
     a1, b1, l1, h1 = e1
     a2, b2, l2, h2 = e2
-    a = a1 * a2
-    b = a2 * b1 + b2
+    a = jnp.clip(a1 * a2, -_AGC_CAP, _AGC_CAP)
+    b = jnp.clip(a2 * b1 + b2, -_AGC_CAP, _AGC_CAP)
     inner_lo = jnp.minimum(a2 * l1, a2 * h1) + b2
     inner_hi = jnp.maximum(a2 * l1, a2 * h1) + b2
     return a, b, jnp.clip(inner_lo, l2, h2), jnp.clip(inner_hi, l2, h2)
@@ -219,6 +232,17 @@ class AgcControl(Block):
     tuned scalar (``src/blocks/transform.rs:29-92``) — but any AM/SSB
     receiver needs one; this is the classic feedback AGC loop
     (``g += rate * (reference - |g*x|)``), clamped to ``[0, max_gain]``.
+
+    Stability contract: the loop is contracting (and the parallel
+    associative-scan formulation matches the per-sample recurrence to
+    f32) whenever ``rate * |x| < 2`` — the designed regime, ``rate``
+    chosen well below ``1/|x|``.  Under *sustained* overdrive beyond
+    that, the recurrence itself is chaotic (the gain bangs between the
+    clip bounds and per-sample slope magnitudes exceed 1); outputs and
+    state remain finite and inside ``[0, max_gain]`` (slope products
+    saturate at ``_AGC_CAP`` instead of overflowing), but the f32
+    trajectory is then one valid shadowing of the chaos, not
+    bit-reproducible against a sequential evaluation.
     """
 
     def __init__(self, reference: float = 1.0, rate: float = 1e-3,

@@ -92,9 +92,12 @@ _pallas_scan: bool | None = None
 
 
 def pallas_scan() -> bool:
-    """Whether per-sample feedback recurrences (SlewRateLimiter,
-    AgcControl) run as Pallas in-kernel sample loops instead of
-    ``lax.scan`` (trace-time; ``RRTPU_PALLAS_SCAN=0`` disables)."""
+    """Whether SlewRateLimiter's per-sample recurrence runs as a Pallas
+    in-kernel sample loop instead of ``lax.scan`` (trace-time;
+    ``RRTPU_PALLAS_SCAN=0`` falls back to the scan).  AgcControl is NOT
+    gated here — it always uses the exact clamped-affine
+    associative_scan, which beat both sequential forms on-chip
+    (tools/exp_scan.py)."""
     if _pallas_scan is not None:
         return _pallas_scan
     return os.environ.get("RRTPU_PALLAS_SCAN", "1") == "1"

@@ -638,15 +638,22 @@ class TimeShardedGraph:
         # as a compiled SPMD program too: on a multi-process (multi-host)
         # mesh, eager ops on arrays whose shards live on other processes'
         # devices are not allowed (jax_spmd_mode='allow_jit').  Inside the
-        # shard_map each device's piece is local, so an all_gather over
-        # the time axis plus a static index does the selection with no
-        # sharded-gather lowering involved.
+        # shard_map each device's piece is local; masking every piece but
+        # the last device's to zero and psum-ing broadcasts the selection
+        # in ~2x leaf bytes (an all_gather here moved t_dev x the leaf —
+        # 8x the whole step's halo traffic at t=8, measured in review).
+        # The sum has exactly one nonzero term, so it is bit-exact.
         t_dev = self.t_devices
 
         def select_last(pieces):
+            keep = jax.lax.axis_index(taxis) == t_dev - 1
+
             def sel(a):
-                g = jax.lax.all_gather(a[0], taxis)      # [t_dev, ...]
-                return g[t_dev - 1]
+                z = jnp.where(keep, a[0], jnp.zeros_like(a[0]))
+                if z.dtype == jnp.bool_:
+                    return jax.lax.psum(z.astype(jnp.int32),
+                                        taxis).astype(jnp.bool_)
+                return jax.lax.psum(z, taxis)
             return jax.tree.map(sel, pieces)
 
         self._take_last = jax.jit(jax.shard_map(

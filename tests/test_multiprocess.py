@@ -22,5 +22,6 @@ def test_fake_cluster_two_process_global_mesh():
         num_processes=2, local_devices=4, timeout=800.0)
     joined = "\n".join(outputs)
     assert codes == [0, 0], joined
-    for case in ("case 1 ok", "case 2 ok", "case 3 ok"):
-        assert case in joined, joined
+    assert "FAILED" not in joined, joined
+    for case in ("case 1", "case 2", "case 3"):
+        assert f"{case} " in joined and " ok" in joined, joined

@@ -117,6 +117,25 @@ def test_agc_kernel_matches_oracle():
         np.testing.assert_allclose(np.asarray(g)[b], gw, atol=2e-3)
 
 
+def test_agc_block_survives_sustained_overdrive():
+    # rate*|x| = 5 every sample: the loop is chaotic (slope -4 per step)
+    # and composed slope products grow as 4^n.  Uncapped they overflowed
+    # f32 to inf and composed to NaN, permanently poisoning the gain.
+    # Contract (AgcControl docstring): finite, inside [0, max_gain].
+    from radiorust_tpu.blocks.transform import AgcControl
+    B, n = 2, 2048
+    x = (10.0 * np.exp(1j * 0.3 * np.arange(B * n)).reshape(B, n)
+         ).astype(np.complex64)
+    b = AgcControl(reference=1.0, rate=0.5, max_gain=4.0).bind(
+        StreamSig(B, n, 1000.0))
+    st, y = jax.jit(b.process)(b.params, b.init_state(), x,
+                               np.zeros(B, bool))
+    y, g = np.asarray(y), np.asarray(st["gain"])
+    assert np.isfinite(y).all() and np.isfinite(g).all()
+    assert (g >= 0.0).all() and (g <= 4.0).all()
+    assert np.abs(y).max() <= 4.0 * 10.0 + 1e-3
+
+
 def test_agc_block_assoc_scan_clamps_like_oracle():
     # Active clamping at both bounds: the clamped-affine composition must
     # reproduce the sequential trajectory exactly (not just converged

@@ -73,6 +73,21 @@ def _compiled_text(jitted, *args):
     return jitted.lower(*args).compile().as_text()
 
 
+def _time_sharded_volumes(ts, params, state, xs):
+    """Step program + the carry-extraction program (both run every
+    step; review r3 found the extraction's collectives were omitted and
+    originally dominated the halos 8x)."""
+    counts, vols = collective_volumes(
+        _compiled_text(ts._graph._sharded, params, state, xs))
+    pieces_shape = jax.eval_shape(ts._graph._sharded, params, state, xs)[0]
+    c2, v2 = collective_volumes(
+        _compiled_text(ts._graph._take_last, pieces_shape))
+    for op in c2:
+        counts[f"carry:{op}"] += c2[op]
+        vols[f"carry:{op}"] += v2[op]
+    return counts, vols
+
+
 def measure_time_sharded_wfm(n: int = 16384, batch: int = 1, d: int = 8):
     from radiorust_tpu.blocks.base import StreamSig
     from radiorust_tpu.models.wfm import wfm_receiver
@@ -81,10 +96,8 @@ def measure_time_sharded_wfm(n: int = 16384, batch: int = 1, d: int = 8):
     sig = StreamSig(batch, n, 1024000.0)
     ts = TimeShardedChain(wfm_receiver().bind(sig), mesh)
     x = np.zeros((batch, d * n), np.complex64)
-    txt = _compiled_text(ts._graph._sharded,
-                         ((), *ts.params), ((), *ts.init_state()),
-                         {"in": x})
-    return collective_volumes(txt)
+    return _time_sharded_volumes(ts, ((), *ts.params),
+                                 ((), *ts.init_state()), {"in": x})
 
 
 def measure_channel_sharded(d: int = 8):
@@ -111,10 +124,8 @@ def measure_fused_time_sharded(d: int = 8):
     ts = TimeShardedChain(
         wfm_receiver(fuse_frontend=True, fuse_demod=True).bind(sig), mesh)
     x = np.zeros((2, d * 16384), np.complex64)
-    txt = _compiled_text(ts._graph._sharded,
-                         ((), *ts.params), ((), *ts.init_state()),
-                         {"in": x})
-    return collective_volumes(txt)
+    return _time_sharded_volumes(ts, ((), *ts.params),
+                                 ((), *ts.init_state()), {"in": x})
 
 
 def main():

@@ -156,28 +156,41 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
           f"({len(jax.local_devices())} local)", flush=True)
     ok = True
     cases = []
-    try:
-        mesh_t = jax.make_mesh((ndev,), ("t",))
-        _case_time_sharded_wfm(mesh_t, ndev, None, retune=True)
-        cases.append("wfm_time_sharded_t8_with_retune")
-        print(f"[p{process_id}] case 1 ok (t={ndev} + retune)", flush=True)
 
-        mesh_cht = jax.make_mesh((num_processes, ndev // num_processes),
-                                 ("ch", "t"))
-        _case_time_sharded_wfm(mesh_cht, ndev // num_processes, "ch",
-                               retune=False)
-        cases.append("wfm_ch_across_hosts_x_t_within")
-        print(f"[p{process_id}] case 2 ok (ch={num_processes} x "
-              f"t={ndev // num_processes})", flush=True)
+    # Each case runs inside its own try/except and every process runs
+    # EVERY case regardless of its local verdict: a value check can fail
+    # on one process only (it checks only its addressable shards), and
+    # bailing out early there would desynchronize the job's collective
+    # sequence — the other process would sit in the next case's
+    # collectives while this one waits in all_processes_ok, deadlocking
+    # until the launcher timeout.  Checks run strictly after a case's
+    # collectives complete, so catching them keeps the processes in
+    # lock-step; the joint verdict is formed once, at the end.
+    def attempt(name, desc, fn):
+        nonlocal ok
+        try:
+            fn()
+            cases.append(name)
+            print(f"[p{process_id}] {desc} ok", flush=True)
+        except Exception as e:  # noqa: BLE001 - verdict is the artifact
+            print(f"[p{process_id}] {desc} FAILED: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            ok = False
 
-        mesh_c = jax.make_mesh((ndev,), ("c",))
-        _case_channel_sharded(mesh_c)
-        cases.append("channelizer_c8_cross_process_all_gather")
-        print(f"[p{process_id}] case 3 ok (c={ndev})", flush=True)
-    except Exception as e:  # noqa: BLE001 - verdict is the artifact
-        print(f"[p{process_id}] FAILED: {type(e).__name__}: {e}",
-              flush=True)
-        ok = False
+    mesh_t = jax.make_mesh((ndev,), ("t",))
+    attempt("wfm_time_sharded_t8_with_retune",
+            f"case 1 (t={ndev} + retune)",
+            lambda: _case_time_sharded_wfm(mesh_t, ndev, None, retune=True))
+    mesh_cht = jax.make_mesh((num_processes, ndev // num_processes),
+                             ("ch", "t"))
+    attempt("wfm_ch_across_hosts_x_t_within",
+            f"case 2 (ch={num_processes} x t={ndev // num_processes})",
+            lambda: _case_time_sharded_wfm(mesh_cht, ndev // num_processes,
+                                           "ch", retune=False))
+    mesh_c = jax.make_mesh((ndev,), ("c",))
+    attempt("channelizer_c8_cross_process_all_gather",
+            f"case 3 (c={ndev})",
+            lambda: _case_channel_sharded(mesh_c))
     ok = mp.all_processes_ok(ok)
     if process_id == 0:
         art = {"ok": ok, "num_processes": num_processes,

@@ -67,8 +67,13 @@ def _configs():
     def lp(bins, freqs):
         return np.where(np.abs(freqs) <= 500000.0, 1.0 + 0.0j, 0.0j)
 
+    # "wfm" honors the bench fuse knobs so bench.py's subprocess call
+    # always accounts the SAME chain it timed (including the unfused
+    # fallback re-exec); defaults match bench.py's defaults.
+    wfm_f = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
+    wfm_fd = os.environ.get("BENCH_FUSE_DEMOD", "1") == "1"
     return {
-        "wfm": (wfm_receiver(fuse_frontend=True, fuse_demod=True),
+        "wfm": (wfm_receiver(fuse_frontend=wfm_f, fuse_demod=wfm_fd),
                 WFM_INPUT_CHUNK, WFM_INPUT_RATE),
         "wfm_unfused": (wfm_receiver(), WFM_INPUT_CHUNK, WFM_INPUT_RATE),
         "morse": (morse_audio_chain(), 4096, 48000.0),
