@@ -604,6 +604,8 @@ class TimeShardedGraph:
         bg = bound_graph
         taxis = t_axis
 
+        t_dev = self.t_devices
+
         def local_step(params, state, xs):
             vals = [None] * len(bg.bound)
             new_pieces = []
@@ -617,49 +619,40 @@ class TimeShardedGraph:
                        if isinstance(up, tuple) else vals[up])
                 piece, y = handlers[i](b, params[i], state[i], xin, taxis)
                 vals[i] = y
-                new_pieces.append(
-                    jax.tree.map(lambda a: a[None, ...], piece))
+                new_pieces.append(piece)
             ys = {n: vals[j] for n, j in bg._outputs.items()}
-            return tuple(new_pieces), ys
+            # Carry extraction, inline (one program, one dispatch per
+            # step): the next step's state is the LAST time shard's
+            # piece, and every device needs it.  Masking all other
+            # devices' pieces to zero and psum-ing broadcasts it in ~1x
+            # the state size — bit-exact, the sum has one nonzero term.
+            # (An earlier two-program form all-gathered every leaf: 8x
+            # the halo traffic, plus a second dispatch.)  Running it
+            # inside the compiled SPMD program also keeps multi-process
+            # meshes legal (no eager ops on process-spanning arrays).
+            keep = jax.lax.axis_index(taxis) == t_dev - 1
+
+            def sel(a):
+                z = jnp.where(keep, a, jnp.zeros_like(a))
+                if z.dtype == jnp.bool_:
+                    return jax.lax.psum(z.astype(jnp.int32),
+                                        taxis).astype(jnp.bool_)
+                return jax.lax.psum(z, taxis)
+
+            carry = jax.tree.map(sel, tuple(new_pieces))
+            return carry, ys
 
         x_spec = P(ch_axis, t_axis) if ch_axis else P(None, t_axis)
         state_in_spec = P(ch_axis) if ch_axis else P()
-        piece_spec = P(t_axis, ch_axis) if ch_axis else P(t_axis)
         xs_specs = {n: x_spec for n in bg.in_sigs}
         ys_specs = {n: x_spec for n in bg.out_sigs}
 
         self._sharded = jax.jit(jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), state_in_spec, xs_specs),
-            out_specs=(piece_spec, ys_specs),
+            out_specs=(state_in_spec, ys_specs),
             check_vma=False,
         ))
-        # The carry extraction (keep the LAST device's state piece) runs
-        # as a compiled SPMD program too: on a multi-process (multi-host)
-        # mesh, eager ops on arrays whose shards live on other processes'
-        # devices are not allowed (jax_spmd_mode='allow_jit').  Inside the
-        # shard_map each device's piece is local; masking every piece but
-        # the last device's to zero and psum-ing broadcasts the selection
-        # in ~2x leaf bytes (an all_gather here moved t_dev x the leaf —
-        # 8x the whole step's halo traffic at t=8, measured in review).
-        # The sum has exactly one nonzero term, so it is bit-exact.
-        t_dev = self.t_devices
-
-        def select_last(pieces):
-            keep = jax.lax.axis_index(taxis) == t_dev - 1
-
-            def sel(a):
-                z = jnp.where(keep, a[0], jnp.zeros_like(a[0]))
-                if z.dtype == jnp.bool_:
-                    return jax.lax.psum(z.astype(jnp.int32),
-                                        taxis).astype(jnp.bool_)
-                return jax.lax.psum(z, taxis)
-            return jax.tree.map(sel, pieces)
-
-        self._take_last = jax.jit(jax.shard_map(
-            select_last, mesh=mesh,
-            in_specs=piece_spec, out_specs=state_in_spec,
-            check_vma=False))
 
     def init_state(self):
         return self.bound.init_state()
@@ -682,5 +675,4 @@ class TimeShardedGraph:
                                              self.bound.params, fn)
 
     def process(self, params, state, xs_big):
-        pieces, ys = self._sharded(params, state, xs_big)
-        return self._take_last(pieces), ys
+        return self._sharded(params, state, xs_big)

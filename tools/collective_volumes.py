@@ -74,18 +74,12 @@ def _compiled_text(jitted, *args):
 
 
 def _time_sharded_volumes(ts, params, state, xs):
-    """Step program + the carry-extraction program (both run every
-    step; review r3 found the extraction's collectives were omitted and
-    originally dominated the halos 8x)."""
-    counts, vols = collective_volumes(
+    """The full step program — halos AND the inline carry-extraction
+    psums (review r3 found the extraction originally ran as a second
+    program of all-gathers, 8x the halo bytes, invisible to this tool;
+    it is now fused into the step and counted here)."""
+    return collective_volumes(
         _compiled_text(ts._graph._sharded, params, state, xs))
-    pieces_shape = jax.eval_shape(ts._graph._sharded, params, state, xs)[0]
-    c2, v2 = collective_volumes(
-        _compiled_text(ts._graph._take_last, pieces_shape))
-    for op in c2:
-        counts[f"carry:{op}"] += c2[op]
-        vols[f"carry:{op}"] += v2[op]
-    return counts, vols
 
 
 def measure_time_sharded_wfm(n: int = 16384, batch: int = 1, d: int = 8):
