@@ -438,3 +438,40 @@ def test_pipelined_checkpoint_resume_midstream(tmp_path):
     bad = PipelinedChain(chain.bind(sig), devices=jax.devices()[:2])
     with pytest.raises(ValueError):
         bad.load_checkpoint(path)
+
+
+def test_sharded_checkpoint_roundtrip_time_mesh(tmp_path):
+    # Orbax-backed sharded checkpoint (utils/checkpoint.py save_sharded/
+    # load_sharded): a TimeShardedChain's mesh-resident carry saves from
+    # its device shards and restores replicated onto the mesh; the
+    # continuation is bit-exact vs the uninterrupted run.  (The
+    # multi-PROCESS form of this — every host writing only its
+    # addressable shards — runs as fake-cluster case 4,
+    # tools/fake_cluster.py / tests/test_multiprocess.py.)
+    import jax
+
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    mesh = jax.make_mesh((8,), ("t",))
+    n = 2048
+    sig = StreamSig(2, n, 1024000.0)
+    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh)
+    rng = np.random.default_rng(3)
+    xs = [(rng.standard_normal((2, 8 * n))
+           + 1j * rng.standard_normal((2, 8 * n))).astype(np.complex64)
+          for _ in range(4)]
+
+    st = ts.init_state()
+    for x in xs[:2]:
+        st, _ = ts.process(ts.params, st, x)
+    path = str(tmp_path / "sharded_ckpt")
+    save_sharded(path, st)
+    st2 = load_sharded(path, ts.init_state(), mesh=mesh)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s1, s2 = st, st2
+    for x in xs[2:]:
+        s1, y1 = ts.process(ts.params, s1, x)
+        s2, y2 = ts.process(ts.params, s2, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))

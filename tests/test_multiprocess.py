@@ -23,5 +23,5 @@ def test_fake_cluster_two_process_global_mesh():
     joined = "\n".join(outputs)
     assert codes == [0, 0], joined
     assert "FAILED" not in joined, joined
-    for case in ("case 1", "case 2", "case 3"):
+    for case in ("case 1", "case 2", "case 3", "case 4"):
         assert f"{case} " in joined and " ok" in joined, joined

@@ -21,6 +21,10 @@ Cases (all on the 8-device global mesh over 2 processes):
    SCALING.md prescribes for real pods (halos ride intra-host ICI).
 3. The 64-channel polyphase channelizer + per-channel FM demod,
    channel-sharded ``c=8``: the branch all_gather runs across processes.
+4. Orbax sharded checkpoint/resume across the cluster: each process
+   writes only its addressable shards mid-stream, the state restores
+   collectively, and the continuation is bit-exact vs the uninterrupted
+   run (``utils/checkpoint.py::save_sharded/load_sharded``).
 
 Run:  python tools/fake_cluster.py            (launcher mode)
       writes MULTIPROC_r03.json on success.
@@ -113,6 +117,41 @@ def _case_time_sharded_wfm(mesh, t, ch_axis, retune):
                                           f"step {s}")
 
 
+def _case_distributed_checkpoint(mesh, t, tmpdir):
+    """Case 4: orbax sharded checkpoint/resume ACROSS the cluster —
+    every process writes its addressable shards mid-stream, the state is
+    restored collectively, and the continuation is bit-exact against the
+    uninterrupted run (the multi-host operational story of
+    docs/SCALING.md "Checkpoint / resume of sharded deployments")."""
+    from radiorust_tpu.blocks.base import StreamSig
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    batch, n, rate = 2, 2048, 1024000.0
+    sig = StreamSig(batch, n, rate)
+    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh, t_axis="t")
+    xs = _fm_iq(4 * t * n, batch, rate)
+    groups = [xs[:, i * t * n:(i + 1) * t * n] for i in range(4)]
+
+    st_ref = ts.init_state()
+    for g in groups[:2]:
+        st_ref, _ = ts.process(ts.params, st_ref, g)
+    path = os.path.join(tmpdir, "ckpt")
+    save_sharded(path, st_ref)
+    st_res = load_sharded(path, ts.init_state(), mesh=mesh)
+    for g in groups[2:]:
+        st_ref, y_ref = ts.process(ts.params, st_ref, g)
+        st_res, y_res = ts.process(ts.params, st_res, g)
+        # Bit-exact continuation: the resumed run's addressable shards
+        # equal the uninterrupted run's, index for index.
+        ref_map = {s.index: np.asarray(s.data)
+                   for s in y_ref.addressable_shards}
+        for s in y_res.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(s.data),
+                                          ref_map[s.index])
+
+
 def _case_channel_sharded(mesh):
     """Case 3: channel-sharded channelizer chain, branch all_gather
     across processes."""
@@ -191,6 +230,18 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
     attempt("channelizer_c8_cross_process_all_gather",
             f"case 3 (c={ndev})",
             lambda: _case_channel_sharded(mesh_c))
+    # Shared checkpoint dir: all processes must agree on the path (the
+    # coordinator port is the job-unique token they all hold).
+    tmpdir = os.path.join("/tmp", "rr_fake_cluster_"
+                          + coordinator.rsplit(":", 1)[-1])
+    if process_id == 0:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        os.makedirs(tmpdir, exist_ok=True)
+    mp.all_processes_ok(True)  # barrier: dir ready before any save
+    attempt("orbax_distributed_checkpoint_resume",
+            f"case 4 (t={ndev} orbax ckpt/resume)",
+            lambda: _case_distributed_checkpoint(mesh_t, ndev, tmpdir))
     ok = mp.all_processes_ok(ok)
     if process_id == 0:
         art = {"ok": ok, "num_processes": num_processes,
