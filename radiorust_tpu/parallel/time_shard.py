@@ -550,6 +550,61 @@ class TimeShardedChain:
     def params(self):
         return self.bound.params
 
+    @params.setter
+    def params(self, value):
+        self.bound.params = value
+
+    @property
+    def blocks(self):
+        """The wrapped chain's bound blocks (typed-setter surface —
+        ``RuntimeBlock._map_blocks`` walks these)."""
+        return self.bound.blocks
+
+    @property
+    def valid_from(self):
+        """Zero-primed warmup length in output samples — the group's
+        warmup equals the chain's (history priming happens once, at the
+        head of the stream, regardless of how chunks split over
+        devices)."""
+        return self.bound.valid_from
+
+    def group_sigs(self):
+        """The group-level (D-chunk) stream signatures this executor
+        consumes/produces per step."""
+        from ..blocks.base import StreamSig
+        d = self.t_devices
+        i, o = self.in_sig, self.out_sig
+        return (StreamSig(i.batch, d * i.chunk_len, i.sample_rate),
+                StreamSig(o.batch, d * o.chunk_len, o.sample_rate))
+
+    def jit_step(self):
+        """Wire-safe group step for live serving (``RuntimeBlock(...,
+        shard="time")``): same calling convention as
+        ``blocks.base.jit_step`` over the GROUP signature.  ``reset`` is
+        all-or-nothing — any True reinitializes every stream's carry
+        before the group (the actor's pending-reset flag is per-actor;
+        the sharded handlers carry no per-stream reset plumbing)."""
+        from ..blocks.base import pack_wire, unpack_wire
+        # Initial state enters as wire-format f32 planes and is rebuilt
+        # inside the program — complex constants/arguments are off-limits
+        # on the relay backend (CLAUDE.md rules 1/3).
+        init_packed = pack_wire(self.init_state())
+
+        @jax.jit
+        def step(pp, ps, px, reset):
+            params = unpack_wire(pp)
+            state = unpack_wire(ps)
+            x = unpack_wire(px)
+            init = unpack_wire(jax.tree.map(jnp.asarray, init_packed))
+            any_r = jnp.any(reset)
+            state = jax.tree.map(
+                lambda s, i: jnp.where(any_r, jnp.asarray(i, s.dtype), s),
+                state, init)
+            new_state, y = self.process(params, state, x)
+            return pack_wire(new_state), pack_wire(y)
+
+        return step
+
     def process(self, params, state, x_big):
         # The adapter's node 0 (the graph input) carries () params/state.
         new_state, ys = self._graph.process(

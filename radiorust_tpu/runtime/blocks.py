@@ -151,11 +151,19 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         #   the whole mesh (parallel.channel_shard.ChannelShardedChain).
         #   Falls back to the single-device program if the bound chain
         #   cannot channel-shard.
-        if shard not in ("streams", "channels"):
-            raise ValueError(f"shard must be 'streams' or 'channels', "
-                             f"got {shard!r}")
-        if shard == "channels" and mesh is None:
-            raise ValueError("shard='channels' requires a mesh")
+        # - shard="time": ONE stream (or a small batch) served by the
+        #   whole mesh via sequence parallelism — each incoming chunk of
+        #   D*chunk_len samples splits into D consecutive device chunks
+        #   with ppermute halo exchange (parallel.time_shard.
+        #   TimeShardedChain), the single-stream speedup regime
+        #   (docs/SCALING.md efficiency table).  Falls back to the
+        #   single-device program when the chunk length does not divide
+        #   or a block cannot time-shard.
+        if shard not in ("streams", "channels", "time"):
+            raise ValueError(f"shard must be 'streams', 'channels' or "
+                             f"'time', got {shard!r}")
+        if shard in ("channels", "time") and mesh is None:
+            raise ValueError(f"shard={shard!r} requires a mesh")
         self.shard = shard
         self.mesh = mesh
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
@@ -213,6 +221,27 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 except ValueError as e:
                     logging.getLogger(__name__).warning(
                         "%s: cannot channel-shard (%s); using the "
+                        "single-device program", self.name, e)
+                    bound._jit = jit_step(bound)
+            elif self.mesh is not None and self.shard == "time":
+                from ..parallel.time_shard import TimeShardedChain
+                d = self.mesh.shape[self.mesh_axis]
+                try:
+                    if chunk_len % d:
+                        raise ValueError(
+                            f"chunk {chunk_len} not divisible by the "
+                            f"time axis ({d} devices)")
+                    inner = self.spec.bind(
+                        StreamSig(batch, chunk_len // d, sample_rate))
+                    ts = TimeShardedChain(inner, self.mesh,
+                                          t_axis=self.mesh_axis)
+                    ts._jit = ts.jit_step()
+                    # The actor consumes/produces GROUP chunks.
+                    ts.in_sig, ts.out_sig = ts.group_sigs()
+                    bound = ts
+                except (ValueError, NotImplementedError) as e:
+                    logging.getLogger(__name__).warning(
+                        "%s: cannot time-shard (%s); using the "
                         "single-device program", self.name, e)
                     bound._jit = jit_step(bound)
             elif (self.mesh is not None

@@ -499,6 +499,74 @@ def test_runtime_block_mesh_serving_matches_unsharded():
         np.testing.assert_allclose(g, w, atol=5e-4)
 
 
+def test_runtime_block_time_shard_serving_matches_unsharded():
+    """RuntimeBlock(mesh=..., shard="time"): one stream served by the
+    whole mesh — each D*chunk_len group chunk splits into D consecutive
+    device chunks with halo exchange.  Values match the plain actor fed
+    the same groups; live set_gain retunes mid-stream; a chunk length
+    that does not divide the mesh falls back."""
+    import asyncio
+
+    import jax
+
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    d, n, steps = 8, 1024, 3
+    # Smooth FM input (demod of noise is chaotic through warmup).
+    xs = make_iq(steps * d, 2, n, seed=31)          # [steps*d, 2, n]
+
+    async def drive(mesh, spec=None, chunks=None, rate=1024000.0,
+                    retune_at=None):
+        sender, connector = new_sender()
+        kw = {"mesh": mesh, "shard": "time"} if mesh is not None else {}
+        blk = RuntimeBlock(spec or wfm_receiver(), **kw)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for t in range(len(chunks)):
+            if retune_at == t:
+                blk.set_gain(0.25)
+            await sender.send(Samples(rate, chunks[t]))
+        for _ in range(2400):
+            if len(sink.chunks) >= len(chunks):
+                break
+            await asyncio.sleep(0.025)
+        return np.concatenate(sink.chunks, axis=-1)
+
+    # The time-sharded actor consumes GROUP chunks of d per-device
+    # chunks; the reference actor consumes the same stream chunk by
+    # chunk — identical chain binding (chunk_len = n on both sides, so
+    # identical filter designs), identical samples.  set_gain lands at
+    # the same stream position (group boundary = d chunk boundary).
+    groups = [np.concatenate([xs[g * d + i] for i in range(d)], axis=-1)
+              for g in range(steps)]
+    mesh = jax.make_mesh((8,), ("t",))
+    # set_gain before streaming proves the typed setter routes into the
+    # TimeShardedChain's params (mid-stream retune timing vs in-flight
+    # chunks is covered by the dedicated retune tests).
+    got = asyncio.run(drive(mesh, chunks=groups, retune_at=0))
+    want = asyncio.run(drive(None, chunks=list(xs), retune_at=0))
+    assert got.shape == want.shape
+    out_n = got.shape[-1] // (steps * d)
+    # First two output chunks are zero-primed warmup through the chaotic
+    # arctan2 (same guard as the dryrun); steady state must match.
+    np.testing.assert_allclose(got[:, 2 * out_n:], want[:, 2 * out_n:],
+                               atol=5e-4)
+
+    # A chain time sharding rejects (SlewRateLimiter's sequential clamp)
+    # falls back to the single-device program instead of crashing.
+    from radiorust_tpu.models.morse_tx import morse_audio_chain
+    env = [np.ones((2, 512), np.complex64)] * 2
+    got_fb = asyncio.run(drive(mesh, spec=morse_audio_chain(),
+                               chunks=env, rate=48000.0))
+    want_fb = asyncio.run(drive(None, spec=morse_audio_chain(),
+                                chunks=env, rate=48000.0))
+    np.testing.assert_allclose(got_fb, want_fb, atol=5e-4)
+
+
 def test_sharded_pair_packed_local_batch_constraint():
     """Pair-packed fused kernels (FmDemodFilter) need an even *local*
     batch: jit_step_sharded refuses a split that leaves an odd per-device
