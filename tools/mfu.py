@@ -72,9 +72,12 @@ def _configs():
     # fallback re-exec); defaults match bench.py's defaults.
     wfm_f = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
     wfm_fd = os.environ.get("BENCH_FUSE_DEMOD", "1") == "1"
+    from radiorust_tpu.models.stereo import wfm_stereo_receiver
     return {
         "wfm": (wfm_receiver(fuse_frontend=wfm_f, fuse_demod=wfm_fd),
                 WFM_INPUT_CHUNK, WFM_INPUT_RATE),
+        "stereo": (wfm_stereo_receiver(), WFM_INPUT_CHUNK,
+                   WFM_INPUT_RATE),
         "wfm_unfused": (wfm_receiver(), WFM_INPUT_CHUNK, WFM_INPUT_RATE),
         "morse": (morse_audio_chain(), 4096, 48000.0),
         "morse_rf": (morse_rf_chain(), 4096, 128000.0),
@@ -101,10 +104,36 @@ def _flops(fn, *args) -> float:
 
 
 def analyze(name, chain, n, rate, batch):
-    bound = chain.bind(StreamSig(batch, n, rate))
+    from radiorust_tpu.blocks.graph import Graph
+    is_graph = isinstance(chain, Graph)
+    sig = StreamSig(batch, n, rate)
+    bound = chain.bind({"iq": sig} if is_graph else sig)
     rng = np.random.default_rng(7)
     x = (rng.standard_normal((batch, n))
          + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+
+    if is_graph:
+        # DAG models (stereo): whole-graph totals only (fan-out reuse
+        # makes per-node IO accounting double-count shared values).
+        total_flops = _flops(lambda p, st, xs: bound.process(p, st, xs),
+                             bound.params, bound.init_state(), {"iq": x})
+        st = bound.init_state()
+        _, y = jax.jit(bound.process)(bound.params, st, {"iq": x})
+        total_bytes = (_nbytes(x) + _nbytes(st) * 2
+                       + _nbytes(bound.params) + _nbytes(y))
+        in_samples = batch * n
+        return {
+            "config": name, "batch": batch, "chunk": n,
+            "flops_per_step": total_flops,
+            "flops_per_input_sample": total_flops / in_samples,
+            "hbm_bytes_per_step": total_bytes,
+            "hbm_bytes_per_input_sample": total_bytes / in_samples,
+            "arithmetic_intensity": total_flops / max(total_bytes, 1),
+            "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+            "peak_hbm_gbps": PEAK_HBM_GBPS,
+            "matmul_precision": os.environ["RRTPU_MATMUL_PRECISION"],
+            "stages": [],
+        }
 
     stages = []
     blocks = getattr(bound, "blocks", None)
