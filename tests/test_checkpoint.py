@@ -475,3 +475,50 @@ def test_sharded_checkpoint_roundtrip_time_mesh(tmp_path):
         s1, y1 = ts.process(ts.params, s1, x)
         s2, y2 = ts.process(ts.params, s2, x)
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_sharded_checkpoint_scale_down_migration(tmp_path):
+    # Scale-down migration: a checkpoint written by the 8-device
+    # time-sharded executor restores onto a SINGLE device (mesh=None)
+    # and the plain sequential scan continues — time-shard state is
+    # mesh-agnostic (sharding is a property of the program, not the
+    # state), so deployments move between topologies.  Same-executor
+    # resume is bit-exact (tests above); ACROSS executors the programs
+    # differ in XLA fusion/fma rounding, so the continuation agrees to
+    # f32 ulps, like every sharded-vs-sequential comparison.
+    import jax
+
+    from radiorust_tpu.blocks.base import pack_wire, unpack_wire
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    mesh = jax.make_mesh((8,), ("t",))
+    n = 2048
+    sig = StreamSig(2, n, 1024000.0)
+    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh)
+    rng = np.random.default_rng(4)
+    xs = [(rng.standard_normal((2, 8 * n))
+           + 1j * rng.standard_normal((2, 8 * n))).astype(np.complex64)
+          for _ in range(3)]
+
+    st = ts.init_state()
+    for x in xs[:2]:
+        st, _ = ts.process(ts.params, st, x)
+    st, y_want = ts.process(ts.params, st, xs[2])
+    path = str(tmp_path / "migrate_ckpt")
+    # (save happens from the pre-final state in a real migration; redo)
+    st2 = ts.init_state()
+    for x in xs[:2]:
+        st2, _ = ts.process(ts.params, st2, x)
+    save_sharded(path, st2)
+
+    bound = wfm_receiver().bind(sig)
+    st_seq = load_sharded(path, bound.init_state())
+    outs = []
+    for k in range(8):  # the group = 8 sequential chunks
+        st_seq, y = bound.process(bound.params, st_seq,
+                                  xs[2][:, k * n:(k + 1) * n],
+                                  np.zeros((2,), bool))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=-1),
+                               np.asarray(y_want), atol=1e-5)
