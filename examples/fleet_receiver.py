@@ -124,11 +124,39 @@ def wideband(mesh):
           f"channels (64-ch PFB, channel axis sharded)")
 
 
+async def single_stream_time_sharded(mesh):
+    """ONE stream served by the whole mesh: ``shard="time"`` splits each
+    group chunk of D*chunk_len samples into D consecutive device chunks
+    with halo exchange (the single-stream speedup axis — ~92% predicted
+    efficiency at batch 1, docs/SCALING.md)."""
+    d = len(mesh.devices.flat)
+    tone = 1200.0
+    x = fm_modulate(tone, WFM_INPUT_RATE, STEPS * d * CHUNK, 75000.0)
+    groups = x.reshape(STEPS, 1, d * CHUNK)
+
+    sender, connector = new_sender()
+    rx = RuntimeBlock(wfm_receiver(), mesh=mesh, shard="time",
+                      name="single")
+    sink = ArraySink()
+    rx.feed_from(type("P", (), {"sender_connector": connector})())
+    sink.feed_from(rx)
+    for s in range(STEPS):
+        await sender.send(Samples(WFM_INPUT_RATE, groups[s]))
+    await wait_until(lambda: len(sink.chunks) >= STEPS, rx, sink)
+
+    audio = np.concatenate(sink.chunks, axis=-1).real[0]
+    got = dominant_tone(audio[CHUNK // 8:], sink.sample_rate)
+    ok = abs(got - tone) < sink.sample_rate / audio.size * 4
+    print(f"single stream: tone {got:.0f} Hz recovered "
+          f"({'ok' if ok else 'WRONG'}; {d} devices, time axis sharded)")
+
+
 def main():
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("streams",))
     asyncio.run(serve_fleet(mesh))
     wideband(Mesh(np.array(devs), ("c",)))
+    asyncio.run(single_stream_time_sharded(Mesh(np.array(devs), ("t",))))
 
 
 if __name__ == "__main__":

@@ -291,3 +291,4 @@ def test_fleet_receiver_example_runs():
     assert out.returncode == 0, out.stderr
     assert "fleet: 16/16" in out.stdout
     assert "wideband: 3/3" in out.stdout
+    assert "Hz recovered (ok" in out.stdout  # time-sharded single stream
