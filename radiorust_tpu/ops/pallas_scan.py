@@ -1,14 +1,17 @@
 """Pallas sequential-scan kernels for per-sample feedback recurrences.
 
-``SlewRateLimiter`` (reference ``src/blocks/filters.rs:338-349``) and the
-feedback ``AgcControl`` loop are true per-sample recurrences: each output
-feeds the next step's clamp, so there is no associative form and no
-log-depth parallelization (the per-step map composes into ever-growing
-min-max trees).  On the XLA path they run as ``lax.scan`` over samples —
-correct, but every scan iteration pays XLA's loop machinery (bounds
-checks, buffer rotation, fusion boundaries), which dominated the morse
-BASELINE config (~100 cycles/sample measured; the arithmetic itself is
-~10 VPU ops).
+``SlewRateLimiter`` (reference ``src/blocks/filters.rs:338-349``) is a
+true per-sample recurrence: each output feeds the next clamp, and the
+complex clamp has no O(1) associative form (the per-step map composes
+into ever-growing min-max trees), so some sequential sample loop is
+unavoidable.  On the XLA path it runs as ``lax.scan``; this kernel wins
+~1.7x at identical math by removing XLA's per-iteration loop machinery,
+and a further 1.45x by shortening the serial critical path to a single
+transcendental (the rsqrt clamp form) — on-chip A/B in tools/exp_scan.py,
+875 -> 2218 Msps total.  (``agc_scan`` is the sequential AGC analog,
+kept for the A/B; the shipping AgcControl instead uses an exact
+log-depth clamped-affine associative_scan, which beat every sequential
+form — blocks/transform.py.)
 
 These kernels run the whole sample loop *inside* one Pallas program:
 
@@ -25,10 +28,10 @@ These kernels run the whole sample loop *inside* one Pallas program:
   unroll; Mosaic supports only unroll=1/full) — mirroring the
   measured-best ``lax.scan(unroll=8)`` on the XLA path.
 
-The kernels are numerically the oracle recurrence in f32 (same
-``where(norm > limit, limit / norm, 1)`` guard as the scan path; division
-and ``sqrt`` rather than ``rsqrt`` to match the XLA path bit-for-bit in
-the common case).  Off-TPU they run in the Pallas interpreter via
+The kernels are numerically the oracle recurrence in f32; the shipping
+slew path uses the rsqrt form (oracle tests hold at 1e-5, on-chip
+validation at 3.5e-6 — VALIDATE_r03.json), with the sqrt/divide form
+kept for bit-parity A/B.  Off-TPU they run in the Pallas interpreter via
 ``ops.mxu.pallas_call`` like every other kernel module.
 """
 
@@ -109,7 +112,7 @@ def _scan_kernel(step, n_carry, nt, TT, refs):
             co[...] = c
 
 
-def _run_scan(step, n_carry, n_scalars, xr, xi, carries, scalars):
+def _run_scan(step, n_carry, xr, xi, carries, scalars):
     """Drive a per-sample recurrence kernel over ``[B, T]`` f32 planes.
 
     ``carries``: tuple of ``[B]`` f32 state vectors.  Returns
@@ -189,10 +192,10 @@ def slew_scan(xr, xi, prev_r, prev_i, max_diff, rsqrt: bool = False):
     """SlewRateLimiter over ``[B, T]`` f32 planes; carry = prev sample."""
     if rsqrt:
         yr, yi, (pr, pi) = _run_scan(
-            _slew_step_rsqrt, 2, 2, xr, xi, (prev_r, prev_i),
+            _slew_step_rsqrt, 2, xr, xi, (prev_r, prev_i),
             (max_diff, max_diff * max_diff))
     else:
-        yr, yi, (pr, pi) = _run_scan(_slew_step, 2, 1, xr, xi,
+        yr, yi, (pr, pi) = _run_scan(_slew_step, 2, xr, xi,
                                      (prev_r, prev_i), (max_diff,))
     return yr, yi, pr, pi
 
@@ -217,6 +220,6 @@ def agc_scan(xr, xi, gain, rate, reference, max_gain):
     (1961 vs 2562 Msps on-chip, tools/exp_scan.py) — the shipping
     AgcControl uses the scan; this kernel is kept as the measured
     sequential alternative and for the exp_scan A/B."""
-    yr, yi, (g,) = _run_scan(_agc_step, 1, 3, xr, xi, (gain,),
+    yr, yi, (g,) = _run_scan(_agc_step, 1, xr, xi, (gain,),
                              (rate, reference, max_gain))
     return yr, yi, g
