@@ -209,6 +209,12 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
         nonlocal ok
         try:
             fn()
+            # Failure-path drill (tests/test_multiprocess.py): raise in
+            # ONE process only, after the case's collectives completed —
+            # the job must still converge on a joint ok=false verdict.
+            if (os.environ.get("FAKE_CLUSTER_FAIL") == name
+                    and process_id == 1):
+                raise RuntimeError("injected failure (test)")
             cases.append(name)
             print(f"[p{process_id}] {desc} ok", flush=True)
         except Exception as e:  # noqa: BLE001 - verdict is the artifact
@@ -243,6 +249,10 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
             f"case 4 (t={ndev} orbax ckpt/resume)",
             lambda: _case_distributed_checkpoint(mesh_t, ndev, tmpdir))
     ok = mp.all_processes_ok(ok)
+    if os.environ.get("FAKE_CLUSTER_FAIL"):
+        # Failure drill: report the joint verdict via exit codes only —
+        # never overwrite the real artifact with an injected failure.
+        return 0 if ok else 1
     if process_id == 0:
         art = {"ok": ok, "num_processes": num_processes,
                "global_devices": ndev, "cases": cases,
