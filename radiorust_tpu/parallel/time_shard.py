@@ -716,6 +716,35 @@ class TimeShardedGraph:
     def params(self):
         return self.bound.params
 
+    @params.setter
+    def params(self, value):
+        self.bound.params = value
+
+    @property
+    def blocks(self):
+        """Aligned node list (``None`` for graph inputs) — the typed
+        setters' walk surface (``RuntimeBlock._map_blocks`` /
+        ``set_shift``), aligned with the params/state tuples."""
+        return self.bound.bound
+
+    @property
+    def valid_from(self):
+        """Per-output zero-primed warmup lengths (output samples;
+        mesh-independent — history priming happens once at the head of
+        the stream regardless of how chunks split over devices)."""
+        return self.bound.valid_from
+
+    def group_sigs(self):
+        """Group-level (D-chunk) input/output signature dicts."""
+        from ..blocks.base import StreamSig
+        d = self.t_devices
+
+        def grp(sigs):
+            return {k: StreamSig(s.batch, d * s.chunk_len, s.sample_rate)
+                    for k, s in sigs.items()}
+
+        return grp(self.bound.in_sigs), grp(self.bound.out_sigs)
+
     def set_shift(self, state, shift: float):
         """Phase-continuous mid-stream retune over the DAG's nodes (see
         :meth:`TimeShardedChain.set_shift`); input nodes pass through."""

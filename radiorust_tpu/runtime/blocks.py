@@ -659,7 +659,7 @@ class RuntimeGraph(RuntimeBlock):
 
     def __init__(self, graph_spec, name: Optional[str] = None,
                  pipeline_depth: int = 0, mesh=None,
-                 mesh_axis: Optional[str] = None):
+                 mesh_axis: Optional[str] = None, shard: str = "streams"):
         from ..utils.profiling import GLOBAL_STATS
         if len(graph_spec._inputs) != 1:
             raise ValueError("RuntimeGraph wraps single-input graphs; "
@@ -669,7 +669,15 @@ class RuntimeGraph(RuntimeBlock):
         self.name = name or "RuntimeGraph"
         self.stats = GLOBAL_STATS.unique(self.name)
         self.pipeline_depth = pipeline_depth
-        self.shard = "streams"   # graphs shard the stream axis only
+        # Graphs serve on the stream axis (default) or time-sharded
+        # (shard="time": one stream, whole mesh, D*chunk_len group
+        # chunks — the DAG analog of RuntimeBlock's time mode).
+        if shard not in ("streams", "time"):
+            raise ValueError(f"RuntimeGraph shard must be 'streams' or "
+                             f"'time', got {shard!r}")
+        if shard == "time" and mesh is None:
+            raise ValueError("shard='time' requires a mesh")
+        self.shard = shard
         self.mesh = mesh
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         self._init_actor_fields()
@@ -699,11 +707,18 @@ class RuntimeGraph(RuntimeBlock):
         bound = self._bindings.get(key)
         if bound is None:
             from ..blocks.base import pack_wire, unpack_wire
+            if self.mesh is not None and self.shard == "time":
+                tsg = self._bind_time_sharded(chunk_len, sample_rate,
+                                              batch)
+                if tsg is not None:
+                    self._bindings[key] = tsg
+                    return tsg
+                # else: logged fallback to the single-device program.
             bg = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
             in_name = next(iter(bg.in_sigs))
 
             process = bg.process
-            if (self.mesh is not None
+            if (self.mesh is not None and self.shard == "streams"
                     and bg.shard_batch_ok(
                         self.mesh.shape[self.mesh_axis])):
                 # Data-parallel serving over the mesh: stream-batch dim of
@@ -726,6 +741,54 @@ class RuntimeGraph(RuntimeBlock):
             bg._jit = step
             self._bindings[key] = bg
         return self._bindings[key]
+
+    def _bind_time_sharded(self, chunk_len: int, sample_rate: float,
+                           batch: int):
+        """shard="time" binding: the DAG runs time-sharded over the mesh
+        (one group chunk of D per-device chunks per step).  Returns None
+        (with a logged warning) when the chunk length does not divide or
+        a node cannot time-shard — the caller falls back."""
+        import jax.numpy as jnp
+
+        from ..blocks.base import StreamSig, pack_wire, unpack_wire
+        from ..parallel.time_shard import TimeShardedGraph
+        d = self.mesh.shape[self.mesh_axis]
+        try:
+            if chunk_len % d:
+                raise ValueError(f"chunk {chunk_len} not divisible by "
+                                 f"the time axis ({d} devices)")
+            inner = self.spec.bind(
+                StreamSig(batch, chunk_len // d, sample_rate))
+            tsg = TimeShardedGraph(inner, self.mesh,
+                                   t_axis=self.mesh_axis)
+        except (ValueError, NotImplementedError) as e:
+            logging.getLogger(__name__).warning(
+                "%s: cannot time-shard (%s); using the single-device "
+                "program", self.name, e)
+            return None
+        in_name = next(iter(tsg.in_sigs))
+        # The actor consumes/produces GROUP chunks.
+        tsg.in_sigs, tsg.out_sigs = tsg.group_sigs()
+        init_packed = pack_wire(tsg.init_state())
+
+        @jax.jit
+        def step(pp, ps, px, reset):
+            params = unpack_wire(pp)
+            state = unpack_wire(ps)
+            x = unpack_wire(px)
+            # All-or-nothing reset, rebuilt from packed planes (complex
+            # constants/arguments are off-limits on the relay backend).
+            init = unpack_wire(jax.tree.map(jnp.asarray, init_packed))
+            any_r = jnp.any(reset)
+            state = jax.tree.map(
+                lambda s, i: jnp.where(any_r, jnp.asarray(i, s.dtype), s),
+                state, init)
+            new_state, ys = tsg.process(params, state, {in_name: x})
+            return pack_wire(new_state), {k: pack_wire(v)
+                                          for k, v in ys.items()}
+
+        tsg._jit = step
+        return tsg
 
     # -- multi-output hooks -------------------------------------------------
 

@@ -701,6 +701,57 @@ def test_runtime_graph_mesh_serving_matches_unsharded():
         np.testing.assert_allclose(g, w, atol=5e-4)
 
 
+def test_runtime_graph_time_shard_serving_matches_unsharded():
+    """RuntimeGraph(mesh=..., shard="time"): the DAG runs time-sharded —
+    one stream, whole mesh, D*chunk_len group chunks; both named outputs
+    match the plain graph actor fed the same per-device chunks."""
+    import asyncio
+
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.runtime import ArraySink, RuntimeGraph
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    def build():
+        g = Graph()
+        src = g.input("iq")
+        mid = g.add(FreqShifter.with_shift(500.0), src)
+        g.output("filt", g.add(Filter.new(lowpass(2000.0)), mid))
+        g.output("demod", g.add(FmDemod(1500.0), mid))
+        return g
+
+    d, n, steps = 8, 256, 3
+    xs = make_iq(steps * d, 2, n, seed=17)
+
+    async def drive(mesh, chunks):
+        sender, connector = new_sender()
+        kw = {"mesh": mesh, "shard": "time"} if mesh is not None else {}
+        rg = RuntimeGraph(build(), **kw)
+        sink_f, sink_d = ArraySink(), ArraySink()
+        rg.feed_from(type("P", (), {"sender_connector": connector})())
+        sink_f.feed_from(rg.out("filt"))
+        sink_d.feed_from(rg.out("demod"))
+        for c in chunks:
+            await sender.send(Samples(8000.0, c))
+        for _ in range(1200):
+            if (len(sink_f.chunks) >= len(chunks)
+                    and len(sink_d.chunks) >= len(chunks)):
+                break
+            await asyncio.sleep(0.01)
+        assert rg.failure is None
+        return (np.concatenate(sink_f.chunks, axis=-1),
+                np.concatenate(sink_d.chunks, axis=-1))
+
+    groups = [np.concatenate([xs[g * d + i] for i in range(d)], axis=-1)
+              for g in range(steps)]
+    mesh = jax.make_mesh((8,), ("t",))
+    got_f, got_d = asyncio.run(drive(mesh, groups))
+    want_f, want_d = asyncio.run(drive(None, list(xs)))
+    np.testing.assert_allclose(got_f, want_f, atol=5e-4)
+    # Demod chunk 0 is zero-primed warmup through arctan2; skip it.
+    np.testing.assert_allclose(got_d[:, n:], want_d[:, n:], atol=5e-4)
+
+
 def test_runtime_block_mesh_wfm_fleet_matches_unsharded():
     """A 16-stream WFM fleet through one mesh-serving actor: batched
     chunks run the full receive chain sharded over the 8-device mesh and
