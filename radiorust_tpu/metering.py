@@ -135,8 +135,10 @@ def bandwidth_jax(double_percentile: float, sample_rate: float,
     n = bins.shape[-1]
     e = jnp.abs(bins) ** 2
     limit = jnp.sum(e, axis=-1) * (double_percentile / 2.0)
-    order = jnp.asarray(_bin_walk_order(n))
-    walked = e[..., order]
+    # The bin walk (_bin_walk_order) is a circular shift by ceil(n/2):
+    # an explicit roll (two slices + concat) instead of a general gather,
+    # which the TPU lowers as per-lane shuffles.
+    walked = jnp.roll(e, -((n + 1) // 2), axis=-1)
     used = (_discount_jax(walked, limit)
             + _discount_jax(walked[..., ::-1], limit))
     bw = (n - used) * (sample_rate / n)

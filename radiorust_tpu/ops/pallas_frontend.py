@@ -97,24 +97,39 @@ def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
     return kernel
 
 
+def _super_row(p: int):
+    """Window-alignment unit in lanes: 128 when p divides it (the
+    original layout), else lcm(p, 128) — e.g. p=10 -> 640-lane
+    super-rows of 64 windows each, still a whole number of 128-lane
+    vregs so every view stays lane-aligned.  None when the unit (and
+    with it the zero-padded weight slab) would get unreasonably large."""
+    import math
+    if LANES % p == 0:
+        return LANES
+    s = p // math.gcd(p, LANES) * LANES
+    return s if s <= 2048 else None
+
+
 def decimate_supported(n: int, plan) -> bool:
     """Whether a rational plan fits the lane-aligned GEMM decimator:
-    integer ``p`` dividing the 128-lane row, whole rows of outputs, a
-    downsample-style layout (``s0 == 0``, history = window minus one
-    period), and a nonzero history slab."""
-    if LANES % plan.p:
+    whole super-rows of outputs (``_super_row``), a downsample-style
+    layout (``s0 == 0``, history = window minus one period), and a
+    nonzero history slab."""
+    s = _super_row(plan.p)
+    if s is None:
         return False
-    jper = LANES // plan.p
+    wper = s // plan.p
     return (plan.s0 == 0 and plan.hist == plan.kernel.shape[-1] - plan.p
             and plan.hist > 0 and n % plan.p == 0
-            and (n // plan.p) % jper == 0)
+            and (n // plan.p) % wper == 0)
 
 
 def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
+    S = _super_row(p)
     M = n // p
-    jper = LANES // p
-    nrow = M // jper
-    padded = (nrow + slabs - 1) * LANES
+    wper = S // p
+    nsup = M // wper
+    padded = (nsup + slabs - 1) * S
 
     def kernel(*refs):
         xs = refs[:nplanes]
@@ -129,17 +144,18 @@ def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
             newhs[ix][:] = buf[:, -hist:]
             pad = jnp.pad(buf, ((0, 0), (0, padded - (hist + n))))
             acc = None
-            # Window for output m spans buf[m*p : m*p + Kw]; long windows
-            # (Kw > LANES) spill across multiple 128-lane rows, so each row
-            # of outputs pairs with the next `slabs-1` rows via split
-            # (banded) weight slabs — all lane-aligned views.
+            # Window for output m spans buf[m*p : m*p + Kw]; windows are
+            # lane-aligned per S-lane super-row, and long windows spill
+            # into the next `slabs-1` super-rows, so each super-row of
+            # outputs pairs with its successors via split (banded) weight
+            # slabs — all views whole vregs.
             for k in range(slabs):
-                Pk = pad[:, k * LANES: k * LANES + nrow * LANES].reshape(
-                    tile * nrow, LANES)
-                t = dot(Pk, w[k * LANES: (k + 1) * LANES],
+                Pk = pad[:, k * S: k * S + nsup * S].reshape(
+                    tile * nsup, S)
+                t = dot(Pk, w[k * S: (k + 1) * S],
                         (((1,), (0,)), ((), ())))
                 acc = t if acc is None else acc + t
-            outs[ix][:] = acc.reshape(tile, nrow, jper * q)
+            outs[ix][:] = acc.reshape(tile, nsup, wper * q)
 
     return kernel
 
@@ -163,11 +179,12 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
     Kw = kernel_matrix.shape[-1]
     # Layout preconditions (decimate_supported); a violating call would
     # compute silently misaligned windows, not error.
-    assert LANES % p == 0 and n % p == 0, (p, n)
-    jper = LANES // p
-    assert (n // p) % jper == 0, (n, p)
+    S = _super_row(p)
+    assert S is not None and n % p == 0, (p, n)
+    wper = S // p
+    assert (n // p) % wper == 0, (n, p)
     assert hist == Kw - p and hist > 0, (hist, Kw, p)
-    slabs = 1 + -(-(Kw - p) // LANES)
+    slabs = 1 + -(-(Kw - p) // S)
     if tile is None:
         tile = config.pallas_tile()
     tile = min(tile, b)
@@ -179,15 +196,15 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
     # params through a jit boundary); static indices, so XLA constant-folds
     # it when the taps are constants.
     wt = jnp.asarray(kernel_matrix, jnp.float32).T
-    w3 = jnp.zeros((slabs * LANES, jper * q), jnp.float32)
-    for j in range(jper):
+    w3 = jnp.zeros((slabs * S, wper * q), jnp.float32)
+    for j in range(wper):
         w3 = jax.lax.dynamic_update_slice(w3, wt, (j * p, j * q))
     M = n // p
-    nrow = M // jper
+    nsup = M // wper
     grid = (b // tile,)
     row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-    out3 = pl.BlockSpec((tile, nrow, jper * q), lambda i: (i, 0, 0),
+    out3 = pl.BlockSpec((tile, nsup, wper * q), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     results = _pallas_call(
@@ -195,7 +212,7 @@ def pallas_decimate(planes, hplanes, kernel_matrix, p: int, q: int,
         grid=grid,
         in_specs=[row(n)] * nplanes + [row(hist)] * nplanes + [vec],
         out_specs=[out3] * nplanes + [row(hist)] * nplanes,
-        out_shape=[jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((b, nsup, wper * q), jnp.float32)
                    ] * nplanes
         + [jax.ShapeDtypeStruct((b, hist), jnp.float32)] * nplanes,
     )(*planes, *hplanes, w3)

@@ -184,6 +184,9 @@ def test_fused_filter_demod_filter_matches_composition():
 @pytest.mark.parametrize("rates,n", [
     ((384000.0, 48000.0, 40000.0), 6144),   # WFM tail: 295-tap window, q=1
     ((1024000.0, 384000.0, 200000.0), 2048),  # frontend ratio: q=3
+    # bw_meter 10:1 — p does not divide 128 lanes; exercises the
+    # lcm(p,128)=640-lane super-row layout.
+    ((1024000.0, 102400.0, 50000.0), 10240),
 ])
 def test_pallas_decimate_matches_rational_fir(rates, n):
     in_rate, out_rate, bw = rates
