@@ -115,6 +115,9 @@ def level_jax(chunks: jax.Array) -> jax.Array:
 
 
 def _discount_jax(energies: jax.Array, limit: jax.Array) -> jax.Array:
+    """Reference single-direction discount (one cumsum per walk).  The
+    shipping :func:`bandwidth_jax` derives BOTH walks from one scan; this
+    form remains as its equivalence oracle (test_metering)."""
     c = jnp.cumsum(energies, axis=-1)
     full = jnp.sum(c <= limit[..., None], axis=-1)
     n = energies.shape[-1]
@@ -131,16 +134,52 @@ def _discount_jax(energies: jax.Array, limit: jax.Array) -> jax.Array:
 
 def bandwidth_jax(double_percentile: float, sample_rate: float,
                   bins: jax.Array) -> jax.Array:
-    """Occupied bandwidth per spectrum: [..., n] complex -> [...] hertz."""
+    """Occupied bandwidth per spectrum: [..., n] complex -> [...] hertz.
+
+    One prefix scan serves BOTH walk directions: with ``c`` the forward
+    cumsum of the walked energies and ``S`` the total, the reverse walk's
+    running sums are ``crev[k] = S - c[n-2-k]`` (``crev[n-1] = S``), so
+    the reverse discount needs no second cumsum and no lane reversal of
+    the spectrum — both were measured at ~100 us each per step on-chip
+    (tools/exp_metering.py).  Exact in real arithmetic; differs from a
+    literal reversed cumsum by f32 ulps (a bin whose prefix lands within
+    ~1 ulp of the limit can count differently — same caveat class as the
+    sharded Squelch threshold)."""
     n = bins.shape[-1]
     e = jnp.abs(bins) ** 2
-    limit = jnp.sum(e, axis=-1) * (double_percentile / 2.0)
+    S = jnp.sum(e, axis=-1)
+    limit = S * (double_percentile / 2.0)
     # The bin walk (_bin_walk_order) is a circular shift by ceil(n/2):
     # an explicit roll (two slices + concat) instead of a general gather,
     # which the TPU lowers as per-lane shuffles.
-    walked = jnp.roll(e, -((n + 1) // 2), axis=-1)
-    used = (_discount_jax(walked, limit)
-            + _discount_jax(walked[..., ::-1], limit))
+    w = jnp.roll(e, -((n + 1) // 2), axis=-1)
+    c = jnp.cumsum(w, axis=-1)
+
+    def take(a, idx):
+        return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+
+    # Forward walk (the original _discount on w).
+    full_f = jnp.sum(c <= limit[..., None], axis=-1)
+    prev_f = jnp.where(full_f > 0,
+                       take(c, jnp.maximum(full_f - 1, 0)), 0.0)
+    step_f = take(w, jnp.minimum(full_f, n - 1))
+    frac_f = jnp.where(full_f >= n, 0.0,
+                       (limit - prev_f) / jnp.where(step_f == 0.0, 1.0,
+                                                    step_f))
+    # Reverse walk, from the same scan: crev[k] <= limit (k <= n-2)
+    # <=> c[n-2-k] >= S - limit, plus the k = n-1 term (crev = S).
+    thresh = (S - limit)[..., None]
+    full_r = (jnp.sum(c[..., : n - 1] >= thresh, axis=-1)
+              + (S <= limit).astype(full_f.dtype))
+    prev_r = jnp.where(
+        full_r > 0,
+        S - take(c, jnp.clip(n - 1 - full_r, 0, n - 1)), 0.0)
+    step_r = take(w, jnp.clip(n - 1 - jnp.minimum(full_r, n - 1),
+                              0, n - 1))
+    frac_r = jnp.where(full_r >= n, 0.0,
+                       (limit - prev_r) / jnp.where(step_r == 0.0, 1.0,
+                                                    step_r))
+    used = (full_f + frac_f + full_r + frac_r).astype(jnp.float32)
     bw = (n - used) * (sample_rate / n)
     return jnp.maximum(bw, 0.0)
 

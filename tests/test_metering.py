@@ -108,3 +108,28 @@ def test_rescale_energy_jax_matches():
     got = np.asarray(rescale_energy_jax(7, bins.astype(np.complex64)))
     want = np.stack([rescale_energy(7, b) for b in bins])
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_bandwidth_jax_single_scan_equals_two_scan_form():
+    # The shipping bandwidth_jax derives the reverse walk from the
+    # forward cumsum (crev[k] = S - c[n-2-k]); it must equal the literal
+    # two-cumsum construction (_discount_jax on walked and reversed) up
+    # to f32 ulps on random spectra.
+    import jax.numpy as jnp
+
+    from radiorust_tpu.metering import (_bin_walk_order, _discount_jax,
+                                        bandwidth_jax)
+    rng = np.random.default_rng(9)
+    for n in (64, 257, 1024):
+        bins = (rng.standard_normal((5, n))
+                + 1j * rng.standard_normal((5, n))).astype(np.complex64)
+        # Concentrate energy so the walks terminate mid-array.
+        bins[:, n // 3: n // 3 + 8] *= 40.0
+        e = jnp.abs(jnp.asarray(bins)) ** 2
+        limit = jnp.sum(e, axis=-1) * (0.01 / 2.0)
+        w = e[..., np.asarray(_bin_walk_order(n))]
+        used2 = np.asarray(_discount_jax(w, limit)
+                           + _discount_jax(w[..., ::-1], limit))
+        got = np.asarray(bandwidth_jax(0.01, float(n), jnp.asarray(bins)))
+        want = np.maximum((n - used2) * (n / n), 0.0)
+        np.testing.assert_allclose(got, want, atol=1e-2)
