@@ -22,6 +22,7 @@ import numpy as np
 
 from .. import config
 from ..numbers import TAU
+from ..ops.cumsum import matmul_cumsum
 from .base import Block, BoundBlock, StreamSig
 
 __all__ = ["FmMod", "FmDemod"]
@@ -39,7 +40,7 @@ class _BoundFmMod(BoundBlock):
 
     def process(self, params, state, x, reset):
         increments = x.real.astype(jnp.float32) * params
-        theta = state["phase"][:, None] + jnp.cumsum(increments, axis=-1)
+        theta = state["phase"][:, None] + matmul_cumsum(increments)
         theta = jnp.mod(theta, np.float32(TAU))
         y = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
         # The reference never resets modulator phase on events

@@ -26,7 +26,8 @@ import os
 import jax
 
 __all__ = ["matmul_precision", "set_matmul_precision", "complex_mm_3mul",
-           "set_complex_mm_3mul", "pallas_tile", "set_pallas_tile"]
+           "set_complex_mm_3mul", "pallas_tile", "set_pallas_tile",
+           "cumsum_mode", "set_cumsum_mode"]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -106,6 +107,26 @@ def pallas_scan() -> bool:
 def set_pallas_scan(enabled: bool | None) -> None:
     global _pallas_scan
     _pallas_scan = enabled
+
+
+_cumsum_mode: str | None = None
+
+
+def cumsum_mode() -> str:
+    """``"matmul"`` (default) lowers long-axis prefix sums as MXU
+    triangular matmuls (:func:`radiorust_tpu.ops.cumsum.matmul_cumsum`);
+    ``"xla"`` keeps ``jnp.cumsum``'s native shift-ladder lowering
+    (trace-time; ``RRTPU_CUMSUM=xla`` for A/B ablation)."""
+    if _cumsum_mode is not None:
+        return _cumsum_mode
+    return os.environ.get("RRTPU_CUMSUM", "matmul").lower()
+
+
+def set_cumsum_mode(mode: str | None) -> None:
+    global _cumsum_mode
+    if mode is not None and mode.lower() not in ("matmul", "xla"):
+        raise ValueError(f"unknown cumsum mode {mode!r}")
+    _cumsum_mode = None if mode is None else mode.lower()
 
 
 def complex_mm_3mul() -> bool:

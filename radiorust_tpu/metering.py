@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from radiorust_tpu.ops.cumsum import matmul_cumsum
+
 __all__ = [
     "level",
     "bandwidth",
@@ -153,7 +155,7 @@ def bandwidth_jax(double_percentile: float, sample_rate: float,
     # an explicit roll (two slices + concat) instead of a general gather,
     # which the TPU lowers as per-lane shuffles.
     w = jnp.roll(e, -((n + 1) // 2), axis=-1)
-    c = jnp.cumsum(w, axis=-1)
+    c = matmul_cumsum(w)
 
     def take(a, idx):
         return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]

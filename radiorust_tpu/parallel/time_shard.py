@@ -48,6 +48,7 @@ from ..blocks import filters as _filters
 from ..blocks import frontend as _frontend
 from ..blocks import graph as _graph
 from ..blocks import modulation as _modulation
+from ..ops.cumsum import matmul_cumsum
 from ..blocks import resampling as _resampling
 from ..blocks import transform as _transform
 from ..blocks.base import BoundBlock
@@ -188,8 +189,7 @@ def _sharded_fm_mod(block, params, state, x, axis):
     d = jax.lax.axis_index(axis)
     mask = (jnp.arange(all_sums.shape[0]) < d)[:, None]
     prefix = jnp.sum(jnp.where(mask, all_sums, 0.0), axis=0)    # [batch]
-    theta = (state["phase"] + prefix)[:, None] + jnp.cumsum(increments,
-                                                            axis=-1)
+    theta = (state["phase"] + prefix)[:, None] + matmul_cumsum(increments)
     theta = jnp.mod(theta, np.float32(TAU))
     y = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
     return {"phase": theta[:, -1]}, y
