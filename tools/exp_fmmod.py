@@ -77,16 +77,22 @@ def main():
     cases = [(kind, mode) for kind in ("fmmod", "morse_rf", "bwmeter")
              for mode in ("xla", "matmul")]
     built = []
+    warms = []
     try:
+        # Build + dispatch every warm-up BEFORE the first device->host
+        # fetch (CLAUDE.md rule 4: fetches degrade later puts).  The warm
+        # call traces under `mode`; its result stays on-device for now.
         for kind, mode in cases:
             config.set_cumsum_mode(mode)
             bench, pp, ps, n = build(kind)
-            warm = float(bench(pp, ps, 0, 1))  # traces under `mode`
-            assert np.isfinite(warm) and warm > 0.0, (kind, mode, warm)
-            print(f"# warm {kind}:{mode}", flush=True)
+            warms.append(bench(pp, ps, 0, 1))
+            print(f"# dispatched warm {kind}:{mode}", flush=True)
             built.append((kind, mode, bench, pp, ps, n))
     finally:
         config.set_cumsum_mode(None)
+    for (kind, mode, *_), w in zip(built, warms):
+        warm = float(w)
+        assert np.isfinite(warm) and warm > 0.0, (kind, mode, warm)
     for kind, mode, bench, pp, ps, n in built:
         best = float("inf")
         for _ in range(3):
