@@ -8,9 +8,12 @@ is bit-identical across backends, and the synthetic program signals use
 only arange/trig — so both sides compute from the same samples; we
 compare per-chunk output energy / real-sum / imag-sum checksums.
 
-Models: wfm, wfm_fused, stereo, channelizer, channelizer_fused, am, ssb
-(VERDICT r2 item 4: the backend's bf16/precision quirks make "CPU-equal"
-a per-model question, not a given).
+Models: wfm, wfm_fused, stereo, channelizer, channelizer_fused, am, ssb,
+morse, morse_rf, bw_meter, audiopipe, wfm_tx (VERDICT r2 item 4: the
+backend's bf16/precision quirks make "CPU-equal" a per-model question,
+not a given; r3 item 1: bw_meter's single-scan bandwidth walk and FmMod's
+MXU prefix-sum integrator were rewritten and must be twinned on-chip —
+bw_meter compares the *bandwidth values in hertz* plus spectrum checksums).
 
 Run on the TPU machine:
     python tools/validate_tpu.py              # all models
@@ -56,7 +59,18 @@ def noise(batch, n, seed=0):
     return jax.lax.complex(a, b)
 
 
+def keyed_envelope(batch, n, period=1536):
+    t = jnp.arange(T * n, dtype=jnp.float32)
+    key_env = ((t // period) % 2).astype(jnp.float32)  # on/off keying
+    amp = jnp.linspace(0.6, 1.0, batch).astype(jnp.float32)
+    x = (amp[:, None] * key_env[None, :]).astype(jnp.complex64)
+    return x.reshape(batch, T, -1).swapaxes(0, 1)
+
+
 def build():
+    # Returns (bound, gen, is_graph, post).  post(y, bound) maps the
+    # chain output to extra leaves to checksum (e.g. metering values in
+    # hertz); None means checksum the output itself only.
     if MODEL in ("wfm", "wfm_fused"):
         from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK,
                                               WFM_INPUT_RATE, wfm_receiver)
@@ -64,7 +78,7 @@ def build():
         batch, n = 8, WFM_INPUT_CHUNK
         bound = wfm_receiver(fuse_frontend=f, fuse_demod=f).bind(
             StreamSig(batch, n, WFM_INPUT_RATE))
-        return bound, (lambda: noise(batch, n)), False
+        return bound, (lambda: noise(batch, n)), False, None
     if MODEL == "stereo":
         from radiorust_tpu.models.stereo import wfm_stereo_receiver
         from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK,
@@ -95,7 +109,7 @@ def build():
             return (iq[None, :] * ph[:, None]).reshape(
                 batch, T, -1).swapaxes(0, 1)
 
-        return bound, gen, True
+        return bound, gen, True, None
     if MODEL in ("channelizer", "channelizer_fused"):
         from radiorust_tpu.models.channelizer import channelized_receiver
         batch, n, rate = 2, 65536, 16384000.0
@@ -129,7 +143,7 @@ def build():
             return (x[None, :] * ph[:, None]).reshape(
                 batch, T, -1).swapaxes(0, 1)
 
-        return bound, gen, False
+        return bound, gen, False, None
     if MODEL == "morse":
         # Covers the Pallas slew-scan kernel's on-chip numerics (the
         # rsqrt clamp): a keyed envelope drives the clamp through both
@@ -137,15 +151,82 @@ def build():
         from radiorust_tpu.models.morse_tx import morse_audio_chain
         batch, n, rate = 4, 4096, 48000.0
         bound = morse_audio_chain().bind(StreamSig(batch, n, rate))
+        return bound, (lambda: keyed_envelope(batch, n)), False, None
+    if MODEL == "morse_rf":
+        # FmMod on-chip: the r3 MXU triangular-matmul phase integrator
+        # (ops/cumsum.py) modulating a keyed audio tone, with the carried
+        # phase crossing chunk boundaries.  Covers the hi/lo bf16 split's
+        # accumulation order on a real MXU vs CPU.
+        from radiorust_tpu.models.morse_tx import morse_rf_chain
+        batch, n, rate = 4, 4096, 128000.0
+        bound = morse_rf_chain().bind(StreamSig(batch, n, rate))
+        return bound, (lambda: keyed_envelope(batch, n)), False, None
+    if MODEL == "bw_meter":
+        # The r3 single-scan bandwidth walk (metering.py bandwidth_jax):
+        # compare the bandwidth values IN HERTZ plus spectrum checksums.
+        # The band must be POPULATED (tones at +5/-4 kHz inside the
+        # +-25 kHz passband) — metering an empty band walks noise bins.
+        from radiorust_tpu.models.bandwidth_meter import (
+            bandwidth_meter_chain, measure_bandwidth)
+        batch, n, rate = 4, 10240, 1024000.0
+        bound = bandwidth_meter_chain().bind(StreamSig(batch, n, rate))
 
         def gen():
-            t = jnp.arange(T * n, dtype=jnp.float32)
-            key_env = ((t // 1536) % 2).astype(jnp.float32)  # on/off keying
+            # Carrier phases as EXACT integer math: k/1024 cycles/sample
+            # -> k kHz at 1.024 Msps ((idx*k) % 1024 < 2^24, f32-exact).
+            idx = jnp.arange(T * n, dtype=jnp.int32)
+            t = idx.astype(jnp.float32) / np.float32(rate)
+            x = jnp.zeros((T * n,), jnp.complex64)
+            for k, audio, amp in ((5, 150.0, 1.0), (1024 - 4, 230.0, 0.7)):
+                carrier = ((idx * k) % 1024).astype(jnp.float32) / 1024.0
+                fm = (np.float32(0.3 * 1000.0 / audio)
+                      * (1.0 - jnp.cos(2 * np.pi * np.float32(audio) * t)))
+                th = 2 * np.pi * carrier + fm
+                x = x + amp * jnp.exp(1j * th.astype(jnp.complex64))
+            ph = jnp.exp(1j * jnp.linspace(0.0, 0.5, batch)
+                         .astype(jnp.complex64))
+            return (x[None, :] * ph[:, None]).reshape(
+                batch, T, -1).swapaxes(0, 1)
+
+        def post(y, bound):
+            return [measure_bandwidth(y, bound.out_sig.sample_rate)]
+
+        return bound, gen, False, post
+    if MODEL == "audiopipe":
+        # freq_shift -> lowpass Filter -> 2x Downsampler at 2.4 Msps
+        # (BASELINE.json config 2) — fully linear, noise input is fine.
+        from radiorust_tpu.blocks.base import Chain
+        from radiorust_tpu.blocks.filters import Filter
+        from radiorust_tpu.blocks.resampling import Downsampler
+        from radiorust_tpu.blocks.transform import FreqShifter
+
+        def lp(bins, freqs):
+            return np.where(np.abs(freqs) <= 500000.0, 1.0 + 0.0j, 0.0j)
+
+        chain = Chain(FreqShifter.with_shift(-100000.0), Filter.new(lp),
+                      Downsampler(1200000.0, 1000000.0))
+        batch, n = 4, 16384
+        bound = chain.bind(StreamSig(batch, n, 2400000.0))
+        return bound, (lambda: noise(batch, n)), False, None
+    if MODEL == "wfm_tx":
+        # Upsampler + FmMod on-chip: preemphasis -> 21.33x upsample ->
+        # FM modulate a two-tone audio signal (exact integer phases:
+        # 1 kHz = 1/48 cycles/sample, 3 kHz = 1/16, at 48 kHz).
+        from radiorust_tpu.models.wfm import wfm_transmitter
+        batch, n, rate = 4, 768, 48000.0
+        bound = wfm_transmitter().bind(StreamSig(batch, n, rate))
+
+        def gen():
+            idx = jnp.arange(T * n, dtype=jnp.int32)
+            a = (0.4 * jnp.sin(2 * np.pi * (idx % 48).astype(jnp.float32)
+                               / 48.0)
+                 + 0.2 * jnp.sin(2 * np.pi * (idx % 16).astype(jnp.float32)
+                                 / 16.0))
             amp = jnp.linspace(0.6, 1.0, batch).astype(jnp.float32)
-            x = (amp[:, None] * key_env[None, :]).astype(jnp.complex64)
+            x = (amp[:, None] * a[None, :]).astype(jnp.complex64)
             return x.reshape(batch, T, -1).swapaxes(0, 1)
 
-        return bound, gen, False
+        return bound, gen, False, None
     if MODEL in ("am", "ssb"):
         from radiorust_tpu.models.analog import (ANALOG_INPUT_CHUNK,
                                                  ANALOG_INPUT_RATE,
@@ -166,11 +247,11 @@ def build():
             return (base[None, :] * amp[:, None]).reshape(
                 batch, T, -1).swapaxes(0, 1)
 
-        return bound, gen, False
+        return bound, gen, False, None
     raise SystemExit(f"unknown model {MODEL}")
 
 
-bound, gen, is_graph = build()
+bound, gen, is_graph, post = build()
 batch = next(iter([bound.in_sigs["iq"].batch])) if is_graph \
     else bound.in_sig.batch
 
@@ -188,6 +269,8 @@ def run(pp, ps):
             st, y = bound.process(params, st, x,
                                   jnp.zeros((x.shape[0],), bool))
         leaves = jax.tree.leaves(y)
+        if post is not None:
+            leaves = leaves + jax.tree.leaves(post(y, bound))
         # Energy (strictly positive — no cancellation) plus a Rademacher
         # fingerprint: sum(y * w) with fixed +-1 weights from threefry
         # (bit-identical across backends).  |F| ~ sqrt(E*N), so the
@@ -217,7 +300,12 @@ print("CHECKSUMS", " ".join(f"{v:.8e}" for v in out.reshape(-1)))
 # (ulps amplify through atan2), tone-driven chains are smooth.
 TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "stereo": 1e-2,
        "channelizer": 1e-2, "channelizer_fused": 1e-2,
-       "am": 1e-3, "ssb": 1e-3, "morse": 1e-3}
+       "am": 1e-3, "ssb": 1e-3, "morse": 1e-3,
+       # morse_rf/wfm_tx: FmMod's carried phase accumulates cross-backend
+       # scan-order ulps over chunks; bw_meter: a prefix landing within
+       # 1 ulp of the walk limit flips one ~25 Hz bin (documented caveat).
+       "morse_rf": 1e-2, "bw_meter": 1e-2, "audiopipe": 1e-3,
+       "wfm_tx": 1e-2}
 
 
 def run_on(platform, model):
