@@ -522,3 +522,95 @@ def test_sharded_checkpoint_scale_down_migration(tmp_path):
         outs.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(outs, axis=-1),
                                np.asarray(y_want), atol=1e-5)
+
+
+def test_sharded_checkpoint_scale_up_migration(tmp_path):
+    # Scale-UP migration (the reverse of the test above): a checkpoint
+    # written by the plain SEQUENTIAL executor restores onto the 8-device
+    # time-sharded mesh and the sharded run continues — proving
+    # deployments can grow as well as shrink.  Cross-executor, so the
+    # continuation agrees to f32 ulps, not bits.
+    import jax
+
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    mesh = jax.make_mesh((8,), ("t",))
+    n = 2048
+    sig = StreamSig(2, n, 1024000.0)
+    bound = wfm_receiver().bind(sig)
+    rng = np.random.default_rng(12)
+    xs = [(rng.standard_normal((2, 8 * n))
+           + 1j * rng.standard_normal((2, 8 * n))).astype(np.complex64)
+          for _ in range(3)]
+
+    # Sequential run over the first two groups' worth of chunks; save.
+    st_seq = bound.init_state()
+    for x in xs[:2]:
+        for k in range(8):
+            st_seq, y = bound.process(bound.params, st_seq,
+                                      jnp.asarray(x[:, k * n:(k + 1) * n]),
+                                      np.zeros((2,), bool))
+    # Sequential reference continuation for the third group.
+    st_ref, outs = st_seq, []
+    for k in range(8):
+        st_ref, y = bound.process(bound.params, st_ref,
+                                  jnp.asarray(xs[2][:, k * n:(k + 1) * n]),
+                                  np.zeros((2,), bool))
+        outs.append(np.asarray(y))
+    y_want = np.concatenate(outs, axis=-1)
+
+    path = str(tmp_path / "scaleup_ckpt")
+    save_sharded(path, jax.tree.map(np.asarray, st_seq))
+
+    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh)
+    st8 = load_sharded(path, ts.init_state(), mesh=mesh)
+    _, y_got = ts.process(ts.params, st8, xs[2])
+    np.testing.assert_allclose(np.asarray(y_got), y_want, atol=1e-5)
+
+
+def test_sharded_checkpoint_channel_scale_up(tmp_path):
+    # c=4 -> c=8 migration: a channel-sharded executor's Orbax checkpoint
+    # restores onto a WIDER channel mesh (the state pytree is
+    # layout-identical — sharding is a property of the program), and the
+    # c=8 continuation matches the c=4 one.  Both executors reassociate
+    # the same chain math, so the comparison carries the channel-shard
+    # tolerance + signal-power row guard of test_channel_shard.
+    import jax
+    from jax.sharding import Mesh
+
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    from radiorust_tpu.parallel.channel_shard import ChannelShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    chain = channelized_receiver(num_channels=64, input_rate=1024000.0)
+    sig = StreamSig(2, 1024, 1024000.0)
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("c",))
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("c",))
+    cs4 = ChannelShardedChain(chain.bind(sig), mesh4, axis="c")
+    cs8 = ChannelShardedChain(chain.bind(sig), mesh8, axis="c")
+    rng = np.random.default_rng(13)
+    xs = (rng.standard_normal((4, 2, 1024))
+          + 1j * rng.standard_normal((4, 2, 1024))).astype(np.complex64)
+
+    st = cs4.init_state()
+    for x in xs[:2]:
+        st, _ = cs4.process(cs4.params, st, jnp.asarray(x))
+    # c=4 reference continuation.
+    st_ref, want = st, []
+    for x in xs[2:]:
+        st_ref, y = cs4.process(cs4.params, st_ref, jnp.asarray(x))
+        want.append(np.asarray(y))
+
+    path = str(tmp_path / "chan_scaleup_ckpt")
+    save_sharded(path, st)
+    st8 = load_sharded(path, cs8.init_state(), mesh=mesh8)
+    got = []
+    for x in xs[2:]:
+        st8, y = cs8.process(cs8.params, st8, jnp.asarray(x))
+        got.append(np.asarray(y))
+
+    power = np.abs(np.stack(want)).mean(axis=(0, 2))
+    rows = power > 1e-3
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g[rows], w[rows], atol=5e-4)
