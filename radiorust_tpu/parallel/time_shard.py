@@ -531,7 +531,7 @@ class TimeShardedChain:
     """
 
     def __init__(self, bound_chain, mesh: Mesh, t_axis: str = "t",
-                 ch_axis: Optional[str] = None):
+                 ch_axis: Optional[str] = None, overlap: int = 1):
         from ..blocks.graph import linear_bound_graph
         self.bound = bound_chain
         self.mesh = mesh
@@ -541,7 +541,8 @@ class TimeShardedChain:
         self.in_sig = bound_chain.in_sig
         self.out_sig = bound_chain.out_sig
         self._graph = TimeShardedGraph(linear_bound_graph(bound_chain),
-                                       mesh, t_axis=t_axis, ch_axis=ch_axis)
+                                       mesh, t_axis=t_axis, ch_axis=ch_axis,
+                                       overlap=overlap)
 
     def init_state(self):
         return self.bound.init_state()
@@ -645,12 +646,13 @@ class TimeShardedGraph:
     """
 
     def __init__(self, bound_graph, mesh: Mesh, t_axis: str = "t",
-                 ch_axis: Optional[str] = None):
+                 ch_axis: Optional[str] = None, overlap: int = 1):
         self.bound = bound_graph
         self.mesh = mesh
         self.t_axis = t_axis
         self.ch_axis = ch_axis
         self.t_devices = mesh.shape[t_axis]
+        self.overlap = overlap
         self.in_sigs = bound_graph.in_sigs
         self.out_sigs = bound_graph.out_sigs
         handlers = [None if b is None else _handler_for(b)
@@ -661,7 +663,7 @@ class TimeShardedGraph:
 
         t_dev = self.t_devices
 
-        def local_step(params, state, xs):
+        def run_nodes(params, state, xs):
             vals = [None] * len(bg.bound)
             new_pieces = []
             for i, b in enumerate(bg.bound):
@@ -695,6 +697,50 @@ class TimeShardedGraph:
                 return jax.lax.psum(z, taxis)
 
             carry = jax.tree.map(sel, tuple(new_pieces))
+            return carry, ys
+
+        def local_step(params, state, xs):
+            # Halo/compute overlap (SURVEY §7; VERDICT r3 item 2): with
+            # ``overlap=S`` the local batch splits into S independent
+            # sub-groups, each running the full node walk.  In one chain
+            # every halo ppermute is on the critical path (permute_i
+            # needs y_{i-1}, compute_i needs permute_i) — nothing can
+            # hide ICI time.  S independent sub-group walks give the
+            # latency-hiding scheduler compute to place between a
+            # permute-start and its -done: sub-group j's permutes ride
+            # ICI while sub-groups j±1 run their filter matmuls, so the
+            # non-overlapped halo cost drops from H to ~H/S (docs/
+            # SCALING.md table).  Per-stream rows never couple, so the
+            # split is bit-exact vs overlap=1.  State leaves are
+            # batch-major by framework convention (blocks' init_state).
+            if overlap <= 1:
+                return run_nodes(params, state, xs)
+            b = next(iter(xs.values())).shape[0]
+            if b % overlap:
+                raise ValueError(
+                    f"local batch {b} not divisible by overlap={overlap}")
+            bs = b // overlap
+
+            def cut(j):
+                def f(leaf):
+                    if leaf.shape[0] != b:
+                        raise ValueError(
+                            "state leaf not batch-major: "
+                            f"shape {leaf.shape}, batch {b}")
+                    return leaf[j * bs:(j + 1) * bs]
+                return f
+
+            carries, yss = [], []
+            for j in range(overlap):
+                sj = jax.tree.map(cut(j), state)
+                xj = {k: v[j * bs:(j + 1) * bs] for k, v in xs.items()}
+                cj, yj = run_nodes(params, sj, xj)
+                carries.append(cj)
+                yss.append(yj)
+            carry = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0),
+                                 *carries)
+            ys = {n: jnp.concatenate([y[n] for y in yss], axis=0)
+                  for n in yss[0]}
             return carry, ys
 
         x_spec = P(ch_axis, t_axis) if ch_axis else P(None, t_axis)

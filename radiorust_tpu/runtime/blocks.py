@@ -132,7 +132,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
 
     def __init__(self, spec: Block, name: Optional[str] = None,
                  pipeline_depth: int = 0, mesh=None,
-                 mesh_axis: Optional[str] = None, shard: str = "streams"):
+                 mesh_axis: Optional[str] = None, shard: str = "streams",
+                 overlap: int = 1):
         from ..utils.profiling import GLOBAL_STATS
         self.spec = spec
         self.name = name or type(spec).__name__
@@ -158,7 +159,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         #   TimeShardedChain), the single-stream speedup regime
         #   (docs/SCALING.md efficiency table).  Falls back to the
         #   single-device program when the chunk length does not divide
-        #   or a block cannot time-shard.
+        #   or a block cannot time-shard.  ``overlap=S`` enables
+        #   sub-batch software pipelining of the halo exchanges
+        #   (SCALING.md "Halo/compute overlap"; batch % S must be 0).
         if shard not in ("streams", "channels", "time"):
             raise ValueError(f"shard must be 'streams', 'channels' or "
                              f"'time', got {shard!r}")
@@ -166,6 +169,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             raise ValueError(f"shard={shard!r} requires a mesh")
         self.shard = shard
         self.mesh = mesh
+        self.overlap = overlap
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         # TPU-idiomatic pipeline parallelism: with depth d > 0 the actor
         # keeps up to d chunks' device work in flight (JAX async dispatch)
@@ -234,7 +238,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                     inner = self.spec.bind(
                         StreamSig(batch, chunk_len // d, sample_rate))
                     ts = TimeShardedChain(inner, self.mesh,
-                                          t_axis=self.mesh_axis)
+                                          t_axis=self.mesh_axis,
+                                          overlap=self.overlap)
                     ts._jit = ts.jit_step()
                     # The actor consumes/produces GROUP chunks.
                     ts.in_sig, ts.out_sig = ts.group_sigs()
@@ -659,7 +664,8 @@ class RuntimeGraph(RuntimeBlock):
 
     def __init__(self, graph_spec, name: Optional[str] = None,
                  pipeline_depth: int = 0, mesh=None,
-                 mesh_axis: Optional[str] = None, shard: str = "streams"):
+                 mesh_axis: Optional[str] = None, shard: str = "streams",
+                 overlap: int = 1):
         from ..utils.profiling import GLOBAL_STATS
         if len(graph_spec._inputs) != 1:
             raise ValueError("RuntimeGraph wraps single-input graphs; "
@@ -679,6 +685,7 @@ class RuntimeGraph(RuntimeBlock):
             raise ValueError("shard='time' requires a mesh")
         self.shard = shard
         self.mesh = mesh
+        self.overlap = overlap
         self.mesh_axis = _resolve_mesh_axis(mesh, mesh_axis)
         self._init_actor_fields()
         receiver, self.receiver_connector = new_receiver()
@@ -760,7 +767,8 @@ class RuntimeGraph(RuntimeBlock):
             inner = self.spec.bind(
                 StreamSig(batch, chunk_len // d, sample_rate))
             tsg = TimeShardedGraph(inner, self.mesh,
-                                   t_axis=self.mesh_axis)
+                                   t_axis=self.mesh_axis,
+                                   overlap=self.overlap)
         except (ValueError, NotImplementedError) as e:
             logging.getLogger(__name__).warning(
                 "%s: cannot time-shard (%s); using the single-device "

@@ -44,9 +44,11 @@ def devices():
     return d
 
 
-def run_time_sharded(chain, sig, xs, mesh, steps, t_axis="t", ch_axis=None):
+def run_time_sharded(chain, sig, xs, mesh, steps, t_axis="t", ch_axis=None,
+                     overlap=1):
     bound = chain.bind(sig)
-    ts = TimeShardedChain(bound, mesh, t_axis=t_axis, ch_axis=ch_axis)
+    ts = TimeShardedChain(bound, mesh, t_axis=t_axis, ch_axis=ch_axis,
+                          overlap=overlap)
     d = mesh.shape[t_axis]
     t, b, n = xs.shape
     assert t == steps * d
@@ -98,6 +100,37 @@ CASES = [
         GainControl(0.7),
     ), StreamSig(2, 64, 8000.0)),
 ]
+
+
+@pytest.mark.parametrize("overlap", [2, 4])
+def test_time_sharded_overlap_pipelining(devices, overlap):
+    """``overlap=S`` sub-batch software pipelining (halo/compute overlap,
+    docs/SCALING.md) must be BIT-exact vs overlap=1 — per-stream rows
+    never couple, the split only reorders independent dataflow — and
+    match sequential scanning like any sharded run."""
+    sig = StreamSig(4, 64, 8000.0)
+    chain = Chain(FreqShifter.with_shift(500.0),
+                  Filter.new(lowpass(2000.0)),
+                  FmDemod(1000.0), GainControl(2.0))
+    mesh = jax.make_mesh((4,), ("t",))
+    steps = 3
+    xs = make_iq(steps * 4, sig.batch, sig.chunk_len, seed=7)
+    base, _ = run_time_sharded(chain, sig, xs, mesh, steps)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps,
+                                  overlap=overlap)
+    np.testing.assert_array_equal(got, base)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_sharded_overlap_rejects_odd_batch(devices):
+    sig = StreamSig(3, 64, 8000.0)
+    chain = Chain(GainControl(1.0))
+    mesh = jax.make_mesh((4,), ("t",))
+    ts = TimeShardedChain(chain.bind(sig), mesh, overlap=2)
+    x = np.zeros((3, 4 * 64), np.complex64)
+    with pytest.raises(ValueError, match="not divisible by overlap"):
+        ts.process(ts.params, ts.init_state(), jnp.asarray(x))
 
 
 @pytest.mark.parametrize("name,chain,sig", CASES, ids=[c[0] for c in CASES])
@@ -519,9 +552,10 @@ def test_runtime_block_time_shard_serving_matches_unsharded():
     xs = make_iq(steps * d, 2, n, seed=31)          # [steps*d, 2, n]
 
     async def drive(mesh, spec=None, chunks=None, rate=1024000.0,
-                    retune_at=None):
+                    retune_at=None, overlap=1):
         sender, connector = new_sender()
-        kw = {"mesh": mesh, "shard": "time"} if mesh is not None else {}
+        kw = ({"mesh": mesh, "shard": "time", "overlap": overlap}
+              if mesh is not None else {})
         blk = RuntimeBlock(spec or wfm_receiver(), **kw)
         sink = ArraySink()
         blk.feed_from(type("P", (), {"sender_connector": connector})())
@@ -555,6 +589,18 @@ def test_runtime_block_time_shard_serving_matches_unsharded():
     # arctan2 (same guard as the dryrun); steady state must match.
     np.testing.assert_allclose(got[:, 2 * out_n:], want[:, 2 * out_n:],
                                atol=5e-4)
+
+    # overlap=2 sub-batch pipelining (SCALING.md halo/compute overlap):
+    # per-stream rows never couple, but batch 2 splits to sub-batches of
+    # ONE stream, where the real-output filter's pair-packed FFT falls
+    # back to its single-plane form — identical math, different (equally
+    # valid) f32 rounding, so compare within ulp-scale tolerance rather
+    # than bitwise (bitwise equality at pair-preserving sub-batches is
+    # covered by test_time_sharded_overlap_pipelining).
+    got_ov = asyncio.run(drive(mesh, chunks=groups, retune_at=0,
+                               overlap=2))
+    np.testing.assert_allclose(got_ov[:, 2 * out_n:], got[:, 2 * out_n:],
+                               atol=1e-5)
 
     # A chain time sharding rejects (SlewRateLimiter's sequential clamp)
     # falls back to the single-device program instead of crashing.

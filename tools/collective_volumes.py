@@ -41,6 +41,7 @@ _SHAPE_RE = re.compile(r"\b(pred|s8|u8|bf16|f16|s16|u16|f32|s32|u32|f64|"
 _OP_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+"
                     r"(collective-permute|all-gather|all-reduce|"
                     r"all-to-all|reduce-scatter)(?:-start)?\(")
+_OP_ALL_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([\w\-]+)(?:-start)?\(")
 
 
 def _bytes_of(dtype: str, dims: str) -> int:
@@ -73,22 +74,95 @@ def _compiled_text(jitted, *args):
     return jitted.lower(*args).compile().as_text()
 
 
+def schedule_overlap_report(hlo_text: str):
+    """Dataflow-independence of each collective in the ENTRY computation.
+
+    An async latency-hiding scheduler can only hide a collective behind
+    compute that is dataflow-INDEPENDENT of it (neither ancestor nor
+    descendant).  In a single chain every halo permute is on the critical
+    path (permute_i needs y_{i-1}; compute_i needs permute_i), so the
+    independent set is ~empty; ``TimeShardedGraph(overlap=S)`` splits the
+    batch into S independent sub-group walks exactly to create this
+    slack.  Returns a dict: per collective op, the min/mean count of
+    independent heavy ops (fusions/dots/convolutions — where the FLOPs
+    live) and the mean independent fraction of all heavy ops.
+    """
+    lines = hlo_text.splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("ENTRY"))
+    name_re = re.compile(r"^%([\w.\-]+) = ")
+    deps: dict = {}          # name -> list of operand names
+    ops: dict = {}           # name -> op kind
+    order = []
+    for raw in lines[start + 1:]:
+        line = raw.strip()
+        if line.startswith("}"):
+            break
+        m = name_re.match(line)
+        if not m:
+            continue
+        name = m.group(1)
+        mo = _OP_ALL_RE.search(line)
+        kind = mo.group(1) if mo else "?"
+        # Defs precede uses in printed HLO; filtering operand tokens to
+        # already-defined names drops computation refs (calls=%fused...).
+        operands = [o for o in re.findall(r"%([\w.\-]+)", line[m.end():])
+                    if o in deps]
+        deps[name] = operands
+        ops[name] = kind
+        order.append(name)
+    users: dict = {n: [] for n in order}
+    for n in order:
+        for o in deps[n]:
+            users[o].append(n)
+
+    def closure(seed, edges):
+        seen, stack = {seed}, [seed]
+        while stack:
+            for nxt in edges[stack.pop()]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        return seen
+
+    heavy = {n for n, k in ops.items()
+             if "fusion" in k or k in ("dot", "convolution", "custom-call")}
+    colls = [n for n, k in ops.items()
+             if k in ("collective-permute", "all-gather", "all-reduce",
+                      "all-to-all", "reduce-scatter")]
+    report: dict = {}
+    for n in colls:
+        dependent = closure(n, deps) | closure(n, users)
+        indep = len(heavy - dependent)
+        r = report.setdefault(ops[n], {"n": 0, "min": 10 ** 9, "sum": 0})
+        r["n"] += 1
+        r["min"] = min(r["min"], indep)
+        r["sum"] += indep
+    return {k: {"count": v["n"], "min_indep_heavy": v["min"],
+                "mean_indep_heavy": round(v["sum"] / v["n"], 1),
+                "mean_indep_frac": round(v["sum"] / v["n"]
+                                         / max(len(heavy), 1), 3)}
+            for k, v in report.items()}
+
+
 def _time_sharded_volumes(ts, params, state, xs):
     """The full step program — halos AND the inline carry-extraction
     psums (review r3 found the extraction originally ran as a second
     program of all-gathers, 8x the halo bytes, invisible to this tool;
-    it is now fused into the step and counted here)."""
-    return collective_volumes(
-        _compiled_text(ts._graph._sharded, params, state, xs))
+    it is now fused into the step and counted here).  Returns
+    (counts, volumes, schedule_overlap_report)."""
+    txt = _compiled_text(ts._graph._sharded, params, state, xs)
+    counts, vols = collective_volumes(txt)
+    return counts, vols, schedule_overlap_report(txt)
 
 
-def measure_time_sharded_wfm(n: int = 16384, batch: int = 1, d: int = 8):
+def measure_time_sharded_wfm(n: int = 16384, batch: int = 1, d: int = 8,
+                             overlap: int = 1):
     from radiorust_tpu.blocks.base import StreamSig
     from radiorust_tpu.models.wfm import wfm_receiver
     from radiorust_tpu.parallel.time_shard import TimeShardedChain
     mesh = jax.make_mesh((d,), ("t",))
     sig = StreamSig(batch, n, 1024000.0)
-    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh)
+    ts = TimeShardedChain(wfm_receiver().bind(sig), mesh, overlap=overlap)
     x = np.zeros((batch, d * n), np.complex64)
     return _time_sharded_volumes(ts, ((), *ts.params),
                                  ((), *ts.init_state()), {"in": x})
@@ -106,7 +180,8 @@ def measure_channel_sharded(d: int = 8):
     x = np.zeros((1, 16384), np.complex64)
     reset = np.zeros((1,), bool)
     txt = _compiled_text(cs._sharded, cs.params, cs.init_state(), x, reset)
-    return collective_volumes(txt)
+    counts, vols = collective_volumes(txt)
+    return counts, vols, schedule_overlap_report(txt)
 
 
 def measure_fused_time_sharded(d: int = 8):
@@ -128,6 +203,12 @@ def main():
         ("WFM time-sharded t=8 (batch 1, n=16384)",
          measure_time_sharded_wfm,
          "per-block halos: 2 filters + 2 resamplers + demod"),
+        ("WFM t=8 batch 8, overlap=1",
+         lambda: measure_time_sharded_wfm(batch=8),
+         "serial halos: ~0 independent compute per permute"),
+        ("WFM t=8 batch 8, overlap=4",
+         lambda: measure_time_sharded_wfm(batch=8, overlap=4),
+         "sub-batch pipelining: ~3/4 of compute independent per permute"),
         ("WFM fused Pallas t=8 (batch 2, n=16384)",
          measure_fused_time_sharded,
          "mixed-domain + demod-domain halos"),
@@ -135,18 +216,25 @@ def main():
          measure_channel_sharded,
          "branch all_gather (decimated data)"),
     ]:
-        counts, vols = fn()
+        counts, vols, sched = fn()
         total = sum(vols.values())
         detail = ", ".join(f"{op} x{counts[op]} = {vols[op]/1024:.1f} kB"
                            for op in sorted(counts))
-        rows.append((name, total, detail, note))
+        perm = sched.get("collective-permute")
+        frac = "-" if perm is None else f"{perm['mean_indep_frac']:.0%}"
+        rows.append((name, total, detail, frac, note))
         print(f"{name}\n  total {total/1024:.1f} kB/device/step"
               f"  [{detail}]  ({note})")
+        for op, r in sorted(sched.items()):
+            print(f"  {op}: x{r['count']}, independent heavy ops "
+                  f"min {r['min_indep_heavy']} mean {r['mean_indep_heavy']}"
+                  f" ({r['mean_indep_frac']:.0%} of compute hideable)")
     print()
-    print("| configuration | ICI bytes/device/step | breakdown |")
-    print("|---|---|---|")
-    for name, total, detail, note in rows:
-        print(f"| {name} | {total/1024:.1f} kB | {detail} |")
+    print("| configuration | ICI bytes/device/step | breakdown |"
+          " permute-hideable compute |")
+    print("|---|---|---|---|")
+    for name, total, detail, frac, note in rows:
+        print(f"| {name} | {total/1024:.1f} kB | {detail} | {frac} |")
 
 
 if __name__ == "__main__":
