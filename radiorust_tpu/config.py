@@ -27,7 +27,8 @@ import jax
 
 __all__ = ["matmul_precision", "set_matmul_precision", "complex_mm_3mul",
            "set_complex_mm_3mul", "pallas_tile", "set_pallas_tile",
-           "cumsum_mode", "set_cumsum_mode"]
+           "cumsum_mode", "set_cumsum_mode",
+           "filter_blockmm", "set_filter_blockmm"]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -127,6 +128,27 @@ def set_cumsum_mode(mode: str | None) -> None:
     if mode is not None and mode.lower() not in ("matmul", "xla"):
         raise ValueError(f"unknown cumsum mode {mode!r}")
     _cumsum_mode = None if mode is None else mode.lower()
+
+
+_filter_blockmm: bool | None = None
+
+
+def filter_blockmm() -> bool:
+    """Whether the fused overlap-save kernels run their complex matmuls in
+    BLOCK form: one real dot per DFT stage on [[Dr,-Di],[Di,Dr]]-structured
+    operands (doubled contraction depth, constants' bf16 hi/lo splits
+    precomputed at trace time) instead of 3-4 separate real dots with
+    in-kernel operand splitting.  Same FLOPs as the 4-mult form, 1/4 the
+    MXU dispatches, no f32 cross adds.  Trace-time; ``RRTPU_FILTER_MM=block``
+    (ignores ``RRTPU_CMM`` — the block structure subsumes it)."""
+    if _filter_blockmm is not None:
+        return _filter_blockmm
+    return os.environ.get("RRTPU_FILTER_MM", "cmm").lower() == "block"
+
+
+def set_filter_blockmm(enabled: bool | None) -> None:
+    global _filter_blockmm
+    _filter_blockmm = enabled
 
 
 def complex_mm_3mul() -> bool:

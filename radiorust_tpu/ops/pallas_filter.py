@@ -34,7 +34,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radiorust_tpu import config
-from radiorust_tpu.ops.mxu import make_dot
 
 __all__ = ["fused_overlap_save", "fused_demod_filter",
            "fused_filter_demod_filter", "response_to_grid", "response_grid",
@@ -111,6 +110,160 @@ def response_grid(response, n: int):
     return jnp.swapaxes(response.reshape(128, n1), 0, 1) / (2.0 * n)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_constants(n2x: int, mode: str) -> Tuple[np.ndarray, ...]:
+    """Block-form DFT constants: each complex factor C becomes ONE real
+    matrix with the [[Cr,-Ci],[Ci,Cr]] (left operand) or [[Cr,Ci],[-Ci,Cr]]
+    (right operand) structure, so a complex matmul is a single real dot of
+    doubled contraction depth.  In ``high`` mode the constants ship as
+    precomputed bf16 hi/lo splits (the in-kernel split of a constant is
+    wasted VPU work); otherwise as f32."""
+    n1, n2 = kernel_factors(n2x)
+    k1 = np.arange(n1)
+    d1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)
+    k2 = np.arange(n2)
+    d2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(n2)) / n2x)
+    e1t = np.conj(d1)[:, : n1 // 2].T                  # [half, k1]
+
+    def left(c):                                       # y = C @ z
+        return np.block([[c.real, -c.imag], [c.imag, c.real]])
+
+    def right(c):                                      # y = z @ C
+        return np.block([[c.real, c.imag], [-c.imag, c.real]])
+
+    blocks = (left(d1), right(d2), right(np.conj(d2)), left(e1t))
+    out = []
+    for m in blocks:
+        m = m.astype(np.float32)
+        if mode == "high":
+            hi = m.astype(jnp.bfloat16)
+            lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            out += [np.asarray(hi), np.asarray(lo)]
+        else:
+            out.append(m)
+    out += [tw.real.astype(np.float32), tw.imag.astype(np.float32)]
+    return tuple(out)
+
+
+def _os_pipeline_block(n1, n2, X, mode):
+    """Block-matrix variant of :func:`_os_pipeline`: each DFT stage is ONE
+    real dot on re/im-concatenated operands (stage 1/inverse-1 concatenate
+    planes along the contraction sublanes, stage 2/inverse-2 along lanes).
+    Same FLOPs as the 4-mult complex form, 1/4 the MXU dispatches, deeper
+    accumulation (K = 2*n1 or 2*n2), and no f32 cross-term adds."""
+    from .mxu import _split_bf16
+    half = n1 // 2
+    n = half * n2
+    base = functools.partial(jax.lax.dot_general,
+                             preferred_element_type=jnp.float32,
+                             precision=(jax.lax.Precision.DEFAULT
+                                        if mode == "high" else
+                                        jax.lax.Precision.HIGHEST
+                                        if mode == "highest" else
+                                        jax.lax.Precision.DEFAULT))
+    dn = (((1,), (0,)), ((), ()))
+
+    if mode == "high":
+        def bdot_left(c, z):                    # (chi, clo) @ z
+            chi, clo = c
+            zhi, zlo = _split_bf16(z)
+            return (base(chi, zhi, dn)
+                    + (base(chi, zlo, dn) + base(clo, zhi, dn)))
+
+        def bdot_right(z, c):                   # z @ (chi, clo)
+            chi, clo = c
+            zhi, zlo = _split_bf16(z)
+            return (base(zhi, chi, dn)
+                    + (base(zlo, chi, dn) + base(zhi, clo, dn)))
+
+        def unpack(consts):
+            (l1h, l1l, r2h, r2l, rch, rcl, e1h, e1l, twr, twi) = consts
+            return ((l1h, l1l), (r2h, r2l), (rch, rcl), (e1h, e1l),
+                    twr, twi)
+    else:
+        def bdot_left(c, z):
+            return base(c, z, dn)
+
+        def bdot_right(z, c):
+            return base(z, c, dn)
+
+        def unpack(consts):
+            l1, r2, rc, e1, twr, twi = consts
+            return l1, r2, rc, e1, twr, twi
+
+    def pipeline(zr, zi, rr, ri, *consts):
+        l1, r2, rc, e1, twr, twi = unpack(consts)
+        # Stage 1: one dot over the re/im-stacked sublanes [2n1, X*n2].
+        zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, X * n2)
+        zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, X * n2)
+        t = bdot_left(l1, jnp.concatenate([zr2, zi2], axis=0))
+        tr = t[:n1].reshape(n1, X, n2)
+        ti = t[n1:].reshape(n1, X, n2)
+        wr = twr[:, None, :]
+        wi = twi[:, None, :]
+        ur = tr * wr - ti * wi
+        ui = tr * wi + ti * wr
+        # Stage 2: one dot over re/im-stacked lanes [n1*X, 2*n2].
+        u = jnp.concatenate([ur.reshape(n1 * X, n2),
+                             ui.reshape(n1 * X, n2)], axis=1)
+        v = bdot_right(u, r2)
+        vr = v[:, :n2].reshape(n1, X, n2)
+        vi = v[:, n2:].reshape(n1, X, n2)
+        gr = rr[:, None, :]
+        gi = ri[:, None, :]
+        pr = vr * gr - vi * gi
+        pi = vr * gi + vi * gr
+        # Inverse stage 2 (conjugated factor).
+        p = jnp.concatenate([pr.reshape(n1 * X, n2),
+                             pi.reshape(n1 * X, n2)], axis=1)
+        q = bdot_right(p, rc)
+        qr = q[:, :n2].reshape(n1, X, n2)
+        qi = q[:, n2:].reshape(n1, X, n2)
+        sr = qr * wr + qi * wi
+        si = qi * wr - qr * wi
+        # Inverse stage 1, truncated to the first n samples.
+        s = jnp.concatenate([sr.reshape(n1, X * n2),
+                             si.reshape(n1, X * n2)], axis=0)
+        y = bdot_left(e1, s)
+        yr = jnp.swapaxes(y[:half].reshape(half, X, n2), 0, 1).reshape(X, n)
+        yi = jnp.swapaxes(y[half:].reshape(half, X, n2), 0, 1).reshape(X, n)
+        return yr, yi
+
+    return pipeline
+
+
+class _TransformPlan:
+    """Owns the choice between the classic complex-matmul pipeline and the
+    block-matrix pipeline (config.filter_blockmm): the constant arrays fed
+    to the kernel and the matching pipeline builder."""
+
+    def __init__(self, n2x: int, precision=None):
+        from .mxu import resolve_mode
+        self.n1, self.n2 = kernel_factors(n2x)
+        self.mode = resolve_mode(precision)
+        self.block = config.filter_blockmm()
+        self.precision = precision
+        if self.block:
+            self.consts = _block_constants(n2x, self.mode)
+        else:
+            self.consts = _factor_constants(n2x)
+
+    def const_arrays(self):
+        return [jnp.asarray(c) for c in self.consts]
+
+    def pipeline(self, X: int):
+        if self.block:
+            return _os_pipeline_block(self.n1, self.n2, X, self.mode)
+        from .mxu import make_dot
+        dot = make_dot(self.precision)
+
+        def mm(a, b):
+            return dot(a, b, (((1,), (0,)), ((), ())))
+
+        return _os_pipeline(_make_cmm(mm), self.n1, self.n2, X)
+
+
 def _os_pipeline(cmm, n1, n2, X):
     """The overlap-save transform pipeline on X packed streams: forward
     four-step DFT -> response multiply -> inverse with the stage-1
@@ -167,20 +320,16 @@ def _os_pipeline(cmm, n1, n2, X):
     return pipeline
 
 
-def _make_kernel(n1: int, n2: int, tile: int, precision=None):
+def _make_kernel(plan: "_TransformPlan", tile: int):
+    n1, n2 = plan.n1, plan.n2
     half = n1 // 2
-    n = half * n2
-    dot = make_dot(precision)
+    pipe = plan.pipeline(tile)
+    nc = len(plan.consts)
 
-    def mm(a, b):  # [m, k] @ [k, l]
-        return dot(a, b, (((1,), (0,)), ((), ())))
-
-    cmm = _make_cmm(mm)
-    pipe = _os_pipeline(cmm, n1, n2, tile)
-
-    def kernel(prevr, previ, curr, curi, rr, ri,
-               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
-               outr, outi):
+    def kernel(*refs):
+        prevr, previ, curr, curi, rr, ri = refs[:6]
+        consts = refs[6:6 + nc]
+        outr, outi = refs[6 + nc:]
         s = tile
         # Assemble [s, n1, n2] grid: prev rows then cur rows.
         xr = jnp.concatenate(
@@ -189,8 +338,7 @@ def _make_kernel(n1: int, n2: int, tile: int, precision=None):
         xi = jnp.concatenate(
             [previ[:].reshape(s, half, n2), curi[:].reshape(s, half, n2)],
             axis=1)
-        yr, yi = pipe(xr, xi, rr[:], ri[:], d1r[:], d1i[:], d2r[:], d2i[:],
-                      twr[:], twi[:], e1r[:], e1i[:])
+        yr, yi = pipe(xr, xi, rr[:], ri[:], *[c[:] for c in consts])
         outr[:] = yr
         outi[:] = yi
 
@@ -206,15 +354,14 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
     Returns (outr, outi) float32 [batch, n].
     """
     b, n = curr.shape
-    n1, n2 = kernel_factors(2 * n)
     if tile is None:
         tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
-    consts = _factor_constants(2 * n)
-    const_arrays = [jnp.asarray(c) for c in consts]
-    kernel = _make_kernel(n1, n2, tile, precision)
+    plan = _TransformPlan(2 * n, precision)
+    const_arrays = plan.const_arrays()
+    kernel = _make_kernel(plan, tile)
     grid = (b // tile,)
     stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -222,7 +369,7 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
     outr, outi = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[stream_spec] * 4 + [const_spec] * 10,
+        in_specs=[stream_spec] * 4 + [const_spec] * (2 + len(const_arrays)),
         out_specs=[stream_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
     )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
@@ -297,35 +444,32 @@ def _make_pair_filter(pipe, pair: int, n1: int, n2: int):
     return pair_filter
 
 
-def _make_demod_filter_kernel(n1: int, n2: int, tile: int, precision=None):
+def _make_demod_filter_kernel(plan: "_TransformPlan", tile: int):
     """Kernel: quadrature-demodulate the chunk, then run the overlap-save
     filter on the (real) demodulated stream with stream *pairs* packed into
     single complex transforms (exact for real impulse responses).
 
     ``tile`` must be even; the DFT stages run at tile/2 packed streams.
     """
+    n1, n2 = plan.n1, plan.n2
     half = n1 // 2
     n = half * n2
     pair = tile // 2
-    dot = make_dot(precision)
-
-    def mm(a, b):
-        return dot(a, b, (((1,), (0,)), ((), ())))
-
-    cmm = _make_cmm(mm)
-    pipe = _os_pipeline(cmm, n1, n2, pair)
+    pipe = plan.pipeline(pair)
+    nc = len(plan.consts)
     demod = _make_demod(tile, n)
     pair_filter = _make_pair_filter(pipe, pair, n1, n2)
 
-    def kernel(curr, curi, plr, pli, prevd, lastout, havep, fac, rr, ri,
-               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
-               out, dout):
+    def kernel(*refs):
+        (curr, curi, plr, pli, prevd, lastout, havep, fac,
+         rr, ri) = refs[:10]
+        consts = refs[10:10 + nc]
+        out, dout = refs[10 + nc:]
         d = demod(curr[:], curi[:], plr[:], pli[:], lastout[:], havep[:],
                   fac[:])
         dout[:] = d
         out[:] = pair_filter(prevd[:], d, rr[:], ri[:],
-                             (d1r[:], d1i[:], d2r[:], d2i[:],
-                              twr[:], twi[:], e1r[:], e1i[:]))
+                             tuple(c[:] for c in consts))
 
     return kernel
 
@@ -347,16 +491,15 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     demodulated chunk for the next step's state).  Batch must be even.
     """
     b, n = curr.shape
-    n1, n2 = kernel_factors(2 * n)
     if tile is None:
         tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2
     assert b % tile == 0
-    consts = _factor_constants(2 * n)
-    const_arrays = [jnp.asarray(c) for c in consts]
-    kernel = _make_demod_filter_kernel(n1, n2, tile, precision)
+    plan = _TransformPlan(2 * n, precision)
+    const_arrays = plan.const_arrays()
+    kernel = _make_demod_filter_kernel(plan, tile)
     fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
     grid = (b // tile,)
     row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
@@ -370,7 +513,7 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
         kernel,
         grid=grid,
         in_specs=[row(n), row(n), col, col, row(n), col, col, col]
-                 + [const_spec] * 10,
+                 + [const_spec] * (2 + len(const_arrays)),
         out_specs=[out3, row(n)],
         out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
                    jax.ShapeDtypeStruct((b, n), jnp.float32)],
@@ -384,8 +527,7 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
 # Fully-merged mid-chain kernel: filter -> FM demod -> filter
 # ---------------------------------------------------------------------------
 
-def _make_filter_demod_filter_kernel(n1: int, n2: int, tile: int,
-                                     precision=None):
+def _make_filter_demod_filter_kernel(plan: "_TransformPlan", tile: int):
     """One kernel for the whole WFM mid-chain at constant rate: overlap-save
     channel filter on the complex stream, quadrature FM demod, overlap-save
     deemphasis filter on the (real) demodulated stream with stream pairs
@@ -399,26 +541,21 @@ def _make_filter_demod_filter_kernel(n1: int, n2: int, tile: int,
     is otherwise never materialized).  Extracted with a masked reduction:
     lane-offset slices are a Mosaic lowering hazard.
     """
+    n1, n2 = plan.n1, plan.n2
     half = n1 // 2
     n = half * n2
     pair = tile // 2
-    dot = make_dot(precision)
-
-    def mm(a, b):
-        return dot(a, b, (((1,), (0,)), ((), ())))
-
-    cmm = _make_cmm(mm)
-    pipe_full = _os_pipeline(cmm, n1, n2, tile)
-    pipe_pair = _os_pipeline(cmm, n1, n2, pair)
+    pipe_full = plan.pipeline(tile)
+    pipe_pair = plan.pipeline(pair)
+    nc = len(plan.consts)
     demod = _make_demod(tile, n)
     pair_filter = _make_pair_filter(pipe_pair, pair, n1, n2)
 
-    def kernel(prevr, previ, curr, curi, plr, pli, prevd, lastout, havep,
-               fac, r1r, r1i, r2r, r2i,
-               d1r, d1i, d2r, d2i, twr, twi, e1r, e1i,
-               out, dout, flr, fli):
-        consts = (d1r[:], d1i[:], d2r[:], d2i[:], twr[:], twi[:],
-                  e1r[:], e1i[:])
+    def kernel(*refs):
+        (prevr, previ, curr, curi, plr, pli, prevd, lastout, havep,
+         fac, r1r, r1i, r2r, r2i) = refs[:14]
+        consts = tuple(c[:] for c in refs[14:14 + nc])
+        out, dout, flr, fli = refs[14 + nc:]
         # --- channel filter: overlap-save on [prev || cur] (complex) ---
         xr = jnp.concatenate(
             [prevr[:].reshape(tile, half, n2),
@@ -465,16 +602,15 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
     even.
     """
     b, n = curr.shape
-    n1, n2 = kernel_factors(2 * n)
     if tile is None:
         tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2
     assert b % tile == 0
-    consts = _factor_constants(2 * n)
-    const_arrays = [jnp.asarray(c) for c in consts]
-    kernel = _make_filter_demod_filter_kernel(n1, n2, tile, precision)
+    plan = _TransformPlan(2 * n, precision)
+    const_arrays = plan.const_arrays()
+    kernel = _make_filter_demod_filter_kernel(plan, tile)
     fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
     grid = (b // tile,)
     row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
@@ -488,7 +624,7 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
         kernel,
         grid=grid,
         in_specs=[row(n)] * 4 + [col, col, row(n), col, col, col]
-                 + [const_spec] * 12,
+                 + [const_spec] * (4 + len(const_arrays)),
         out_specs=[out3, row(n), col, col],
         out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
                    jax.ShapeDtypeStruct((b, n), jnp.float32),

@@ -125,3 +125,36 @@ def test_high_mode_manual_bf16_3pass():
     for a, b in zip(base, fast):
         err = np.max(np.abs(np.asarray(a) - np.asarray(b))) / rms
         assert err < 5e-4, err
+
+
+def test_block_mm_matches_classic():
+    """config.filter_blockmm: the block-matrix pipeline (one real dot per
+    DFT stage on [[Cr,-Ci],[Ci,Cr]] operands) must match the classic
+    complex-matmul pipeline within reduction-order ulps, in both 'high'
+    (precomputed bf16 hi/lo constants) and 'highest' modes."""
+    from radiorust_tpu import config
+    rng = np.random.default_rng(11)
+    batch, n = 4, 2048
+    mk = lambda: (rng.standard_normal((batch, n))
+                  + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    prev, cur = mk(), mk()
+    resp = (rng.standard_normal(2 * n)
+            + 1j * rng.standard_normal(2 * n)).astype(np.complex64)
+    gr, gi = response_to_grid(resp)
+    args = (jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(gr), jnp.asarray(gi))
+    for prec, tol in (("highest", 1e-5), ("high", 1e-4)):
+        config.set_matmul_precision(prec)
+        try:
+            config.set_filter_blockmm(False)
+            classic = fused_overlap_save(*args)
+            config.set_filter_blockmm(True)
+            block = fused_overlap_save(*args)
+        finally:
+            config.set_filter_blockmm(None)
+            config.set_matmul_precision(None)
+        rms = float(np.sqrt(np.mean(np.square(np.asarray(classic[0])))))
+        for a, b in zip(classic, block):
+            err = np.max(np.abs(np.asarray(a) - np.asarray(b))) / rms
+            assert err < tol, (prec, err)
