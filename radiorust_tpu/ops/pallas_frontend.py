@@ -110,16 +110,28 @@ def _super_row(p: int):
     return s if s <= 2048 else None
 
 
+_W3_VMEM_BUDGET = 6 * 1024 * 1024  # bytes for the banded weight slab
+
+
 def decimate_supported(n: int, plan) -> bool:
     """Whether a rational plan fits the lane-aligned GEMM decimator:
     whole super-rows of outputs (``_super_row``), a downsample-style
-    layout (``s0 == 0``, history = window minus one period), and a
-    nonzero history slab."""
+    layout (``s0 == 0``, history = window minus one period), a nonzero
+    history slab, and a banded weight that fits VMEM.  The weight is the
+    [slabs*S, wper*q] zero-padded slab — for upsampling-heavy ratios
+    (small p, large q: wper*q lanes per super-row) it can exceed the
+    ~16 MB scoped VMEM (the WFM TX Upsampler's 64/3 plan wants a
+    [768, 8192] = 25 MB slab; found by the r4 on-chip validation run),
+    so such plans fall back to the XLA transposed-conv path."""
     s = _super_row(plan.p)
     if s is None:
         return False
     wper = s // plan.p
-    return (plan.s0 == 0 and plan.hist == plan.kernel.shape[-1] - plan.p
+    kw = plan.kernel.shape[-1]
+    slabs = 1 + -(-(kw - plan.p) // s)
+    if slabs * s * wper * plan.q * 4 > _W3_VMEM_BUDGET:
+        return False
+    return (plan.s0 == 0 and plan.hist == kw - plan.p
             and plan.hist > 0 and n % plan.p == 0
             and (n // plan.p) % wper == 0)
 

@@ -230,3 +230,146 @@ class PipelinedChain:
                 outs.append(unpack_wire(jax.device_get(y)))
         assert len(outs) == t_total, (len(outs), t_total)
         return np.stack(outs)
+
+
+class CrossProcessPipeline:
+    """Pipeline parallelism ACROSS PROCESSES (multi-host): stage *i* of a
+    bound chain runs in process *i*; chunks hop host-to-host through a
+    compiled collective permute on a one-device-per-process ``stage``
+    mesh.
+
+    :class:`PipelinedChain` is single-controller — it ``device_put``\\ s
+    chunks onto specific devices, which only works when every stage's
+    device is addressable.  On a pod, each host addresses only its own
+    chips, so the inter-stage handoff must itself be a collective: every
+    tick, all processes enter one tiny SPMD program that ppermutes a
+    ``[P, L]`` buffer of wire-packed chunks one stage to the right
+    (stage *i* -> *i+1*, the device analog of the reference's
+    capacity-1 channel hop, ``src/flow.rs:44-52``), then each process
+    runs its OWN stage's locally-jitted program on what it received.
+    Per-stage carried state never leaves its process.
+
+    Stage boundaries may change the chunk signature (resamplers,
+    channelizers): rows are zero-padded to the largest stage output's
+    packed length and re-sliced by the receiver using the chain's
+    structural binding (every process binds the full chain host-side —
+    cheap design math — but compiles only its own stage).
+
+    Warm-up bubble: stage *i* idles for the first *i* ticks (its state
+    is untouched while no valid chunk has reached it), exactly like the
+    reference's one-chunk-per-hop chain latency (``src/flow.rs:51-52``);
+    ``run`` drives ``T + P - 1`` ticks and the LAST process returns the
+    ``T`` outputs (other processes return ``None``).  v1 scope: no
+    mid-stream resets/events (use the single-host pipeline for those).
+    """
+
+    def __init__(self, bound_chain: _BoundChain,
+                 partition: Optional[Sequence[int]] = None):
+        import jax as _jax
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        self.pid = _jax.process_index()
+        nproc = _jax.process_count()
+        if nproc < 2:
+            raise ValueError("CrossProcessPipeline needs a multi-process "
+                             "job (jax.distributed.initialize)")
+        blocks = list(bound_chain.blocks)
+        if partition is None:
+            partition = balance_partition(len(blocks), nproc)
+        if len(partition) != nproc:
+            raise ValueError(f"partition {partition} must have one stage "
+                             f"per process ({nproc})")
+        self.bound = bound_chain
+        self.in_sig = bound_chain.in_sig
+        self.out_sig = bound_chain.out_sig
+        self.depth = nproc
+        # Structural binding of EVERY stage (host design math only), so
+        # each process knows each handoff's packed layout; compile only
+        # this process's stage, on its first local device.
+        bounds = []
+        i = 0
+        for cnt in partition:
+            sub = blocks[i:i + cnt]
+            bounds.append(sub[0] if len(sub) == 1 else _BoundChain(sub))
+            i += cnt
+        self._stage_out_tpl = []     # per-stage packed-output template
+        for bnd in bounds:
+            z = np.zeros((bnd.out_sig.batch, bnd.out_sig.chunk_len),
+                         np.complex64)
+            packed = pack_wire(z)
+            leaves, tdef = _jax.tree.flatten(packed)
+            self._stage_out_tpl.append(
+                (tdef, [l.shape for l in leaves],
+                 int(sum(np.prod(l.shape) for l in leaves))))
+        self._row_len = max(t[2] for t in self._stage_out_tpl)
+        self.stage = _Stage([bounds[self.pid]]
+                            if not hasattr(bounds[self.pid], "blocks")
+                            else list(bounds[self.pid].blocks),
+                            _jax.local_devices()[0])
+        # One-device-per-process handoff mesh + the shift program.
+        devs = {d.process_index: d for d in _jax.devices()}
+        mesh = Mesh(np.array([devs[p] for p in range(nproc)]), ("stage",))
+        self._sharding = NamedSharding(mesh, P("stage"))
+        perm = [(i, i + 1) for i in range(nproc - 1)]
+        self._shift = _jax.jit(_jax.shard_map(
+            lambda r: _jax.lax.ppermute(r, "stage", perm),
+            mesh=mesh, in_specs=P("stage"), out_specs=P("stage")))
+
+    def _pack_row(self, packed_out) -> np.ndarray:
+        import jax as _jax
+        leaves = _jax.tree.leaves(_jax.device_get(packed_out))
+        flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                               for l in leaves]) if leaves else \
+            np.zeros((0,), np.float32)
+        row = np.zeros((self._row_len,), np.float32)
+        row[:flat.size] = flat
+        return row
+
+    def _unpack_row(self, row: np.ndarray, stage: int):
+        import jax as _jax
+        tdef, shapes, _ = self._stage_out_tpl[stage]
+        leaves, pos = [], 0
+        for shp in shapes:
+            k = int(np.prod(shp))
+            leaves.append(row[pos:pos + k].reshape(shp))
+            pos += k
+        return unpack_wire(_jax.tree.unflatten(tdef, leaves))
+
+    def run(self, xs):
+        """Feed ``xs`` ([T, batch, chunk_len] complex, identical on every
+        process — only stage 0 consumes it), run ``T + P - 1`` ticks, and
+        return the ``T`` output chunks on the LAST process (``None``
+        elsewhere).  Every process must call this with the same T."""
+        import jax as _jax
+        t_total = len(xs)
+        pid, nproc = self.pid, self.depth
+        recv = np.zeros((self._row_len,), np.float32)
+        outs = []
+        no_reset = np.zeros((self.stage.bound.in_sig.batch,), bool)
+        for t in range(t_total + nproc - 1):
+            have = pid <= t < t_total + pid
+            if have:
+                if pid == 0:
+                    xin = np.asarray(xs[t])
+                else:
+                    xin = np.asarray(self._unpack_row(recv, pid - 1))
+                self.stage.state, py, _ = self.stage.step(
+                    self.stage.params, self.stage.state,
+                    pack_wire(xin), no_reset)
+                if pid == nproc - 1:
+                    outs.append(unpack_wire(_jax.device_get(py)))
+                row = self._pack_row(py)
+            else:
+                row = np.zeros((self._row_len,), np.float32)
+            shard = _jax.device_put(row[None, :],
+                                    _jax.local_devices()[0])
+            g = _jax.make_array_from_single_device_arrays(
+                (nproc, self._row_len), self._sharding, [shard])
+            shifted = self._shift(g)
+            recv = np.asarray(
+                next(iter(shifted.addressable_shards)).data)[0]
+        if pid == nproc - 1:
+            assert len(outs) == t_total, (len(outs), t_total)
+            return np.stack(outs)
+        return None
