@@ -229,13 +229,37 @@ class ChannelShardedChain:
 
         # The folded-batch reshape happens inside the compiled program: on
         # a multi-process mesh an eager reshape of a process-spanning
-        # array is not allowed (jax_spmd_mode='allow_jit').
+        # array is not allowed (jax_spmd_mode='allow_jit').  On the 2-D
+        # streams x channels mesh the reshape would merge TWO sharded
+        # dims ([b@s, M@c, t] -> [b*M, t]) — unsupported by sharding
+        # propagation in multi-controller jit (and ``out_sharding``
+        # demands Explicit-mode mesh axes).  Gather the channel dim
+        # within each stream row first (post-decimation data, 1/M of the
+        # input — ICI-cheap), then merge sharded-b with replicated-M,
+        # the supported case.
+        fold = self._fold()
+
         def step(params, state, x, reset):
             new_state, y3 = smapped(params, state, x, reset)
-            b = y3.shape[0]
-            return new_state, y3.reshape(b * m, y3.shape[-1])
+            b, _, t = y3.shape
+            return new_state, fold(y3).reshape(b * m, t)
 
         return jax.jit(step)
+
+    def _fold(self):
+        """Pre-fold regather for the 2-D mesh (see :meth:`_build`):
+        identity on 1-D meshes; on streams x channels, gather the channel
+        dim within each stream row.  ``jax.make_mesh`` defaults to
+        Explicit axis types (sharding-in-types) while the ``Mesh`` ctor
+        gives Auto — each needs its own regather API."""
+        if not self.stream_axis:
+            return lambda y3: y3
+        from jax.sharding import AxisType, NamedSharding
+        sh = NamedSharding(self.mesh, P(self.stream_axis, None, None))
+        idx = self.mesh.axis_names.index(self.stream_axis)
+        if self.mesh.axis_types[idx] == AxisType.Explicit:
+            return lambda y3: jax.sharding.reshard(y3, sh)
+        return lambda y3: jax.lax.with_sharding_constraint(y3, sh)
 
     def process(self, params, state, x, reset=None):
         if reset is None:
@@ -250,12 +274,13 @@ class ChannelShardedChain:
         from ..blocks.base import pack_wire, unpack_wire
         m = self.chan.m
         smapped = self._smapped
+        fold = self._fold()
 
         @jax.jit
         def step(pp, ps, px, reset):
             new_state, y3 = smapped(unpack_wire(pp), unpack_wire(ps),
                                     unpack_wire(px), reset)
             b, _, t = y3.shape
-            return pack_wire(new_state), pack_wire(y3.reshape(b * m, t))
+            return pack_wire(new_state), pack_wire(fold(y3).reshape(b * m, t))
 
         return step

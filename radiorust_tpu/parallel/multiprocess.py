@@ -88,7 +88,11 @@ def launch_local_cluster(script: str, num_processes: int = 2,
     devices and the argv tail ``--process-id I --coordinator
     127.0.0.1:PORT --num-processes N`` (parse these and call
     :func:`initialize`).  Returns ``(returncodes, outputs)``; the caller
-    decides what a nonzero code means."""
+    decides what a nonzero code means.  A worker still running when the
+    shared ``timeout`` deadline passes is killed and reported with code
+    ``None`` — a HANG verdict the failure drills assert against (a dead
+    peer must make survivors *error out*, not park in a collective)."""
+    import time as _time
     port = free_port()
     env = dict(os.environ)
     env.update(env_extra or {})
@@ -104,13 +108,20 @@ def launch_local_cluster(script: str, num_processes: int = 2,
              "--num-processes", str(num_processes)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
-    codes: List[int] = []
+    deadline = _time.monotonic() + timeout
+    codes: List[Optional[int]] = []
     outputs: List[str] = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
+            left = max(1.0, deadline - _time.monotonic())
+            try:
+                out, _ = p.communicate(timeout=left)
+                codes.append(p.returncode)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                codes.append(None)      # hang: killed by the launcher
             outputs.append(out)
-            codes.append(p.returncode)
     finally:
         for p in procs:
             if p.poll() is None:

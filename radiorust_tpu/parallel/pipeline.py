@@ -307,8 +307,14 @@ class CrossProcessPipeline:
                             if not hasattr(bounds[self.pid], "blocks")
                             else list(bounds[self.pid].blocks),
                             _jax.local_devices()[0])
-        # One-device-per-process handoff mesh + the shift program.
-        devs = {d.process_index: d for d in _jax.devices()}
+        # One-device-per-process handoff mesh + the shift program.  Must
+        # pick each process's FIRST device — the same one the stage
+        # programs and `run`'s device_puts use (a dict comprehension
+        # would keep the last, breaking make_array_from_single_device_
+        # arrays on multi-device hosts).
+        devs: dict = {}
+        for d in _jax.devices():
+            devs.setdefault(d.process_index, d)
         mesh = Mesh(np.array([devs[p] for p in range(nproc)]), ("stage",))
         self._sharding = NamedSharding(mesh, P("stage"))
         perm = [(i, i + 1) for i in range(nproc - 1)]

@@ -1,54 +1,85 @@
-"""Multi-process (fake multi-host) execution: a REAL 2-process
-``jax.distributed`` cluster (spawned subprocesses, 4 virtual CPU devices
+"""Multi-process (fake multi-host) execution: a REAL 4-process
+``jax.distributed`` cluster (spawned subprocesses, 2 virtual CPU devices
 each) runs the sharded executors over the 8-device GLOBAL mesh and
 value-checks outputs per addressable shard against sequential scans —
-cross-process ppermute halos, cross-process branch all_gather, and a
-mid-stream phase-continuous retune (tools/fake_cluster.py cases 1-3).
+cross-process ppermute halos, cross-process branch all_gather, a
+mid-stream phase-continuous retune, cross-process pipeline parallelism
+(one chain stage per host), and a 2-D streams x channels serving mesh
+(tools/fake_cluster.py cases 1-6).
 
 This is the (simulated) multi-host path BASELINE.md:29's >=85%-at-N>=2-
 hosts target runs on; the reference contract being scaled is lock-step
-chunk delivery (/root/reference/src/sync/broadcast_bp.rs:230-331).
+chunk delivery (/root/reference/src/sync/broadcast_bp.rs:230-331).  The
+failure drills scale the reference's teardown contract — a dropped peer
+must surface errors, never block forever
+(/root/reference/src/sync/broadcast_bp.rs:170-205).
 """
 
 import os
 import pathlib
 
+NPROC, LDEV = 4, 2
 
-def test_fake_cluster_two_process_global_mesh():
+
+def test_fake_cluster_four_process_global_mesh():
     from radiorust_tpu.parallel.multiprocess import launch_local_cluster
     repo = pathlib.Path(__file__).resolve().parents[1]
     codes, outputs = launch_local_cluster(
         str(repo / "tools" / "fake_cluster.py"),
-        num_processes=2, local_devices=4, timeout=800.0)
+        num_processes=NPROC, local_devices=LDEV, timeout=1100.0)
     joined = "\n".join(outputs)
-    assert codes == [0, 0], joined
+    assert codes == [0] * NPROC, joined
     assert "FAILED" not in joined, joined
-    for case in ("case 1", "case 2", "case 3", "case 4"):
+    for case in ("case 1", "case 2", "case 3", "case 4", "case 5",
+                 "case 6"):
         assert f"{case} " in joined and " ok" in joined, joined
 
 
 def test_fake_cluster_one_sided_failure_converges_not_hangs():
     """A value-check failure in ONE process must not desynchronize the
-    job's collective sequence: both workers keep executing every case's
+    job's collective sequence: all workers keep executing every case's
     collectives, converge on a joint ok=false via process_allgather, and
     exit promptly with nonzero codes (previously a one-sided bail-out
-    left the peer parked in the next case's collectives until the
+    left the peers parked in the next case's collectives until the
     launcher timeout)."""
     import time
 
     from radiorust_tpu.parallel.multiprocess import launch_local_cluster
     repo = pathlib.Path(__file__).resolve().parents[1]
-    art = (repo / "MULTIPROC_r03.json").read_bytes()
+    art = (repo / "MULTIPROC_r04.json").read_bytes()
     t0 = time.monotonic()
     codes, outputs = launch_local_cluster(
         str(repo / "tools" / "fake_cluster.py"),
-        num_processes=2, local_devices=4, timeout=600.0,
+        num_processes=NPROC, local_devices=LDEV, timeout=900.0,
         env_extra={"FAKE_CLUSTER_FAIL": "wfm_ch_across_hosts_x_t_within"})
     took = time.monotonic() - t0
     joined = "\n".join(outputs)
-    assert codes == [1, 1], (codes, joined)        # joint verdict, both
-    assert "case 2 (ch=2 x t=4) FAILED" in joined
-    assert "case 3" in joined and "case 4" in joined  # job kept going
-    assert took < 550.0, f"converged by timeout, not verdict ({took}s)"
+    assert codes == [1] * NPROC, (codes, joined)   # joint verdict, all
+    assert f"case 2 (ch={NPROC} x t={8 // NPROC}) FAILED" in joined
+    assert "case 3" in joined and "case 6" in joined  # job kept going
+    assert took < 850.0, f"converged by timeout, not verdict ({took}s)"
     # The failure drill never touches the real artifact.
-    assert (repo / "MULTIPROC_r03.json").read_bytes() == art
+    assert (repo / "MULTIPROC_r04.json").read_bytes() == art
+
+
+def test_fake_cluster_sigkilled_peer_survivors_error_out():
+    """SIGKILL one worker mid-stream (inside case 1's halo collectives):
+    the survivors must ERROR OUT of the dead peer's collectives within a
+    bounded time — exit nonzero, not hang until the launcher timeout.
+    The multi-host analog of the reference's teardown cascade
+    (/root/reference/src/sync/broadcast_bp.rs:170-205)."""
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "tools"))
+    import fake_cluster
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    art = (repo / "MULTIPROC_r04.json").read_bytes()
+    drill, outputs = fake_cluster.run_kill_drill(NPROC, LDEV,
+                                                 timeout=600.0)
+    assert drill["ok"], (drill, "\n".join(outputs))
+    assert drill["victim_code"] == -9, drill
+    assert drill["hung"] == 0, drill
+    # run_kill_drill never writes the artifact (the launcher merges the
+    # verdict separately).
+    assert (repo / "MULTIPROC_r04.json").read_bytes() == art

@@ -1,22 +1,22 @@
 """Multi-process (fake multi-host) validation of the sharded executors.
 
-Launches N identical worker processes (default 2), each owning
-``local_devices`` virtual CPU devices (default 4), joined into one JAX
+Launches N identical worker processes (default 4), each owning
+``local_devices`` virtual CPU devices (default 2), joined into one JAX
 job via ``jax.distributed.initialize`` — the honest stand-in for N TPU
 hosts in an environment with a single real chip.  The workers build
-**global** meshes spanning both processes and run the same value checks
+**global** meshes spanning all processes and run the same value checks
 as the driver's single-process dryrun (``__graft_entry__.dryrun_multichip``):
 sharded outputs are compared per addressable shard against a sequential
 scan computed locally, so a wrong cross-process halo or collective fails
 on numbers, not shapes.
 
-Cases (all on the 8-device global mesh over 2 processes):
+Cases (all on the 8-device global mesh over 4 processes):
 
 1. WFM receive chain time-sharded ``t=8`` — the ppermute halo chain
-   crosses the process boundary between devices 3 and 4 — **plus a
-   mid-stream phase-continuous ``set_shift`` retune** (the folded phase
-   state must stay consistent across processes).
-2. WFM on a ``ch=2 x t=4`` mesh with the channel (stream) axis mapped
+   crosses every process boundary — **plus a mid-stream phase-continuous
+   ``set_shift`` retune** (the folded phase state must stay consistent
+   across processes).
+2. WFM on a ``ch=4 x t=2`` mesh with the channel (stream) axis mapped
    ACROSS processes and time shards within each process — the layout
    SCALING.md prescribes for real pods (halos ride intra-host ICI).
 3. The 64-channel polyphase channelizer + per-channel FM demod,
@@ -25,15 +25,42 @@ Cases (all on the 8-device global mesh over 2 processes):
    writes only its addressable shards mid-stream, the state restores
    collectively, and the continuation is bit-exact vs the uninterrupted
    run (``utils/checkpoint.py::save_sharded/load_sharded``).
+5. Cross-process PIPELINE parallelism: stage *i* of the WFM chain runs
+   in process *i*, chunks hop host-to-host through the compiled
+   ppermute handoff (``parallel/pipeline.py::CrossProcessPipeline``);
+   the last process value-checks the drained outputs vs the sequential
+   scan.
+6. 2-D streams x channels: the channelizer fleet on an ``s=4 x c=2``
+   mesh with the *stream* (serving batch) axis across processes and the
+   channel split within each host — each device owns one
+   (stream group, channel group) tile
+   (``ChannelShardedChain(stream_axis=...)``).
+
+Failure drills (launcher-driven, never touch the artifact's case list
+directly):
+
+- ``FAKE_CLUSTER_FAIL=<case>``: raise in ONE process after that case's
+  collectives — the job must converge on a joint ok=false verdict
+  instead of deadlocking (tests/test_multiprocess.py).
+- ``FAKE_CLUSTER_KILL=<case>``: process 1 SIGKILLs itself MID-STREAM
+  inside that case — the survivors must ERROR OUT of the dead peer's
+  collectives within a bounded time, not park forever (the launcher
+  asserts exit codes: victim -9, survivors nonzero, nobody hung).  In
+  kill mode workers run STRICT (a collective error aborts the worker) —
+  with a dead peer there is no joint verdict to converge on.
 
 Run:  python tools/fake_cluster.py            (launcher mode)
-      writes MULTIPROC_r03.json on success.
+      runs the 6 cases, then the SIGKILL drill, and writes
+      MULTIPROC_r04.json on success.
 
 Reference contract being scaled: lock-step chunk delivery — every
 consumer sees every chunk exactly once, in order
 (``/root/reference/src/sync/broadcast_bp.rs:230-331``); here the
 per-shard equality against the sequential scan is that guarantee's
-compiled-SPMD form.
+compiled-SPMD form.  The kill drill is the multi-host analog of the
+reference's teardown cascade: a dropped sender poisons the channel and
+every receiver *returns an error* rather than blocking forever
+(``/root/reference/src/sync/broadcast_bp.rs:170-205``).
 """
 
 from __future__ import annotations
@@ -41,12 +68,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+ARTIFACT = os.path.join(REPO, "MULTIPROC_r04.json")
 
 
 def _fm_iq(total: int, batch: int, rate: float):
@@ -59,7 +89,19 @@ def _fm_iq(total: int, batch: int, rate: float):
     return (iq[None, :] * phases[:, None]).astype(np.complex64)
 
 
-def _case_time_sharded_wfm(mesh, t, ch_axis, retune):
+def _maybe_die(case: str, process_id: int) -> None:
+    """SIGKILL drill hook: in kill mode, process 1 dies HERE — mid-case,
+    after at least one collective step has completed, so the survivors
+    are abandoned inside the case's remaining collectives."""
+    if os.environ.get("FAKE_CLUSTER_KILL") == case and process_id == 1:
+        print(f"[p{process_id}] SIGKILL drill: dying mid-{case}",
+              flush=True)
+        sys.stdout.flush()
+        os.kill(os.getpid(), signal.SIGKILL)
+
+
+def _case_time_sharded_wfm(mesh, t, ch_axis, retune, process_id,
+                           kill_case=None):
     """Cases 1 and 2: time(+channel)-sharded WFM vs sequential scan,
     optionally with a mid-stream retune."""
     import jax
@@ -74,7 +116,7 @@ def _case_time_sharded_wfm(mesh, t, ch_axis, retune):
     n, rate, steps = 2048, 1024000.0, 3
     shift0, shift1 = 100000.0, -57000.0
     sig = StreamSig(batch, n, rate)
-    bound = chain_bound = wfm_receiver(tune_shift=shift0).bind(sig)
+    bound = wfm_receiver(tune_shift=shift0).bind(sig)
     ts = TimeShardedChain(bound, mesh, t_axis="t", ch_axis=ch_axis)
     xs_flat = _fm_iq(steps * t * n, batch, rate)
     xs = np.moveaxis(xs_flat.reshape(batch, steps * t, n), 1, 0)
@@ -101,6 +143,8 @@ def _case_time_sharded_wfm(mesh, t, ch_axis, retune):
     out_n = bound.out_sig.chunk_len
     state = ts.init_state()
     for s in range(steps):
+        if s == 1 and kill_case:
+            _maybe_die(kill_case, process_id)
         if retune and s == 2:
             state = ts.set_shift(state, shift1)
         group = xs[s * t:(s + 1) * t]
@@ -181,6 +225,66 @@ def _case_channel_sharded(mesh):
                                     label=f"channelizer step {s}")
 
 
+def _case_cross_process_pipeline(process_id, num_processes):
+    """Case 5: pipeline parallelism across processes — one WFM stage per
+    host, chunks hop through the compiled ppermute handoff.  Only the
+    LAST process holds outputs; it checks them against the sequential
+    scan (warm-up chaos guard: skip the first two chunks, same rule as
+    case 1)."""
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.pipeline import CrossProcessPipeline
+
+    batch, n, rate, steps = 2, 2048, 1024000.0, 6
+    sig = StreamSig(batch, n, rate)
+    bound = wfm_receiver().bind(sig)
+    pipe = CrossProcessPipeline(bound)
+    xs = _fm_iq(steps * n, batch, rate)
+    xs = np.moveaxis(xs.reshape(batch, steps, n), 1, 0)   # [T, batch, n]
+    got = pipe.run(xs)
+    ref = wfm_receiver().bind(sig)
+    _, want = scan(ref, ref.params, ref.init_state(), jnp.asarray(xs))
+    if process_id == num_processes - 1:
+        np.testing.assert_allclose(got[2:], np.asarray(want)[2:],
+                                    atol=5e-4,
+                                    err_msg="cross-process pipeline")
+
+
+def _case_streams_x_channels(mesh, process_id, kill_case=None):
+    """Case 6: 2-D serving mesh — the stream (batch) axis across
+    processes, the channel split within each host.  Each device owns one
+    (stream group, channel group) tile; the branch all_gather stays
+    inside a stream group's channel row."""
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.channelizer import channelized_receiver
+    from radiorust_tpu.parallel.channel_shard import ChannelShardedChain
+    from radiorust_tpu.parallel.multiprocess import \
+        assert_addressable_allclose
+
+    batch = mesh.shape["s"]
+    chain = channelized_receiver(num_channels=64, input_rate=1024000.0)
+    sig = StreamSig(batch, 1024, 1024000.0)
+    bound = chain.bind(sig)
+    cs = ChannelShardedChain(bound, mesh, axis="c", stream_axis="s")
+    rng = np.random.default_rng(7)
+    xs = (rng.standard_normal((3, batch, 1024))
+          + 1j * rng.standard_normal((3, batch, 1024))
+          ).astype(np.complex64)
+    _, want = scan(bound, bound.params, bound.init_state(),
+                   jnp.asarray(xs))
+    want = np.asarray(want)
+    rows = np.abs(want).mean(axis=(0, 2)) > 1e-3  # channel-energy guard
+    state = cs.init_state()
+    for s in range(3):
+        if s == 1 and kill_case:
+            _maybe_die(kill_case, process_id)
+        state, y = cs.process(cs.params, state, xs[s])
+        assert_addressable_allclose(y, want[s], atol=5e-4, rows=rows,
+                                    label=f"streams-x-channels step {s}")
+
+
 def worker(coordinator: str, num_processes: int, process_id: int) -> int:
     # The environment's sitecustomize pins jax to the experimental TPU
     # relay programmatically; the env var alone is not enough (same
@@ -195,16 +299,20 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
           f"({len(jax.local_devices())} local)", flush=True)
     ok = True
     cases = []
+    kill_case = os.environ.get("FAKE_CLUSTER_KILL")
 
     # Each case runs inside its own try/except and every process runs
     # EVERY case regardless of its local verdict: a value check can fail
     # on one process only (it checks only its addressable shards), and
     # bailing out early there would desynchronize the job's collective
-    # sequence — the other process would sit in the next case's
+    # sequence — the other processes would sit in the next case's
     # collectives while this one waits in all_processes_ok, deadlocking
     # until the launcher timeout.  Checks run strictly after a case's
     # collectives complete, so catching them keeps the processes in
     # lock-step; the joint verdict is formed once, at the end.
+    # EXCEPTION — kill mode runs STRICT: with a SIGKILLed peer there is
+    # no joint verdict to converge on, the survivors must abort at their
+    # first failed collective (the drill's entire point).
     def attempt(name, desc, fn):
         nonlocal ok
         try:
@@ -219,19 +327,24 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
             print(f"[p{process_id}] {desc} ok", flush=True)
         except Exception as e:  # noqa: BLE001 - verdict is the artifact
             print(f"[p{process_id}] {desc} FAILED: "
-                  f"{type(e).__name__}: {e}", flush=True)
+                  f"{type(e).__name__}: {str(e)[:2000]}", flush=True)
             ok = False
+            if kill_case:
+                raise
 
     mesh_t = jax.make_mesh((ndev,), ("t",))
     attempt("wfm_time_sharded_t8_with_retune",
             f"case 1 (t={ndev} + retune)",
-            lambda: _case_time_sharded_wfm(mesh_t, ndev, None, retune=True))
+            lambda: _case_time_sharded_wfm(
+                mesh_t, ndev, None, retune=True, process_id=process_id,
+                kill_case=kill_case))
     mesh_cht = jax.make_mesh((num_processes, ndev // num_processes),
                              ("ch", "t"))
     attempt("wfm_ch_across_hosts_x_t_within",
             f"case 2 (ch={num_processes} x t={ndev // num_processes})",
-            lambda: _case_time_sharded_wfm(mesh_cht, ndev // num_processes,
-                                           "ch", retune=False))
+            lambda: _case_time_sharded_wfm(
+                mesh_cht, ndev // num_processes, "ch", retune=False,
+                process_id=process_id))
     mesh_c = jax.make_mesh((ndev,), ("c",))
     attempt("channelizer_c8_cross_process_all_gather",
             f"case 3 (c={ndev})",
@@ -248,34 +361,72 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
     attempt("orbax_distributed_checkpoint_resume",
             f"case 4 (t={ndev} orbax ckpt/resume)",
             lambda: _case_distributed_checkpoint(mesh_t, ndev, tmpdir))
+    attempt("pipeline_one_stage_per_process",
+            f"case 5 (pipeline x{num_processes} hosts)",
+            lambda: _case_cross_process_pipeline(process_id,
+                                                 num_processes))
+    mesh_sc = jax.make_mesh((num_processes, ndev // num_processes),
+                            ("s", "c"))
+    attempt("streams_across_hosts_x_channels_within",
+            f"case 6 (s={num_processes} x c={ndev // num_processes})",
+            lambda: _case_streams_x_channels(mesh_sc, process_id,
+                                             kill_case=kill_case))
     ok = mp.all_processes_ok(ok)
-    if os.environ.get("FAKE_CLUSTER_FAIL"):
-        # Failure drill: report the joint verdict via exit codes only —
-        # never overwrite the real artifact with an injected failure.
+    if os.environ.get("FAKE_CLUSTER_FAIL") or kill_case:
+        # Failure drills report via exit codes only — never overwrite
+        # the real artifact with an injected failure.
         return 0 if ok else 1
     if process_id == 0:
         art = {"ok": ok, "num_processes": num_processes,
                "global_devices": ndev, "cases": cases,
                "skipped": False,
-               "notes": "2-process fake cluster (jax.distributed + Gloo); "
-                        "per-shard value checks vs sequential scan"}
-        with open(os.path.join(REPO, "MULTIPROC_r03.json"), "w") as f:
+               "notes": f"{num_processes}-process fake cluster "
+                        "(jax.distributed + Gloo); per-shard value "
+                        "checks vs sequential scan"}
+        with open(ARTIFACT, "w") as f:
             json.dump(art, f, indent=1)
-        print(f"[p0] wrote MULTIPROC_r03.json ok={ok}", flush=True)
+        print(f"[p0] wrote {os.path.basename(ARTIFACT)} ok={ok}",
+              flush=True)
     return 0 if ok else 1
+
+
+def run_kill_drill(num_processes: int, local_devices: int,
+                   kill_case: str = "wfm_time_sharded_t8_with_retune",
+                   timeout: float = 600.0):
+    """SIGKILL one worker mid-stream; assert the survivors error out of
+    the dead peer's collectives within the timeout instead of hanging.
+    Returns the drill verdict dict (merged into the artifact)."""
+    import time
+
+    from radiorust_tpu.parallel.multiprocess import launch_local_cluster
+    t0 = time.monotonic()
+    codes, outputs = launch_local_cluster(
+        os.path.abspath(__file__), num_processes=num_processes,
+        local_devices=local_devices, timeout=timeout,
+        env_extra={"FAKE_CLUSTER_KILL": kill_case})
+    took = time.monotonic() - t0
+    victim_killed = codes[1] == -signal.SIGKILL
+    survivors = [codes[i] for i in range(num_processes) if i != 1]
+    hung = [c for c in survivors if c is None]
+    errored = all(c is not None and c != 0 for c in survivors)
+    ok = victim_killed and errored and not hung
+    return {"ok": ok, "kill_case": kill_case, "victim_code": codes[1],
+            "survivor_codes": survivors, "took_s": round(took, 1),
+            "hung": len(hung)}, outputs
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--coordinator", default=None)
-    ap.add_argument("--num-processes", type=int, default=2)
-    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--num-processes", type=int, default=4)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--skip-kill-drill", action="store_true")
     args = ap.parse_args()
     if args.process_id is not None:
         sys.exit(worker(args.coordinator, args.num_processes,
                         args.process_id))
-    # Launcher mode.
+    # Launcher mode: the 6 value-check cases, then the SIGKILL drill.
     from radiorust_tpu.parallel.multiprocess import launch_local_cluster
     codes, outputs = launch_local_cluster(
         os.path.abspath(__file__), num_processes=args.num_processes,
@@ -283,7 +434,25 @@ def main():
     for i, out in enumerate(outputs):
         print(f"--- process {i} (exit {codes[i]}) ---")
         print(out)
-    sys.exit(max(codes))
+    if any(c != 0 for c in codes):
+        sys.exit(1)
+    if not args.skip_kill_drill:
+        drill, drill_out = run_kill_drill(args.num_processes,
+                                          args.local_devices)
+        print(f"--- SIGKILL drill: {json.dumps(drill)} ---")
+        if not drill["ok"]:
+            for i, out in enumerate(drill_out):
+                print(f"--- drill process {i} ---")
+                print(out)
+            sys.exit(1)
+        with open(ARTIFACT) as f:
+            art = json.load(f)
+        art["cases"].append("sigkill_peer_survivors_error_out")
+        art["kill_drill"] = drill
+        with open(ARTIFACT, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"updated {os.path.basename(ARTIFACT)} with kill drill")
+    sys.exit(0)
 
 
 if __name__ == "__main__":
