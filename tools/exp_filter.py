@@ -314,24 +314,26 @@ def build_tail(pallas=True):
     return fn, BATCH * N_MID
 
 
-def _with_modes(built, prec, cmm, tile=None):
+def _with_modes(built, prec, cmm, tile=None, block=False):
     """Set the numeric-mode config for the duration of each call; jit
     traces on the first (warmup) call, baking the modes into the program."""
     from radiorust_tpu import config
     fn, spi = built
-    if prec == "highest" and not cmm and tile is None:
+    if prec == "highest" and not cmm and tile is None and not block:
         return fn, spi
 
     def wrapped(seed, iters):
         config.set_matmul_precision(prec)
         config.set_complex_mm_3mul(cmm or None)
         config.set_pallas_tile(tile)
+        config.set_filter_blockmm(block or None)
         try:
             return fn(seed, iters)
         finally:
             config.set_matmul_precision(None)
             config.set_complex_mm_3mul(None)
             config.set_pallas_tile(None)
+            config.set_filter_blockmm(None)
 
     return wrapped, spi
 
@@ -343,6 +345,7 @@ def parse(v):
     chain_tile = None       # whole-chain kernels keep defaults unless set
     prec = "highest"
     cmm = "3mul" in opts
+    block = "block" in opts
     for o in opts:
         if o.startswith("tile"):
             tile = int(o[4:])
@@ -350,10 +353,10 @@ def parse(v):
         elif o in ("high", "highest", "default"):
             prec = o
     if name == "chain":
-        return _with_modes(build_chain(True), prec, cmm, chain_tile)
+        return _with_modes(build_chain(True), prec, cmm, chain_tile, block)
     if name == "chain_mid":
         return _with_modes(build_chain(True, mid=True), prec, cmm,
-                           chain_tile)
+                           chain_tile, block)
     if name == "chain_no_filter1":
         return _with_modes(build_chain(True, drop=(1,)), prec, cmm)
     if name == "chain_no_tail":
@@ -375,11 +378,12 @@ def parse(v):
     if name == "feedback":
         return build_feedback(tile if tile > 128 else N_IN)
     if name == "filter1":
-        return _with_modes(build_filter1(tile, prec), prec, cmm)
+        return _with_modes(build_filter1(tile, prec), prec, cmm,
+                           block=block)
     if name == "filter1_xla":
         return build_filter1_xla()
     if name == "demod":
-        return _with_modes(build_demod(tile, prec), prec, cmm)
+        return _with_modes(build_demod(tile, prec), prec, cmm, block=block)
     if name == "tail":
         return build_tail()
     if name == "tail_xla":
