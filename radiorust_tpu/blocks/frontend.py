@@ -53,10 +53,12 @@ class _BoundMixerDecimator(BoundBlock):
 
     @staticmethod
     def _plan_ok(n, plan, inner):
-        jper = LANES // plan.p if LANES % plan.p == 0 else 0
-        return (inner == LANES and jper
-                and plan.kernel.shape[-1] <= LANES
-                and (n // plan.p) % jper == 0)
+        # Generalized super-row decimation (any integer p, long FIRs via
+        # slab spill — same scheme as ops/pallas_frontend.pallas_decimate);
+        # the mixer additionally needs the factored-oscillator inner block
+        # to be exactly one 128-lane vreg.
+        from ..ops.pallas_frontend import decimate_supported
+        return inner == LANES and decimate_supported(n, plan)
 
     def supported(self, sig):
         return self._plan_ok(sig.chunk_len, self.plan,

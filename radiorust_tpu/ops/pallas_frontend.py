@@ -38,16 +38,17 @@ LANES = 128
 from .mxu import pallas_call as _pallas_call  # off-TPU interpret policy
 
 
-def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
+def _make_kernel(n, hist, p, q, outer, inner, tile, slabs, precision):
+    # Same super-row banded-GEMM decimation as _make_decim_kernel (any
+    # integer p), preceded by the in-VMEM mix.  For p | 128 the layout
+    # reduces to the original 128-lane row-pair scheme bit for bit
+    # (S = 128, slabs = 2 for any Kw <= 128 + p).
+    S = _super_row(p)
     M = n // p  # decimation periods per chunk (chunk must align)
-    out_len = M * q
-    # Lane-aligned decimation: each 128-lane row holds 128/p output
-    # windows; a window spills at most Kw lanes into the next row.
-    assert LANES % p == 0 and Kw <= LANES
-    jper = LANES // p                  # outputs per row
-    nrow = M // jper                   # full rows of outputs
-    assert M % jper == 0
-    padded = (nrow + 1) * LANES        # rows + one spill row
+    wper = S // p                      # outputs per super-row
+    nsup = M // wper                   # super-rows of outputs
+    assert M % wper == 0
+    padded = (nsup + slabs - 1) * S
 
     def kernel(xr, xi, oscr_ref, osci_ref, p0r, p0i, hr, hi, w3,
                outr, outi, newhr, newhi):
@@ -68,31 +69,24 @@ def _make_kernel(n, hist, p, q, Kw, outer, inner, tile, precision):
         bufi = jnp.concatenate([hi[:], mi], axis=-1)
         newhr[:] = bufr[:, -hist:]
         newhi[:] = bufi[:, -hist:]
-        # --- decimate: lane-aligned row-pair matmul ---
-        # Rows of 128 lanes; window for output m = jper*row + j starts at
-        # lane j*p of its row and may spill Kw lanes into the next row, so
-        # each row is paired with its successor's first Kw lanes and the
-        # whole row of windows becomes one [LANES+Kw] x [jper*q] matmul
-        # with a banded weight matrix.
+        # --- decimate: lane-aligned super-row banded GEMM ---
+        # Window for output m spans buf[m*p : m*p + Kw]; windows are
+        # lane-aligned per S-lane super-row, long windows spill into the
+        # next `slabs-1` super-rows via split weight slabs — all views
+        # whole vregs (offset concats are a Mosaic lowering hazard).
         padr = jnp.pad(bufr, ((0, 0), (0, padded - (hist + n))))
         padi = jnp.pad(bufi, ((0, 0), (0, padded - (hist + n))))
-        # Two lane-aligned views (this row / next row) and a split weight
-        # matrix avoid offset concats Mosaic cannot lower.
-        P1r = padr[:, : nrow * LANES].reshape(tile * nrow, LANES)
-        P1i = padi[:, : nrow * LANES].reshape(tile * nrow, LANES)
-        P2r = padr[:, LANES:].reshape(tile * nrow, LANES)
-        P2i = padi[:, LANES:].reshape(tile * nrow, LANES)
         dot = make_dot(precision)
-        wa = w3[:][:LANES]                          # [LANES, jper*q]
-        wb = w3[:][LANES:]                          # [LANES, jper*q]
-        yr = (dot(P1r, wa, (((1,), (0,)), ((), ())))
-              + dot(P2r, wb, (((1,), (0,)), ((), ()))))
-        yi = (dot(P1i, wa, (((1,), (0,)), ((), ())))
-              + dot(P2i, wb, (((1,), (0,)), ((), ()))))
-        # Keep the lane dimension (jper*q) intact for the store; the caller
-        # flattens [nrow, jper*q] -> out_len outside the kernel.
-        outr[:] = yr.reshape(tile, nrow, jper * q)
-        outi[:] = yi.reshape(tile, nrow, jper * q)
+        w = w3[:]
+        for pad_, out_ in ((padr, outr), (padi, outi)):
+            acc = None
+            for k in range(slabs):
+                Pk = pad_[:, k * S: k * S + nsup * S].reshape(
+                    tile * nsup, S)
+                t = dot(Pk, w[k * S: (k + 1) * S],
+                        (((1,), (0,)), ((), ())))
+                acc = t if acc is None else acc + t
+            out_[:] = acc.reshape(tile, nsup, wper * q)
 
     return kernel
 
@@ -248,30 +242,35 @@ def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
     Kw = kernel_matrix.shape[-1]
     outer = ar.shape[-1]
     inner = br.shape[-1]
+    S = _super_row(p)
+    assert S is not None and n % p == 0, (p, n)
+    wper = S // p
+    assert (n // p) % wper == 0, (n, p)
+    assert hist == Kw - p and hist > 0, (hist, Kw, p)
+    slabs = 1 + -(-(Kw - p) // S)
     if tile is None:
         tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
-    kernel = _make_kernel(n, hist, p, q, Kw, outer, inner, tile,
+    kernel = _make_kernel(n, hist, p, q, outer, inner, tile, slabs,
                           precision)
     # Oscillator outer product (tiny) computed in XLA, fed as a 2-D grid.
     oscr = ar[:, None] * br[None, :] - ai[:, None] * bi[None, :]
     osci = ar[:, None] * bi[None, :] + ai[:, None] * br[None, :]
-    # Banded weights: W3[j*p + u, j*q + r] = W[r, u], padded to two full
-    # 128-lane rows (the kernel splits it into this-row/next-row halves).
-    jper = LANES // p
-    w3 = np.zeros((2 * LANES, jper * q), np.float32)
+    # Banded weights: W3[j*p + u, j*q + r] = W[r, u] over slab super-rows
+    # (same layout as pallas_decimate).
+    w3 = np.zeros((slabs * S, wper * q), np.float32)
     wt = np.asarray(kernel_matrix).T               # [Kw, q]
-    for j in range(jper):
+    for j in range(wper):
         w3[j * p: j * p + Kw, j * q: (j + 1) * q] = wt
     M = n // p
     out_len = M * q
     grid = (b // tile,)
-    nrow = M // jper
+    nsup = M // wper
     row = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-    out3 = pl.BlockSpec((tile, nrow, jper * q), lambda i: (i, 0, 0),
+    out3 = pl.BlockSpec((tile, nsup, wper * q), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     pvec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -282,8 +281,8 @@ def fused_mix_decimate(xr, xi, ar, ai, br, bi, p0r, p0i, hr, hi,
         in_specs=[row(n), row(n), vec(), vec(),
                   pvec, pvec, row(hist), row(hist), vec()],
         out_specs=[out3, out3, row(hist), row(hist)],
-        out_shape=[jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32),
-                   jax.ShapeDtypeStruct((b, nrow, jper * q), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, nsup, wper * q), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nsup, wper * q), jnp.float32),
                    jax.ShapeDtypeStruct((b, hist), jnp.float32),
                    jax.ShapeDtypeStruct((b, hist), jnp.float32)],
     )(xr, xi, oscr, osci, p0r[:, None], p0i[:, None], hr, hi,

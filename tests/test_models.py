@@ -115,6 +115,30 @@ def test_bandwidth_meter_chain():
     assert np.all(bws > 0.0)
 
 
+def test_bandwidth_meter_fused_frontend_matches_literal():
+    # The fused mixer+decimator frontend (r4 super-row generalization:
+    # the 10:1 ratio's p does not divide 128 lanes) is semantically
+    # identical to FreqShifter + Downsampler — same mixer tables, same
+    # rational plan, one Pallas kernel.
+    rate, n, t_chunks = 1024000.0, 10240, 4
+    t = np.arange(t_chunks * n) / rate
+    iq = (np.exp(2j * np.pi * 10000.0 * t)
+          + 0.5 * np.exp(2j * np.pi * -8000.0 * t)).astype(np.complex64)
+    chunks = iq.reshape(t_chunks, 1, n)
+    sig = StreamSig(1, n, rate)
+    ys_ref, _ = run_chain(
+        bandwidth_meter_chain(freq_offset=5000.0), sig, chunks)
+    ys_fused, bound = run_chain(
+        bandwidth_meter_chain(freq_offset=5000.0, fuse_frontend=True),
+        sig, chunks)
+    assert bound.out_sig.sample_rate == 102400.0
+    # Chain output is post-FFT (energy-preserving scale: peaks ~1e4);
+    # the two frontends differ only in f32 rounding order, so compare
+    # relative to the spectral peak (measured 9.6e-8).
+    peak = np.abs(ys_ref).max()
+    np.testing.assert_allclose(ys_fused, ys_ref, atol=2e-6 * peak)
+
+
 def test_wfm_fused_deemphasis_matches_unfused():
     # Folding the deemphasis filter into the final decimator is an exact
     # LTI composition: outputs match the literal chain sample-for-sample

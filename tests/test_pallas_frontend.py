@@ -26,9 +26,15 @@ def interpret_pallas(monkeypatch):
     monkeypatch.setattr(pfl.pl, "pallas_call", interp)
 
 
-def test_fused_mix_decimate_matches_unfused():
-    batch, n = 4, 2048
-    plan = plan_downsample(1024000.0, 384000.0, 200000.0)
+@pytest.mark.parametrize("out_rate,bw,n", [
+    (384000.0, 200000.0, 2048),    # WFM frontend ratio 8:3
+    # bw_meter 10:1 — p does not divide 128 lanes; exercises the r4
+    # super-row generalization of the fused mixer+decimator.
+    (102400.0, 50000.0, 10240),
+])
+def test_fused_mix_decimate_matches_unfused(out_rate, bw, n):
+    batch = 4
+    plan = plan_downsample(1024000.0, out_rate, bw)
     p, q, hist = plan.p, plan.q, plan.hist
     ta, tb, _ = _shift_tables(n, 1024000, 100000)
     rng = np.random.default_rng(0)

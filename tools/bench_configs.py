@@ -69,7 +69,9 @@ def build(name):
     elif name == "bw_meter":
         from radiorust_tpu.models.bandwidth_meter import (
             bandwidth_meter_chain, measure_bandwidth)
-        chain, n, rate = bandwidth_meter_chain(), 10240, 1024000.0
+        fuse = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
+        chain = bandwidth_meter_chain(fuse_frontend=fuse)
+        n, rate = 10240, 1024000.0
         post = lambda y, out_rate: jnp.sum(  # noqa: E731
             measure_bandwidth(y, out_rate))
     else:
