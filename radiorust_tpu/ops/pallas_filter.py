@@ -61,8 +61,19 @@ from .mxu import pallas_call as _pallas_call  # off-TPU interpret policy
 
 
 def kernel_factors(n2x: int):
-    """Factor 2n = n1 * 128: the lane dimension is fixed at 128 so every
-    matmul/elementwise stage is tile-aligned."""
+    """Factor 2n = n1 * n2 for the four-step transform.  Default n2 = 128:
+    the lane dimension matches the VPU/MXU tile so every matmul and
+    elementwise stage is tile-aligned.  ``RRTPU_FILTER_FACTORS=N1xN2``
+    overrides the split for A/B experiments (e.g. ``128x96`` — the
+    VERDICT-r3 untried ordering; sub-128 lanes pad every stage, measured
+    slower, see docs/PERF.md)."""
+    import os
+    override = os.environ.get("RRTPU_FILTER_FACTORS")
+    if override:
+        n1, n2 = (int(v) for v in override.lower().split("x"))
+        if n1 * n2 == n2x and n1 % 2 == 0:
+            return n1, n2
+        # Override doesn't apply to this transform size: fall through.
     if n2x % 128:
         return None
     n1 = n2x // 128
@@ -77,8 +88,7 @@ def supported(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _factor_constants(n2x: int) -> Tuple[np.ndarray, ...]:
-    n1, n2 = kernel_factors(n2x)
+def _factor_constants(n2x: int, n1: int, n2: int) -> Tuple[np.ndarray, ...]:
     k1 = np.arange(n1)
     d1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)       # [k1, i1]
     k2 = np.arange(n2)
@@ -111,14 +121,14 @@ def response_grid(response, n: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _block_constants(n2x: int, mode: str) -> Tuple[np.ndarray, ...]:
+def _block_constants(n2x: int, n1: int, n2: int,
+                     mode: str) -> Tuple[np.ndarray, ...]:
     """Block-form DFT constants: each complex factor C becomes ONE real
     matrix with the [[Cr,-Ci],[Ci,Cr]] (left operand) or [[Cr,Ci],[-Ci,Cr]]
     (right operand) structure, so a complex matmul is a single real dot of
     doubled contraction depth.  In ``high`` mode the constants ship as
     precomputed bf16 hi/lo splits (the in-kernel split of a constant is
     wasted VPU work); otherwise as f32."""
-    n1, n2 = kernel_factors(n2x)
     k1 = np.arange(n1)
     d1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)
     k2 = np.arange(n2)
@@ -192,14 +202,37 @@ def _os_pipeline_block(n1, n2, X, mode):
             l1, r2, rc, e1, twr, twi = consts
             return l1, r2, rc, e1, twr, twi
 
+    import os
+    s1_rows = os.environ.get("RRTPU_FILTER_S1") == "rows"
+
     def pipeline(zr, zi, rr, ri, *consts):
         l1, r2, rc, e1, twr, twi = unpack(consts)
-        # Stage 1: one dot over the re/im-stacked sublanes [2n1, X*n2].
-        zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, X * n2)
-        zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, X * n2)
-        t = bdot_left(l1, jnp.concatenate([zr2, zi2], axis=0))
-        tr = t[:n1].reshape(n1, X, n2)
-        ti = t[n1:].reshape(n1, X, n2)
+        if s1_rows:
+            # Experimental orientation (VERDICT r3 item 3 lever b): put
+            # the streams on the matmul M dim — [X*n2, 2n1] @ [2n1, 2n1]
+            # with M = X*128 full tiles — instead of M = 2n1.  MXU tile
+            # padding is identical either way (the 1.5-tile dim just
+            # moves from M to N), so any difference is scheduling.
+            zt = jnp.concatenate(
+                [jnp.swapaxes(zr, 1, 2).reshape(X * n2, n1),
+                 jnp.swapaxes(zi, 1, 2).reshape(X * n2, n1)], axis=1)
+            lt = (tuple(jnp.swapaxes(c, 0, 1) for c in l1)
+                  if isinstance(l1, tuple) else jnp.swapaxes(l1, 0, 1))
+            # (C @ Z)^T = Z^T @ C^T with the [[Cr,-Ci],[Ci,Cr]] block
+            # structure transposing to the right-operand form.
+            tt = bdot_right(zt, lt)
+            tr = jnp.swapaxes(tt[:, :n1].reshape(X, n2, n1), 1, 2) \
+                .swapaxes(0, 1)
+            ti = jnp.swapaxes(tt[:, n1:].reshape(X, n2, n1), 1, 2) \
+                .swapaxes(0, 1)
+        else:
+            # Stage 1: one dot over the re/im-stacked sublanes
+            # [2n1, X*n2].
+            zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, X * n2)
+            zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, X * n2)
+            t = bdot_left(l1, jnp.concatenate([zr2, zi2], axis=0))
+            tr = t[:n1].reshape(n1, X, n2)
+            ti = t[n1:].reshape(n1, X, n2)
         wr = twr[:, None, :]
         wi = twi[:, None, :]
         ur = tr * wr - ti * wi
@@ -245,9 +278,9 @@ class _TransformPlan:
         self.block = config.filter_blockmm()
         self.precision = precision
         if self.block:
-            self.consts = _block_constants(n2x, self.mode)
+            self.consts = _block_constants(n2x, self.n1, self.n2, self.mode)
         else:
-            self.consts = _factor_constants(n2x)
+            self.consts = _factor_constants(n2x, self.n1, self.n2)
 
     def const_arrays(self):
         return [jnp.asarray(c) for c in self.consts]

@@ -314,12 +314,14 @@ def build_tail(pallas=True):
     return fn, BATCH * N_MID
 
 
-def _with_modes(built, prec, cmm, tile=None, block=False):
+def _with_modes(built, prec, cmm, tile=None, block=False, factors=None,
+                s1rows=False):
     """Set the numeric-mode config for the duration of each call; jit
     traces on the first (warmup) call, baking the modes into the program."""
     from radiorust_tpu import config
     fn, spi = built
-    if prec == "highest" and not cmm and tile is None and not block:
+    if (prec == "highest" and not cmm and tile is None and not block
+            and factors is None and not s1rows):
         return fn, spi
 
     def wrapped(seed, iters):
@@ -327,6 +329,10 @@ def _with_modes(built, prec, cmm, tile=None, block=False):
         config.set_complex_mm_3mul(cmm or None)
         config.set_pallas_tile(tile)
         config.set_filter_blockmm(block or None)
+        if factors:
+            os.environ["RRTPU_FILTER_FACTORS"] = factors
+        if s1rows:
+            os.environ["RRTPU_FILTER_S1"] = "rows"
         try:
             return fn(seed, iters)
         finally:
@@ -334,6 +340,8 @@ def _with_modes(built, prec, cmm, tile=None, block=False):
             config.set_complex_mm_3mul(None)
             config.set_pallas_tile(None)
             config.set_filter_blockmm(None)
+            os.environ.pop("RRTPU_FILTER_FACTORS", None)
+            os.environ.pop("RRTPU_FILTER_S1", None)
 
     return wrapped, spi
 
@@ -346,14 +354,32 @@ def parse(v):
     prec = "highest"
     cmm = "3mul" in opts
     block = "block" in opts
+    factors = None
     for o in opts:
         if o.startswith("tile"):
             tile = int(o[4:])
             chain_tile = tile
         elif o in ("high", "highest", "default"):
             prec = o
+        elif o == "s1rows":
+            pass                        # handled below
+        elif o.startswith("f") and "x" in o:
+            factors = o[1:]             # e.g. f128x96 -> "128x96"
+    if factors:
+        # Build under the factor override too: the response grids are
+        # shaped [n1, n2] at build time and must match the trace-time plan.
+        os.environ["RRTPU_FILTER_FACTORS"] = factors
+    try:
+        return _parse_named(name, opts, tile, chain_tile, prec, cmm, block,
+                            factors)
+    finally:
+        os.environ.pop("RRTPU_FILTER_FACTORS", None)
+
+
+def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
     if name == "chain":
-        return _with_modes(build_chain(True), prec, cmm, chain_tile, block)
+        return _with_modes(build_chain(True), prec, cmm, chain_tile, block,
+                           factors)
     if name == "chain_mid":
         return _with_modes(build_chain(True, mid=True), prec, cmm,
                            chain_tile, block)
@@ -379,16 +405,18 @@ def parse(v):
         return build_feedback(tile if tile > 128 else N_IN)
     if name == "filter1":
         return _with_modes(build_filter1(tile, prec), prec, cmm,
-                           block=block)
+                           block=block, factors=factors,
+                           s1rows="s1rows" in opts)
     if name == "filter1_xla":
         return build_filter1_xla()
     if name == "demod":
-        return _with_modes(build_demod(tile, prec), prec, cmm, block=block)
+        return _with_modes(build_demod(tile, prec), prec, cmm, block=block,
+                           factors=factors)
     if name == "tail":
         return build_tail()
     if name == "tail_xla":
         return build_tail(pallas=False)
-    raise SystemExit(f"unknown variant {v}")
+    raise SystemExit(f"unknown variant {name}")
 
 
 def main():
