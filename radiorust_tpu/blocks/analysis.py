@@ -35,7 +35,7 @@ class _BoundFourier(BoundBlock):
         y = jnp.fft.fft(x * self.window_values)
         if self.center_dc:
             y = jnp.roll(y, self.in_sig.chunk_len // 2, axis=-1)
-        return state, y.astype(jnp.complex64)
+        return state, y.astype(x.dtype)
 
 
 class Fourier(Block):

@@ -264,14 +264,14 @@ def pack_wire(tree):
         if isinstance(t, (list, tuple)):
             return type(t)(visit(v) for v in t)
         if _is_complex_leaf(t):
+            from ..numbers import stream_real
+            rdt = stream_real()
             if isinstance(t, np.ndarray) or np.isscalar(t):
                 arr = np.asarray(t)
                 return {_WIRE_KEY: np.stack(
-                    [arr.real.astype(np.float32),
-                     arr.imag.astype(np.float32)])}
+                    [arr.real.astype(rdt), arr.imag.astype(rdt)])}
             return {_WIRE_KEY: jnp.stack(
-                [jnp.real(t).astype(jnp.float32),
-                 jnp.imag(t).astype(jnp.float32)])}
+                [jnp.real(t).astype(rdt), jnp.imag(t).astype(rdt)])}
         return t
     return visit(tree)
 
@@ -283,7 +283,8 @@ def unpack_wire(tree):
             if set(t.keys()) == {_WIRE_KEY}:
                 v = t[_WIRE_KEY]
                 if isinstance(v, np.ndarray):
-                    return (v[0] + 1j * v[1]).astype(np.complex64)
+                    from ..numbers import stream_complex
+                    return (v[0] + 1j * v[1]).astype(stream_complex())
                 return jax.lax.complex(v[0], v[1])
             return {k: visit(v) for k, v in t.items()}
         if isinstance(t, (list, tuple)):

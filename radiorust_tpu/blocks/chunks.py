@@ -37,8 +37,9 @@ class _BoundOverlapper(BoundBlock):
     def init_state(self):
         sig = self.in_sig
         k = self.chunk_count
+        from ..numbers import stream_complex
         return {"hist": np.zeros((sig.batch, k - 1, sig.chunk_len),
-                                 np.complex64)}
+                                 stream_complex())}
 
     def process(self, params, state, x, reset):
         # The reference clears history on any event

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import numbers as _nums
 from ..numbers import TAU
 from ..ops.fft import fft as _fft, ifft as _ifft
 from ..windowing import Kaiser, Rectangular, Window, window_table
@@ -116,9 +117,10 @@ def extend_response(ir: np.ndarray) -> np.ndarray:
     the reference's f64->Flt cast before the response FFT.  Single owner
     of this layout — the fused kernels' responses must stay bit-identical
     to the unfused filter's."""
+    from ..numbers import stream_complex
     n = ir.shape[-1]
     ext = np.concatenate([np.zeros(n, dtype=np.complex128),
-                          ir.astype(np.complex64).astype(np.complex128)])
+                          ir.astype(stream_complex()).astype(np.complex128)])
     return np.fft.fft(ext)
 
 
@@ -143,11 +145,15 @@ class _BoundFilter(BoundBlock):
         # (numpy) array: complex leaves must stay host-side until they
         # cross the jit boundary through the wire packer (see
         # blocks/base.py pack_wire).
-        self.params = {"response": extend_response(ir).astype(np.complex64)}
+        from ..numbers import stream_complex
+        self.params = {"response":
+                       extend_response(ir).astype(stream_complex())}
 
     def init_state(self):
         sig = self.in_sig
-        return {"prev": np.zeros((sig.batch, sig.chunk_len), np.complex64)}
+        from ..numbers import stream_complex
+        return {"prev": np.zeros((sig.batch, sig.chunk_len),
+                                 stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
@@ -181,7 +187,7 @@ class _BoundFilter(BoundBlock):
             # back to the native FFT for small or unfactorable sizes.
             spec = (_fft(jnp.concatenate([prev, x], axis=-1))
                     * params["response"])
-            y = _ifft(spec)[..., :n].astype(jnp.complex64)
+            y = _ifft(spec)[..., :n].astype(x.dtype)
         if pair_real:
             yr = jnp.stack([y.real, y.imag], axis=1)
             yr = yr.reshape(x_full.shape[0], n)
@@ -201,7 +207,8 @@ class _BoundFilter(BoundBlock):
         w = window if window is not None else self.window
         r = design_response(freq_resp, w, self.in_sig.chunk_len,
                             self.in_sig.sample_rate)
-        return {"response": r.astype(np.complex64)}
+        from ..numbers import stream_complex
+        return {"response": r.astype(stream_complex())}
 
 
 class Filter(Block):
@@ -259,8 +266,9 @@ class _BoundFilterBank(BoundBlock):
                  <= 1e-9 * max(float(np.abs(ir.real).max()), 1e-30))
             for ir in irs)
         # One retunable response per band (same wire layout as Filter).
+        from ..numbers import stream_complex
         self.params = {"responses": np.stack(
-            [extend_response(ir).astype(np.complex64) for ir in irs])}
+            [extend_response(ir).astype(stream_complex()) for ir in irs])}
 
     @property
     def outputs_real(self):
@@ -268,7 +276,9 @@ class _BoundFilterBank(BoundBlock):
 
     def init_state(self):
         sig = self.in_sig
-        return {"prev": np.zeros((sig.batch, sig.chunk_len), np.complex64)}
+        from ..numbers import stream_complex
+        return {"prev": np.zeros((sig.batch, sig.chunk_len),
+                                 stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
@@ -278,7 +288,7 @@ class _BoundFilterBank(BoundBlock):
                          state["prev"])
         spec = _fft(jnp.concatenate([prev, x], axis=-1))        # [b, 2n] once
         prod = spec[None, :, :] * params["responses"][:, None, :]
-        ys = _ifft(prod.reshape(k * b, 2 * n))[..., :n].astype(jnp.complex64)
+        ys = _ifft(prod.reshape(k * b, 2 * n))[..., :n].astype(x.dtype)
         ys = ys.reshape(k, b, n)
         return {"prev": x}, tuple(ys[j] for j in range(k))
 
@@ -288,7 +298,8 @@ class _BoundFilterBank(BoundBlock):
         w = window if window is not None else self.window
         return {"responses": np.stack(
             [design_response(fr, w, self.in_sig.chunk_len,
-                             self.in_sig.sample_rate).astype(np.complex64)
+                             self.in_sig.sample_rate).astype(
+                                 _nums.stream_complex())
              for fr in freq_resps])}
 
 
@@ -316,10 +327,11 @@ class FilterBank(Block):
 class _BoundSlewRateLimiter(BoundBlock):
     def __init__(self, sig: StreamSig, slew_rate: float):
         self.in_sig = self.out_sig = sig
-        self.params = np.float32(slew_rate)
+        self.params = _nums.stream_real()(slew_rate)
 
     def init_state(self):
-        return {"prev": np.zeros((self.in_sig.batch,), np.complex64)}
+        from ..numbers import stream_complex
+        return {"prev": np.zeros((self.in_sig.batch,), stream_complex())}
 
     def process(self, params, state, x, reset):
         # Truly sequential recurrence (each output feeds the next clamp,
@@ -329,11 +341,12 @@ class _BoundSlewRateLimiter(BoundBlock):
         # which cuts the serial critical path to one transcendental.
         # On-chip: 2218 Msps vs the lax.scan path's 875 (tools/exp_scan,
         # 2.5x).  RRTPU_PALLAS_SCAN=0 falls back to lax.scan below.
-        max_diff = params / np.float32(self.in_sig.sample_rate)
+        max_diff = params / params.dtype.type(self.in_sig.sample_rate)
 
         from radiorust_tpu import config
         from radiorust_tpu.ops import pallas_scan
-        if config.pallas_scan() and pallas_scan.scan_supported(x.shape[-1]):
+        if (config.pallas_scan() and pallas_scan.scan_supported(x.shape[-1])
+                and x.dtype != jnp.complex128):
             prev = state["prev"]
             yr, yi, pr, pi = pallas_scan.slew_scan(
                 jnp.real(x), jnp.imag(x),
@@ -347,7 +360,7 @@ class _BoundSlewRateLimiter(BoundBlock):
             diff = sample - prev
             norm = jnp.abs(diff)
             scale = jnp.where(norm > max_diff, max_diff / norm, 1.0)
-            out = prev + diff * scale.astype(jnp.complex64)
+            out = prev + diff * scale.astype(x.dtype)
             return out, out
 
         # unroll=8 amortizes scan-iteration overhead (2x on-chip; 32 was 5x WORSE); the recurrence itself

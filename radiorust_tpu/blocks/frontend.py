@@ -7,8 +7,11 @@ VMEM-resident Pallas kernel (``ops/pallas_frontend.py``), ~4x faster than
 the separate blocks on TPU (the mixed intermediate never touches HBM).
 
 Constraints (checked at bind; use the separate blocks otherwise):
-chunk = outer*128, 128 % p == 0, decimation window <= 128 lanes, and the
-output period count divisible by 128/p.  Time-sharded execution is
+chunk = outer*128 with a 128-lane oscillator inner block, plus the
+generalized super-row decimation support (``decimate_supported``: ANY
+integer p via lcm(p,128)-lane super-rows, long FIRs spill across weight
+slabs, VMEM-budgeted — the r4 generalization; previously 128 % p == 0).
+c64 streams only (the kernel is f32).  Time-sharded execution is
 supported (``parallel/time_shard.py`` rebuilds the mixed-domain history
 halo from the neighbor's raw tail over ICI).
 """
@@ -57,8 +60,10 @@ class _BoundMixerDecimator(BoundBlock):
         # slab spill — same scheme as ops/pallas_frontend.pallas_decimate);
         # the mixer additionally needs the factored-oscillator inner block
         # to be exactly one 128-lane vreg.
+        from ..numbers import stream_mode
         from ..ops.pallas_frontend import decimate_supported
-        return inner == LANES and decimate_supported(n, plan)
+        return (stream_mode() == "c64" and inner == LANES
+                and decimate_supported(n, plan))
 
     def supported(self, sig):
         return self._plan_ok(sig.chunk_len, self.plan,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from .. import numbers as _nums
 from ..numbers import TAU
 from ..ops.cumsum import matmul_cumsum
 from .base import Block, BoundBlock, StreamSig
@@ -33,15 +34,18 @@ class _BoundFmMod(BoundBlock):
         self.in_sig = self.out_sig = sig
         # factor = deviation / sample_rate * 2*pi, tunable
         # (src/blocks/modulation.rs:45).
-        self.params = np.float32(deviation / sig.sample_rate * TAU)
+        self.params = _nums.stream_real()(
+            deviation / sig.sample_rate * TAU)
 
     def init_state(self):
-        return {"phase": np.zeros((self.in_sig.batch,), np.float32)}
+        return {"phase": np.zeros((self.in_sig.batch,),
+                                   _nums.stream_real())}
 
     def process(self, params, state, x, reset):
-        increments = x.real.astype(jnp.float32) * params
+        rdt = jnp.real(x).dtype
+        increments = x.real.astype(rdt) * params
         theta = state["phase"][:, None] + matmul_cumsum(increments)
-        theta = jnp.mod(theta, np.float32(TAU))
+        theta = jnp.mod(theta, np.asarray(TAU, rdt))
         y = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
         # The reference never resets modulator phase on events
         # (src/blocks/modulation.rs:59-61).
@@ -70,17 +74,18 @@ class _BoundFmDemod(BoundBlock):
         self.in_sig = self.out_sig = sig
         # factor = sample_rate / deviation / 2*pi, tunable
         # (src/blocks/modulation.rs:116).
-        self.params = np.float32(sig.sample_rate / deviation / TAU)
+        self.params = _nums.stream_real()(
+            sig.sample_rate / deviation / TAU)
 
     def init_state(self):
         b = self.in_sig.batch
         return {
-            "prev": np.zeros((b,), np.complex64),
+            "prev": np.zeros((b,), _nums.stream_complex()),
             "have_prev": np.zeros((b,), bool),
             # The reference keeps emitting the stale output sample for the
             # first sample after a continuity break
             # (src/blocks/modulation.rs:104,119-124).
-            "last_out": np.zeros((b,), np.float32),
+            "last_out": np.zeros((b,), _nums.stream_real()),
         }
 
     def process(self, params, state, x, reset):

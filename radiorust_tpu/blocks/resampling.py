@@ -45,8 +45,9 @@ class _BoundResampler(BoundBlock):
     def init_state(self):
         # Zero history matches the reference's zero-initialized ring buffer
         # (src/blocks/resampling.rs:99,234).
+        from ..numbers import stream_complex
         return {"hist": np.zeros((self.in_sig.batch, self.plan.hist),
-                                 np.complex64)}
+                                 stream_complex())}
 
     def _use_pallas(self) -> bool:
         from ..ops.pallas_frontend import decimate_supported
@@ -78,7 +79,7 @@ class _BoundResampler(BoundBlock):
             else:
                 y = jax.lax.complex(outs[0], outs[1])
                 nh = jax.lax.complex(newhs[0], newhs[1])
-            return {"hist": nh.astype(jnp.complex64)}, y
+            return {"hist": nh.astype(x.dtype)}, y
         if plan.hist:
             xp = jnp.concatenate([state["hist"], x], axis=-1)
             # History may exceed one chunk (long anti-alias FIRs), so carry

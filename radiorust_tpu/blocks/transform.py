@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import numbers as _nums
 from ..math import round_half_away
 from ..numbers import TAU
 from .base import Block, BoundBlock, StreamSig
@@ -33,10 +34,10 @@ class _BoundGain(BoundBlock):
         # Traced param: retunable per step without recompilation — the
         # analog of the reference's watch-channel gain
         # (src/blocks/transform.rs:57-63,89-91).
-        self.params = np.float32(gain)
+        self.params = _nums.stream_real()(gain)
 
     def process(self, params, state, x, reset):
-        return state, x * params.astype(jnp.float32)
+        return state, x * params.astype(jnp.real(x).dtype)
 
 
 def _shift_param_update(chunk_len: int, denom: int, sample_rate: float,
@@ -59,7 +60,8 @@ def fold_phase_state(state, denom: int):
     new_start = (start + k0.astype(np.float64) * (TAU / denom)) % TAU
     return {**state,
             "k0": np.zeros(k0.shape, np.int32),
-            "start_phase": np.asarray(new_start, np.float32)}
+            "start_phase": np.asarray(new_start,
+                                      np.asarray(state["start_phase"]).dtype)}
 
 
 class GainControl(Block):
@@ -86,11 +88,12 @@ class _BoundSquelch(BoundBlock):
         self.in_sig = self.out_sig = sig
         # Both knobs traced: open/close the gate per chunk without
         # recompiling.
-        self.params = {"threshold": np.float32(threshold),
-                       "alpha": np.float32(alpha)}
+        rdt = _nums.stream_real()
+        self.params = {"threshold": rdt(threshold), "alpha": rdt(alpha)}
 
     def init_state(self):
-        return {"env": np.zeros((self.in_sig.batch,), np.float32)}
+        from ..numbers import stream_real
+        return {"env": np.zeros((self.in_sig.batch,), stream_real())}
 
     def process(self, params, state, x, reset):
         # Smoothed power e[n] = alpha e[n-1] + (1-alpha) |x[n]|^2 is a
@@ -101,8 +104,11 @@ class _BoundSquelch(BoundBlock):
         alpha = params["alpha"]
         e_prev = jnp.where(reset, jnp.zeros_like(state["env"]), state["env"])
         p = jnp.real(x * jnp.conj(x))
-        a = jnp.broadcast_to(alpha, p.shape)
-        b = (1.0 - alpha) * p
+        # Cast to the stream's real dtype: the f32 param broadcast inside
+        # an f64 stream (c128 mode) would otherwise run the alpha-product
+        # leaf of the scan at f32.
+        a = jnp.broadcast_to(alpha.astype(p.dtype), p.shape)
+        b = (1.0 - alpha).astype(p.dtype) * p
 
         def comb(l, r):
             a1, b1 = l
@@ -111,9 +117,9 @@ class _BoundSquelch(BoundBlock):
 
         big_a, big_b = jax.lax.associative_scan(comb, (a, b), axis=1)
         env = big_a * e_prev[:, None] + big_b
-        gate = (env > params["threshold"]).astype(jnp.float32)
+        gate = (env > params["threshold"]).astype(jnp.real(x).dtype)
         return ({"env": env[:, -1]},
-                x * gate.astype(jnp.complex64))
+                x * gate.astype(x.dtype))
 
 
 class Squelch(Block):
@@ -158,12 +164,20 @@ _AGC_CAP = np.float32(1e18)
 def _agc_elems(params, x):
     """Per-sample clamped-affine maps of the AGC loop: sample n sends the
     loop gain through ``g -> clip(a g + b, lo, hi)`` with
-    ``a = 1 - rate |x[n]|``, ``b = rate reference``."""
+    ``a = 1 - rate |x[n]|``, ``b = rate reference``.
+
+    Every leaf is cast to the stream's real dtype: associative_scan
+    concatenates computed elements with input elements leaf-for-leaf, so
+    a f32 param broadcast inside an f64 stream (c128 mode) would trip
+    lax.concatenate's dtype check."""
     absx = jnp.abs(x)
-    a = jnp.clip(1.0 - params["rate"] * absx, -_AGC_CAP, _AGC_CAP)
-    b = jnp.broadcast_to(params["rate"] * params["reference"], a.shape)
+    rdt = absx.dtype
+    a = jnp.clip(1.0 - params["rate"].astype(rdt) * absx,
+                 -_AGC_CAP, _AGC_CAP).astype(rdt)
+    b = jnp.broadcast_to(
+        (params["rate"] * params["reference"]).astype(rdt), a.shape)
     lo = jnp.zeros_like(a)
-    hi = jnp.broadcast_to(params["max_gain"], a.shape)
+    hi = jnp.broadcast_to(params["max_gain"].astype(rdt), a.shape)
     return a, b, lo, hi
 
 
@@ -195,12 +209,13 @@ class _BoundAgc(BoundBlock):
         self.in_sig = self.out_sig = sig
         # All three knobs are traced params: retune per chunk without
         # recompiling, like GainControl's watch-channel analog.
-        self.params = {"reference": np.float32(reference),
-                       "rate": np.float32(rate),
-                       "max_gain": np.float32(max_gain)}
+        rdt = _nums.stream_real()
+        self.params = {"reference": rdt(reference), "rate": rdt(rate),
+                       "max_gain": rdt(max_gain)}
 
     def init_state(self):
-        return {"gain": np.ones((self.in_sig.batch,), np.float32)}
+        from ..numbers import stream_real
+        return {"gain": np.ones((self.in_sig.batch,), stream_real())}
 
     def process(self, params, state, x, reset):
         # y[n] = g[n] x[n];  g[n+1] = clip(g[n] + rate (ref - |y[n]|)).
@@ -220,7 +235,7 @@ class _BoundAgc(BoundBlock):
         g_inc = jnp.clip(pa * g0[:, None] + pb, plo, phi)
         # y[n] uses the gain *before* sample n's update (exclusive form).
         g_exc = jnp.concatenate([g0[:, None], g_inc[:, :-1]], axis=-1)
-        y = x * g_exc.astype(jnp.complex64)
+        y = x * g_exc.astype(x.dtype)
         return {"gain": g_inc[:, -1]}, y
 
 
@@ -429,8 +444,9 @@ def _shift_tables(chunk_len: int, denom: int, numer: int):
     table_b = np.exp(1j * tau * b_idx.astype(np.float64) / denom)
     table_a = np.exp(1j * tau * a_idx.astype(np.float64) / denom)
     adv = (chunk_len * numer) % denom
-    return (table_a.astype(np.complex64), table_b.astype(np.complex64),
-            np.int32(adv))
+    from ..numbers import stream_complex
+    cdt = stream_complex()
+    return (table_a.astype(cdt), table_b.astype(cdt), np.int32(adv))
 
 
 class _BoundFreqShifter(BoundBlock):
@@ -456,14 +472,15 @@ class _BoundFreqShifter(BoundBlock):
             "k0": np.zeros((b,), np.int32),
             # Phase offset accumulated across retunes (phase continuity,
             # src/blocks/transform.rs:322-339).
-            "start_phase": np.zeros((b,), np.float32),
+            "start_phase": np.zeros((b,), _nums.stream_real()),
         }
 
     def process(self, params, state, x, reset):
         denom = self.denom
         # Per-stream chunk-start phasor from the exact integer index.
+        rdt = state["start_phase"].dtype
         theta0 = (state["start_phase"]
-                  + state["k0"].astype(jnp.float32) * np.float32(TAU / denom))
+                  + state["k0"].astype(rdt) * np.asarray(TAU / denom, rdt))
         p0 = jax.lax.complex(jnp.cos(theta0), jnp.sin(theta0))
         ta = params["table_a"]
         tb = params["table_b"]

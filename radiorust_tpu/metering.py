@@ -181,7 +181,7 @@ def bandwidth_jax(double_percentile: float, sample_rate: float,
     frac_r = jnp.where(full_r >= n, 0.0,
                        (limit - prev_r) / jnp.where(step_r == 0.0, 1.0,
                                                     step_r))
-    used = (full_f + frac_f + full_r + frac_r).astype(jnp.float32)
+    used = (full_f + frac_f + full_r + frac_r).astype(e.dtype)
     bw = (n - used) * (sample_rate / n)
     return jnp.maximum(bw, 0.0)
 

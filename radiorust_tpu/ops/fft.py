@@ -116,9 +116,14 @@ def _matfft(x: jax.Array, inverse: bool) -> jax.Array:
 
 
 def fft(x: jax.Array, use_matmul: bool = True) -> jax.Array:
-    """DFT along the last axis; matmul four-step when factorable."""
+    """DFT along the last axis; matmul four-step when factorable.
+
+    complex128 inputs (the f64 stream validation mode, CPU backend) take
+    the native FFT — the matmul path's constants and accumulators are
+    f32 by design."""
     n = x.shape[-1]
-    if use_matmul and n >= 1024 and plan_factors(n) is not None:
+    if (use_matmul and n >= 1024 and plan_factors(n) is not None
+            and x.dtype != jnp.complex128):
         return _matfft(x, inverse=False)
     return jnp.fft.fft(x)
 
@@ -126,6 +131,7 @@ def fft(x: jax.Array, use_matmul: bool = True) -> jax.Array:
 def ifft(x: jax.Array, use_matmul: bool = True) -> jax.Array:
     """Inverse DFT along the last axis."""
     n = x.shape[-1]
-    if use_matmul and n >= 1024 and plan_factors(n) is not None:
+    if (use_matmul and n >= 1024 and plan_factors(n) is not None
+            and x.dtype != jnp.complex128):
         return _matfft(x, inverse=True)
     return jnp.fft.ifft(x)

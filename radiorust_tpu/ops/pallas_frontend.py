@@ -9,9 +9,10 @@ round trip.  This kernel keeps it in VMEM: per stream-tile it
    (``osc[a*inner + b] = p0 * A[a] * B[b]``, see blocks/transform.py),
 2. prepends the carried history (already-mixed tail of the previous
    chunk),
-3. decimates via an im2col + matmul over the rational-plan kernel matrix
-   (``ops/polyphase.py`` layout), emitting the mixed-domain history tail
-   for the next step alongside the outputs.
+3. decimates via the same lcm(p,128)-lane super-row banded GEMM as
+   :func:`pallas_decimate` (any integer ratio, long FIRs spill across
+   weight slabs), emitting the mixed-domain history tail for the next
+   step alongside the outputs.
 
 Only the raw chunk is read from HBM and only the decimated output (q/p of
 the input) plus a tiny history slab are written back.

@@ -121,7 +121,8 @@ def plan_downsample(input_rate: float, output_rate: float, bandwidth: float,
     W = np.zeros((q, Kw), dtype=np.float64)
     for r in range(q):
         W[r, n[r]: n[r] + L] = ir
-    return RationalPlan(p=p, q=q, kernel=W.astype(np.float32),
+    from ..numbers import stream_real
+    return RationalPlan(p=p, q=q, kernel=W.astype(stream_real()),
                         hist=L - 1, s0=0,
                         out_per_in=Fraction(q, p))
 
@@ -161,7 +162,8 @@ def plan_upsample(input_rate: float, output_rate: float, bandwidth: float,
                 W[r, u] = ir[j]
     hist = max(0, -minlo)
     s0 = minlo + hist
-    return RationalPlan(p=p, q=q, kernel=W.astype(np.float32),
+    from ..numbers import stream_real
+    return RationalPlan(p=p, q=q, kernel=W.astype(stream_real()),
                         hist=hist, s0=s0, out_per_in=Fraction(q, p))
 
 
@@ -178,15 +180,18 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
     zero imaginary part) halves the conv work.
     """
     b = xp.shape[0]
+    # f64 stream mode (complex128 inputs, CPU backend): the conv runs in
+    # f64 end to end; otherwise f32 as before.
+    rdt = jnp.float64 if xp.dtype == jnp.complex128 else jnp.float32
     if real_input:
         lhs = xp.real[:, None, :]
         if s0:
             lhs = lhs[:, :, s0:]
         out = jax.lax.conv_general_dilated(
-            lhs.astype(jnp.float32), kernel[:, None, :].astype(jnp.float32),
+            lhs.astype(rdt), kernel[:, None, :].astype(rdt),
             window_strides=(p,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=rdt,
             precision=config.matmul_precision(),
         )
         m = out_len // q
@@ -197,10 +202,10 @@ def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,
         lhs = lhs[:, :, s0:]
     rhs = kernel[:, None, :]
     out = jax.lax.conv_general_dilated(
-        lhs.astype(jnp.float32), rhs.astype(jnp.float32),
+        lhs.astype(rdt), rhs.astype(rdt),
         window_strides=(p,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=rdt,
         precision=config.matmul_precision(),  # f32-accurate on the MXU
     )  # [2b, q, M']
     m = out_len // q

@@ -85,7 +85,8 @@ def _configs():
                             Filter.new(lp),
                             Downsampler(1200000.0, 1000000.0)),
                       16384, 2400000.0),
-        "bw_meter": (bandwidth_meter_chain(), 10240, 1024000.0),
+        "bw_meter": (bandwidth_meter_chain(fuse_frontend=wfm_f), 10240,
+                     1024000.0),
         "channelizer": (channelized_receiver(), 65536, 8192000.0),
     }
 
