@@ -61,7 +61,12 @@ def stream_mode() -> str:
     env ``RRTPU_STREAM_DTYPE`` or :func:`set_stream_mode`."""
     if _stream_mode is not None:
         return _stream_mode
-    return os.environ.get("RRTPU_STREAM_DTYPE", "c64").lower()
+    mode = os.environ.get("RRTPU_STREAM_DTYPE", "c64").lower()
+    if mode not in _MODES:
+        raise ValueError(
+            f"RRTPU_STREAM_DTYPE={mode!r}: expected one of "
+            f"{sorted(_MODES)}")
+    return mode
 
 
 def set_stream_mode(mode: str | None) -> None:

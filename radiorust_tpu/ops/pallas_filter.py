@@ -115,9 +115,10 @@ def response_grid(response, n: int):
     traced, retunable) complex R[2n] param to the [n1, n2] kernel grid
     with the 1/(2n) IFFT norm folded in.  The single owner of the
     layout contract between the response vector and ``kernel_factors`` —
-    every fused-kernel call site must use it."""
-    n1, _ = kernel_factors(2 * n)
-    return jnp.swapaxes(response.reshape(128, n1), 0, 1) / (2.0 * n)
+    every fused-kernel call site must use it (including under a
+    ``RRTPU_FILTER_FACTORS`` override, where n2 != 128)."""
+    n1, n2 = kernel_factors(2 * n)
+    return jnp.swapaxes(response.reshape(n2, n1), 0, 1) / (2.0 * n)
 
 
 @functools.lru_cache(maxsize=32)

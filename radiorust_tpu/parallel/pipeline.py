@@ -41,7 +41,7 @@ import numpy as np
 
 from ..blocks.base import (BoundBlock, _BoundChain, pack_wire, unpack_wire)
 
-__all__ = ["PipelinedChain", "balance_partition"]
+__all__ = ["PipelinedChain", "CrossProcessPipeline", "balance_partition"]
 
 
 def balance_partition(n_blocks: int, n_stages: int) -> List[int]:
@@ -293,10 +293,12 @@ class CrossProcessPipeline:
             sub = blocks[i:i + cnt]
             bounds.append(sub[0] if len(sub) == 1 else _BoundChain(sub))
             i += cnt
+        from ..numbers import stream_complex, stream_real
+        self._row_dtype = stream_real()   # handoff rows follow the policy
         self._stage_out_tpl = []     # per-stage packed-output template
         for bnd in bounds:
             z = np.zeros((bnd.out_sig.batch, bnd.out_sig.chunk_len),
-                         np.complex64)
+                         stream_complex())
             packed = pack_wire(z)
             leaves, tdef = _jax.tree.flatten(packed)
             self._stage_out_tpl.append(
@@ -324,11 +326,12 @@ class CrossProcessPipeline:
 
     def _pack_row(self, packed_out) -> np.ndarray:
         import jax as _jax
+        rdt = self._row_dtype
         leaves = _jax.tree.leaves(_jax.device_get(packed_out))
-        flat = np.concatenate([np.asarray(l, np.float32).ravel()
+        flat = np.concatenate([np.asarray(l, rdt).ravel()
                                for l in leaves]) if leaves else \
-            np.zeros((0,), np.float32)
-        row = np.zeros((self._row_len,), np.float32)
+            np.zeros((0,), rdt)
+        row = np.zeros((self._row_len,), rdt)
         row[:flat.size] = flat
         return row
 
@@ -350,7 +353,7 @@ class CrossProcessPipeline:
         import jax as _jax
         t_total = len(xs)
         pid, nproc = self.pid, self.depth
-        recv = np.zeros((self._row_len,), np.float32)
+        recv = np.zeros((self._row_len,), self._row_dtype)
         outs = []
         no_reset = np.zeros((self.stage.bound.in_sig.batch,), bool)
         for t in range(t_total + nproc - 1):
@@ -367,7 +370,7 @@ class CrossProcessPipeline:
                     outs.append(unpack_wire(_jax.device_get(py)))
                 row = self._pack_row(py)
             else:
-                row = np.zeros((self._row_len,), np.float32)
+                row = np.zeros((self._row_len,), self._row_dtype)
             shard = _jax.device_put(row[None, :],
                                     _jax.local_devices()[0])
             g = _jax.make_array_from_single_device_arrays(

@@ -711,8 +711,12 @@ class TimeShardedGraph:
             # ICI while sub-groups j±1 run their filter matmuls, so the
             # non-overlapped halo cost drops from H to ~H/S (docs/
             # SCALING.md table).  Per-stream rows never couple, so the
-            # split is bit-exact vs overlap=1.  State leaves are
-            # batch-major by framework convention (blocks' init_state).
+            # split is bit-exact vs overlap=1 at pair-preserving
+            # sub-batches; when a sub-batch isolates ONE stream of a
+            # real-filtered pair, that filter drops its pair-packed FFT
+            # and the difference is f32-ulp-level (tests compare with
+            # atol accordingly).  State leaves are batch-major by
+            # framework convention (blocks' init_state).
             if overlap <= 1:
                 return run_nodes(params, state, xs)
             b = next(iter(xs.values())).shape[0]

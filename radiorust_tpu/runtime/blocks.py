@@ -117,6 +117,27 @@ def _spawn(coro):
     return asyncio.get_running_loop().create_task(coro)
 
 
+def _trace_check(step, params, state, in_sig):
+    """Abstractly trace a wire-packed sharded group step at construction
+    (``jax.eval_shape``: no compile, no device work, no eager complex).
+    The sharded executors reject unsupported configurations with
+    ValueError/NotImplementedError *inside* their traced handlers; without
+    this, a lazily-jitted step defers those errors to the actor's first
+    chunk — past the caller's single-device fallback window."""
+    import numpy as _np
+
+    from ..blocks.base import pack_wire as _pw
+
+    def ab(tree):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(_np.shape(a),
+                                           _np.result_type(a)), tree)
+
+    x = _np.zeros((in_sig.batch, in_sig.chunk_len), _np.complex64)
+    jax.eval_shape(step, ab(_pw(params)), ab(_pw(state)), ab(_pw(x)),
+                   jax.ShapeDtypeStruct((in_sig.batch,), bool))
+
+
 class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
     """Streaming actor around a compiled block spec.
 
@@ -243,6 +264,13 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                     ts._jit = ts.jit_step()
                     # The actor consumes/produces GROUP chunks.
                     ts.in_sig, ts.out_sig = ts.group_sigs()
+                    # Force the trace NOW (abstract, no compile): the
+                    # sharded handlers' capability rejections (overlap
+                    # divisibility, halo-vs-chunk bounds) are raised at
+                    # trace time, and they must land inside THIS
+                    # fallback window, not at the actor's first chunk.
+                    _trace_check(ts._jit, ts.params, ts.init_state(),
+                                 ts.in_sig)
                     bound = ts
                 except (ValueError, NotImplementedError) as e:
                     logging.getLogger(__name__).warning(
@@ -796,6 +824,16 @@ class RuntimeGraph(RuntimeBlock):
                                           for k, v in ys.items()}
 
         tsg._jit = step
+        try:
+            # Same construction-time trace forcing as the chain path:
+            # trace-time capability rejections must hit the fallback.
+            _trace_check(step, tsg.params, tsg.init_state(),
+                         tsg.in_sigs[in_name])
+        except (ValueError, NotImplementedError) as e:
+            logging.getLogger(__name__).warning(
+                "%s: cannot time-shard (%s); using the single-device "
+                "program", self.name, e)
+            return None
         return tsg
 
     # -- multi-output hooks -------------------------------------------------

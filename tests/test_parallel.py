@@ -613,6 +613,51 @@ def test_runtime_block_time_shard_serving_matches_unsharded():
     np.testing.assert_allclose(got_fb, want_fb, atol=5e-4)
 
 
+def test_runtime_block_overlap_indivisible_falls_back_at_construction():
+    """A trace-time capability rejection (batch 1 with overlap=2: the
+    sub-batch split has nothing to split) must engage the single-device
+    fallback at ACTOR CONSTRUCTION — the lazily-jitted sharded step used
+    to defer the ValueError to the first served chunk, killing the
+    stream after the fallback window had passed."""
+    import asyncio
+
+    import jax
+
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.runtime import ArraySink, RuntimeBlock
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    d, n, steps = 8, 1024, 2
+    xs = make_iq(steps * d, 1, n, seed=33)          # batch-1 stream
+    groups = [np.concatenate([xs[g * d + i] for i in range(d)], axis=-1)
+              for g in range(steps)]
+    mesh = jax.make_mesh((8,), ("t",))
+
+    async def drive(mesh_, overlap):
+        sender, connector = new_sender()
+        kw = ({"mesh": mesh_, "shard": "time", "overlap": overlap}
+              if mesh_ is not None else {})
+        blk = RuntimeBlock(wfm_receiver(), **kw)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        for g in groups:
+            await sender.send(Samples(1024000.0, g))
+        for _ in range(2400):
+            if len(sink.chunks) >= len(groups):
+                break
+            await asyncio.sleep(0.025)
+        assert len(sink.chunks) == len(groups), "stream died"
+        return np.concatenate(sink.chunks, axis=-1)
+
+    got = asyncio.run(drive(mesh, overlap=2))       # falls back, serves
+    want = asyncio.run(drive(None, overlap=1))
+    out_n = got.shape[-1] // (steps * d)
+    np.testing.assert_allclose(got[:, 2 * out_n:], want[:, 2 * out_n:],
+                               atol=5e-4)
+
+
 def test_sharded_pair_packed_local_batch_constraint():
     """Pair-packed fused kernels (FmDemodFilter) need an even *local*
     batch: jit_step_sharded refuses a split that leaves an odd per-device

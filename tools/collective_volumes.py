@@ -41,7 +41,11 @@ _SHAPE_RE = re.compile(r"\b(pred|s8|u8|bf16|f16|s16|u16|f32|s32|u32|f64|"
 _OP_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+"
                     r"(collective-permute|all-gather|all-reduce|"
                     r"all-to-all|reduce-scatter)(?:-start)?\(")
-_OP_ALL_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([\w\-]+)(?:-start)?\(")
+# Non-greedy op capture: greedy [\w\-]+ would swallow the '-start'
+# suffix of async collective pairs (the standard form under TPU
+# latency-hiding scheduling), misclassifying them and emptying
+# schedule_overlap_report's collective list.
+_OP_ALL_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([\w\-]+?)(?:-start)?\(")
 
 
 def _bytes_of(dtype: str, dims: str) -> int:

@@ -92,8 +92,11 @@ def _fm_iq(total: int, batch: int, rate: float):
 def _maybe_die(case: str, process_id: int) -> None:
     """SIGKILL drill hook: in kill mode, process 1 dies HERE — mid-case,
     after at least one collective step has completed, so the survivors
-    are abandoned inside the case's remaining collectives."""
-    if os.environ.get("FAKE_CLUSTER_KILL") == case and process_id == 1:
+    are abandoned inside the case's remaining collectives.  ``case`` is
+    the CURRENT case's name (each hooked case passes its own), compared
+    against the env selection — passing the env value itself would make
+    the guard tautological and kill in the first hooked case."""
+    if case and os.environ.get("FAKE_CLUSTER_KILL") == case and process_id == 1:
         print(f"[p{process_id}] SIGKILL drill: dying mid-{case}",
               flush=True)
         sys.stdout.flush()
@@ -101,7 +104,7 @@ def _maybe_die(case: str, process_id: int) -> None:
 
 
 def _case_time_sharded_wfm(mesh, t, ch_axis, retune, process_id,
-                           kill_case=None):
+                           case_name=None):
     """Cases 1 and 2: time(+channel)-sharded WFM vs sequential scan,
     optionally with a mid-stream retune."""
     import jax
@@ -143,8 +146,8 @@ def _case_time_sharded_wfm(mesh, t, ch_axis, retune, process_id,
     out_n = bound.out_sig.chunk_len
     state = ts.init_state()
     for s in range(steps):
-        if s == 1 and kill_case:
-            _maybe_die(kill_case, process_id)
+        if s == 1:
+            _maybe_die(case_name, process_id)
         if retune and s == 2:
             state = ts.set_shift(state, shift1)
         group = xs[s * t:(s + 1) * t]
@@ -251,7 +254,7 @@ def _case_cross_process_pipeline(process_id, num_processes):
                                     err_msg="cross-process pipeline")
 
 
-def _case_streams_x_channels(mesh, process_id, kill_case=None):
+def _case_streams_x_channels(mesh, process_id, case_name=None):
     """Case 6: 2-D serving mesh — the stream (batch) axis across
     processes, the channel split within each host.  Each device owns one
     (stream group, channel group) tile; the branch all_gather stays
@@ -278,8 +281,8 @@ def _case_streams_x_channels(mesh, process_id, kill_case=None):
     rows = np.abs(want).mean(axis=(0, 2)) > 1e-3  # channel-energy guard
     state = cs.init_state()
     for s in range(3):
-        if s == 1 and kill_case:
-            _maybe_die(kill_case, process_id)
+        if s == 1:
+            _maybe_die(case_name, process_id)
         state, y = cs.process(cs.params, state, xs[s])
         assert_addressable_allclose(y, want[s], atol=5e-4, rows=rows,
                                     label=f"streams-x-channels step {s}")
@@ -337,7 +340,7 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
             f"case 1 (t={ndev} + retune)",
             lambda: _case_time_sharded_wfm(
                 mesh_t, ndev, None, retune=True, process_id=process_id,
-                kill_case=kill_case))
+                case_name="wfm_time_sharded_t8_with_retune"))
     mesh_cht = jax.make_mesh((num_processes, ndev // num_processes),
                              ("ch", "t"))
     attempt("wfm_ch_across_hosts_x_t_within",
@@ -369,8 +372,9 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
                             ("s", "c"))
     attempt("streams_across_hosts_x_channels_within",
             f"case 6 (s={num_processes} x c={ndev // num_processes})",
-            lambda: _case_streams_x_channels(mesh_sc, process_id,
-                                             kill_case=kill_case))
+            lambda: _case_streams_x_channels(
+                mesh_sc, process_id,
+                case_name="streams_across_hosts_x_channels_within"))
     ok = mp.all_processes_ok(ok)
     if os.environ.get("FAKE_CLUSTER_FAIL") or kill_case:
         # Failure drills report via exit codes only — never overwrite
