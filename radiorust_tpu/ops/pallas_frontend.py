@@ -79,15 +79,19 @@ def _make_kernel(n, hist, p, q, outer, inner, tile, slabs, precision):
         padi = jnp.pad(bufi, ((0, 0), (0, padded - (hist + n))))
         dot = make_dot(precision)
         w = w3[:]
-        for pad_, out_ in ((padr, outr), (padi, outi)):
-            acc = None
-            for k in range(slabs):
-                Pk = pad_[:, k * S: k * S + nsup * S].reshape(
-                    tile * nsup, S)
-                t = dot(Pk, w[k * S: (k + 1) * S],
-                        (((1,), (0,)), ((), ())))
-                acc = t if acc is None else acc + t
-            out_[:] = acc.reshape(tile, nsup, wper * q)
+        # re/im share the weights: stack along the matmul M dim (row-
+        # independent => bit-identical) — one dot per slab, not two.
+        pad = jnp.concatenate([padr, padi], axis=0)
+        acc = None
+        for k in range(slabs):
+            Pk = pad[:, k * S: k * S + nsup * S].reshape(
+                2 * tile * nsup, S)
+            t = dot(Pk, w[k * S: (k + 1) * S],
+                    (((1,), (0,)), ((), ())))
+            acc = t if acc is None else acc + t
+        y = acc.reshape(2, tile, nsup, wper * q)
+        outr[:] = y[0]
+        outi[:] = y[1]
 
     return kernel
 
@@ -146,23 +150,30 @@ def _make_decim_kernel(n, hist, p, q, tile, nplanes, slabs, precision):
         newhs = refs[2 * nplanes + 1 + nplanes:]
         dot = make_dot(precision)
         w = w3[:]
+        pads = []
         for ix in range(nplanes):
             buf = jnp.concatenate([hs[ix][:], xs[ix][:]], axis=-1)
             newhs[ix][:] = buf[:, -hist:]
-            pad = jnp.pad(buf, ((0, 0), (0, padded - (hist + n))))
-            acc = None
-            # Window for output m spans buf[m*p : m*p + Kw]; windows are
-            # lane-aligned per S-lane super-row, and long windows spill
-            # into the next `slabs-1` super-rows, so each super-row of
-            # outputs pairs with its successors via split (banded) weight
-            # slabs — all views whole vregs.
-            for k in range(slabs):
-                Pk = pad[:, k * S: k * S + nsup * S].reshape(
-                    tile * nsup, S)
-                t = dot(Pk, w[k * S: (k + 1) * S],
-                        (((1,), (0,)), ((), ())))
-                acc = t if acc is None else acc + t
-            outs[ix][:] = acc.reshape(tile, nsup, wper * q)
+            pads.append(jnp.pad(buf, ((0, 0), (0, padded - (hist + n)))))
+        # Both planes share the weights, so they stack along the matmul
+        # M dim (row-independent => bit-identical to separate dots):
+        # one dot per slab instead of one per plane per slab.
+        pad = pads[0] if nplanes == 1 else jnp.concatenate(pads, axis=0)
+        acc = None
+        # Window for output m spans buf[m*p : m*p + Kw]; windows are
+        # lane-aligned per S-lane super-row, and long windows spill
+        # into the next `slabs-1` super-rows, so each super-row of
+        # outputs pairs with its successors via split (banded) weight
+        # slabs — all views whole vregs.
+        for k in range(slabs):
+            Pk = pad[:, k * S: k * S + nsup * S].reshape(
+                nplanes * tile * nsup, S)
+            t = dot(Pk, w[k * S: (k + 1) * S],
+                    (((1,), (0,)), ((), ())))
+            acc = t if acc is None else acc + t
+        y = acc.reshape(nplanes, tile, nsup, wper * q)
+        for ix in range(nplanes):
+            outs[ix][:] = y[ix]
 
     return kernel
 

@@ -11,7 +11,11 @@ normalization, a nonlinear op XLA cannot hoist, so each iteration truly
 depends on the previous one.
 
 Variants (options after ':'): tileN | high/highest/default (matmul
-precision passes) | 3mul (Gauss 3-multiplication complex matmuls):
+precision passes) | 3mul (Gauss 3-multiplication complex matmuls) |
+block / cmm (force the block-matrix DFT matmuls ON / OFF — block is
+the r4 default, so pass `cmm` to measure the classic pipeline) | fN1xN2
+(RRTPU_FILTER_FACTORS transform split override) | s1rows
+(streams-on-M stage-1 orientation experiment):
   chain                 full fused WFM chain (bench reference point)
   chain_unfused         literal block-for-block chain
   frontend              fused mixer+decimator kernel alone  (16384 -> 6144)
@@ -320,7 +324,7 @@ def _with_modes(built, prec, cmm, tile=None, block=False, factors=None,
     traces on the first (warmup) call, baking the modes into the program."""
     from radiorust_tpu import config
     fn, spi = built
-    if (prec == "highest" and not cmm and tile is None and not block
+    if (prec == "highest" and not cmm and tile is None and block is None
             and factors is None and not s1rows):
         return fn, spi
 
@@ -328,7 +332,7 @@ def _with_modes(built, prec, cmm, tile=None, block=False, factors=None,
         config.set_matmul_precision(prec)
         config.set_complex_mm_3mul(cmm or None)
         config.set_pallas_tile(tile)
-        config.set_filter_blockmm(block or None)
+        config.set_filter_blockmm(block)
         if factors:
             os.environ["RRTPU_FILTER_FACTORS"] = factors
         if s1rows:
@@ -353,7 +357,8 @@ def parse(v):
     chain_tile = None       # whole-chain kernels keep defaults unless set
     prec = "highest"
     cmm = "3mul" in opts
-    block = "block" in opts
+    block = (True if "block" in opts
+             else False if "cmm" in opts else None)
     factors = None
     for o in opts:
         if o.startswith("tile"):
