@@ -286,11 +286,33 @@ class _BoundFilterBank(BoundBlock):
         k = self.num_outputs
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
                          state["prev"])
+        if self._use_pallas():
+            from ..ops.pallas_filter import fused_filter_bank, response_grid
+            grids = jnp.stack([response_grid(params["responses"][j], n)
+                               for j in range(k)])
+            outr, outi = fused_filter_bank(
+                jnp.real(prev), jnp.imag(prev), jnp.real(x), jnp.imag(x),
+                jnp.real(grids).astype(jnp.float32),
+                jnp.imag(grids).astype(jnp.float32))
+            return ({"prev": x},
+                    tuple(jax.lax.complex(outr[:, j], outi[:, j])
+                          for j in range(k)))
         spec = _fft(jnp.concatenate([prev, x], axis=-1))        # [b, 2n] once
         prod = spec[None, :, :] * params["responses"][:, None, :]
         ys = _ifft(prod.reshape(k * b, 2 * n))[..., :n].astype(x.dtype)
         ys = ys.reshape(k, b, n)
         return {"prev": x}, tuple(ys[j] for j in range(k))
+
+    def _use_pallas(self) -> bool:
+        # Same gate as _BoundFilter: the fused VMEM bank kernel runs one
+        # forward transform per stream tile and keeps the grids resident
+        # while the K bands consume them (ops/pallas_filter.py
+        # fused_filter_bank); CPU and f64-mode runs take the XLA
+        # shared-forward formulation.
+        from ..ops.pallas_filter import supported
+        import jax as _jax
+        return (supported(self.in_sig.chunk_len)
+                and _jax.default_backend() not in ("cpu",))
 
     def update_params(self, freq_resps, window: Optional[Window] = None):
         """Redesign every band's response host-side (Filter::update

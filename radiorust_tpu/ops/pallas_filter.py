@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiorust_tpu import config
 
-__all__ = ["fused_overlap_save", "fused_demod_filter",
+__all__ = ["fused_overlap_save", "fused_filter_bank",
+           "fused_demod_filter",
            "fused_filter_demod_filter", "response_to_grid", "response_grid",
            "supported"]
 
@@ -157,6 +158,14 @@ def _block_constants(n2x: int, n1: int, n2: int,
     return tuple(out)
 
 
+def _grid_mul(vr, vi, rr, ri):
+    """Frequency-response multiply on the [n1, X, n2] grid (grid-layout
+    response planes [n1, n2], 1/(2n) folded in)."""
+    gr = rr[:, None, :]
+    gi = ri[:, None, :]
+    return vr * gr - vi * gi, vr * gi + vi * gr
+
+
 def _os_pipeline_block(n1, n2, X, mode):
     """Block-matrix variant of :func:`_os_pipeline`: each DFT stage is ONE
     real dot on re/im-concatenated operands (stage 1/inverse-1 concatenate
@@ -206,7 +215,8 @@ def _os_pipeline_block(n1, n2, X, mode):
     import os
     s1_rows = os.environ.get("RRTPU_FILTER_S1") == "rows"
 
-    def pipeline(zr, zi, rr, ri, *consts):
+    def forward(zr, zi, *consts):
+        """Forward four-step DFT: [X, n1, n2] planes -> grid [n1, X, n2]."""
         l1, r2, rc, e1, twr, twi = unpack(consts)
         if s1_rows:
             # Experimental orientation (VERDICT r3 item 3 lever b): put
@@ -244,10 +254,14 @@ def _os_pipeline_block(n1, n2, X, mode):
         v = bdot_right(u, r2)
         vr = v[:, :n2].reshape(n1, X, n2)
         vi = v[:, n2:].reshape(n1, X, n2)
-        gr = rr[:, None, :]
-        gi = ri[:, None, :]
-        pr = vr * gr - vi * gi
-        pi = vr * gi + vi * gr
+        return vr, vi
+
+    def inverse(pr, pi, *consts):
+        """Inverse transform of a response-multiplied grid, truncated to
+        the first n time samples: [n1, X, n2] -> [X, n] planes."""
+        l1, r2, rc, e1, twr, twi = unpack(consts)
+        wr = twr[:, None, :]
+        wi = twi[:, None, :]
         # Inverse stage 2 (conjugated factor).
         p = jnp.concatenate([pr.reshape(n1 * X, n2),
                              pi.reshape(n1 * X, n2)], axis=1)
@@ -264,7 +278,12 @@ def _os_pipeline_block(n1, n2, X, mode):
         yi = jnp.swapaxes(y[half:].reshape(half, X, n2), 0, 1).reshape(X, n)
         return yr, yi
 
-    return pipeline
+    def pipeline(zr, zi, rr, ri, *consts):
+        vr, vi = forward(zr, zi, *consts)
+        pr, pi = _grid_mul(vr, vi, rr, ri)
+        return inverse(pr, pi, *consts)
+
+    return forward, inverse, pipeline
 
 
 class _TransformPlan:
@@ -286,7 +305,7 @@ class _TransformPlan:
     def const_arrays(self):
         return [jnp.asarray(c) for c in self.consts]
 
-    def pipeline(self, X: int):
+    def _parts(self, X: int):
         if self.block:
             return _os_pipeline_block(self.n1, self.n2, X, self.mode)
         from .mxu import make_dot
@@ -296,6 +315,16 @@ class _TransformPlan:
             return dot(a, b, (((1,), (0,)), ((), ())))
 
         return _os_pipeline(_make_cmm(mm), self.n1, self.n2, X)
+
+    def pipeline(self, X: int):
+        """forward -> response multiply -> inverse, fused."""
+        return self._parts(X)[2]
+
+    def pipeline_parts(self, X: int):
+        """(forward, inverse) halves — for kernels that share ONE forward
+        transform across several responses (the filter bank)."""
+        fwd, inv, _ = self._parts(X)
+        return fwd, inv
 
 
 def _os_pipeline(cmm, n1, n2, X):
@@ -307,7 +336,8 @@ def _os_pipeline(cmm, n1, n2, X):
     half = n1 // 2
     n = half * n2
 
-    def pipeline(zr, zi, rr, ri, d1r, d1i, d2r, d2i, twr, twi, e1r, e1i):
+    def forward(zr, zi, d1r, d1i, d2r, d2i, twr, twi, e1r, e1i):
+        """Forward four-step DFT: [X, n1, n2] planes -> grid [n1, X, n2]."""
         # Stage 1: contract i1 with D1 -> [k1, X, i2] via [n1, X*n2] matmul.
         zr2 = jnp.swapaxes(zr, 0, 1).reshape(n1, X * n2)
         zi2 = jnp.swapaxes(zi, 0, 1).reshape(n1, X * n2)
@@ -323,13 +353,13 @@ def _os_pipeline(cmm, n1, n2, X):
         ur2 = ur.reshape(n1 * X, n2)
         ui2 = ui.reshape(n1 * X, n2)
         vr, vi = cmm(ur2, ui2, d2r, d2i)
-        # Frequency response (grid layout, 1/(2n) folded in).
-        vr = vr.reshape(n1, X, n2)
-        vi = vi.reshape(n1, X, n2)
-        gr = rr[:, None, :]
-        gi = ri[:, None, :]
-        pr = vr * gr - vi * gi
-        pi = vr * gi + vi * gr
+        return vr.reshape(n1, X, n2), vi.reshape(n1, X, n2)
+
+    def inverse(pr, pi, d1r, d1i, d2r, d2i, twr, twi, e1r, e1i):
+        """Inverse transform of a response-multiplied grid, truncated to
+        the first n time samples: [n1, X, n2] -> [X, n] planes."""
+        wr = twr[:, None, :]
+        wi = twi[:, None, :]
         # Inverse stage 2: contract k2 with conj(D2) (= D2^H since D2 is
         # symmetric: conj + transpose == conj).
         pr2 = pr.reshape(n1 * X, n2)
@@ -351,7 +381,12 @@ def _os_pipeline(cmm, n1, n2, X):
         yi = jnp.swapaxes(yi.reshape(half, X, n2), 0, 1).reshape(X, n)
         return yr, yi
 
-    return pipeline
+    def pipeline(zr, zi, rr, ri, *consts):
+        vr, vi = forward(zr, zi, *consts)
+        pr, pi = _grid_mul(vr, vi, rr, ri)
+        return inverse(pr, pi, *consts)
+
+    return forward, inverse, pipeline
 
 
 def _make_kernel(plan: "_TransformPlan", tile: int):
@@ -406,6 +441,74 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
         in_specs=[stream_spec] * 4 + [const_spec] * (2 + len(const_arrays)),
         out_specs=[stream_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
+    )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
+    return outr, outi
+
+
+# ---------------------------------------------------------------------------
+# Fused filter BANK: one forward transform, K response multiplies + inverses
+# ---------------------------------------------------------------------------
+
+def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
+    n1, n2 = plan.n1, plan.n2
+    half = n1 // 2
+    fwd, inv = plan.pipeline_parts(tile)
+    nc = len(plan.consts)
+
+    def kernel(*refs):
+        prevr, previ, curr, curi, rr, ri = refs[:6]   # rr/ri: [K, n1, n2]
+        consts = tuple(c[:] for c in refs[6:6 + nc])
+        outr, outi = refs[6 + nc:]                    # [tile, K, n]
+        xr = jnp.concatenate(
+            [prevr[:].reshape(tile, half, n2),
+             curr[:].reshape(tile, half, n2)], axis=1)
+        xi = jnp.concatenate(
+            [previ[:].reshape(tile, half, n2),
+             curi[:].reshape(tile, half, n2)], axis=1)
+        vr, vi = fwd(xr, xi, *consts)                 # ONE forward
+        for k in range(K):                            # K static bands
+            pr, pi = _grid_mul(vr, vi, rr[k], ri[k])
+            yr, yi = inv(pr, pi, *consts)
+            outr[:, k, :] = yr
+            outi[:, k, :] = yi
+
+    return kernel
+
+
+def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
+                      tile: int = None, precision=None):
+    """K overlap-save filters over one stream in ONE kernel: the forward
+    four-step transform runs once per stream tile and stays in VMEM while
+    the K response multiplies + inverse transforms consume it — vs the
+    XLA shared-forward bank, which round-trips every [tile, 2n] grid
+    through HBM between the forward, multiply, and inverse stages.
+
+    ``resp_gr/gi``: [K, n1, n2] stacked response grids
+    (:func:`response_grid` per band).  Returns (outr, outi) float32
+    [batch, K, n] — band k of stream b at ``out[b, k]``.
+    """
+    b, n = curr.shape
+    K = resp_gr.shape[0]
+    if tile is None:
+        tile = config.pallas_tile()
+    tile = min(tile, b)
+    if b % tile:
+        tile = 1
+    plan = _TransformPlan(2 * n, precision)
+    const_arrays = plan.const_arrays()
+    kernel = _make_bank_kernel(plan, tile, K)
+    grid = (b // tile,)
+    stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out3 = pl.BlockSpec((tile, K, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outr, outi = _pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[stream_spec] * 4 + [const_spec] * (2 + len(const_arrays)),
+        out_specs=[out3] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, K, n), jnp.float32)] * 2,
     )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
     return outr, outi
 

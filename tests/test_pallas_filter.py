@@ -158,3 +158,48 @@ def test_block_mm_matches_classic():
         for a, b in zip(classic, block):
             err = np.max(np.abs(np.asarray(a) - np.asarray(b))) / rms
             assert err < tol, (prec, err)
+
+
+def test_fused_filter_bank_matches_per_band_kernels():
+    """The fused bank kernel (ONE forward transform, K response multiplies
+    + inverses in VMEM) equals K independent fused_overlap_save calls —
+    the forward stage is the identical computation on identical
+    constants, so each band's output matches its standalone filter."""
+    import jax.experimental.pallas as pl
+
+    import radiorust_tpu.ops.pallas_filter as pf
+
+    n, batch, K = 2048, 4, 3
+    rng = np.random.default_rng(9)
+    prev = (rng.standard_normal((batch, n))
+            + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    cur = (rng.standard_normal((batch, n))
+           + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    resps = (rng.standard_normal((K, 2 * n))
+             + 1j * rng.standard_normal((K, 2 * n))).astype(np.complex64)
+    grids = [response_to_grid(resps[k]) for k in range(K)]
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    pf.pl.pallas_call = interp_call
+    try:
+        outr, outi = pf.fused_filter_bank(
+            jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(np.stack([g[0] for g in grids])),
+            jnp.asarray(np.stack([g[1] for g in grids])))
+        for k in range(K):
+            wr, wi = fused_overlap_save(
+                jnp.asarray(prev.real), jnp.asarray(prev.imag),
+                jnp.asarray(cur.real), jnp.asarray(cur.imag),
+                jnp.asarray(grids[k][0]), jnp.asarray(grids[k][1]))
+            np.testing.assert_allclose(np.asarray(outr[:, k]),
+                                       np.asarray(wr), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(outi[:, k]),
+                                       np.asarray(wi), atol=1e-5)
+    finally:
+        pf.pl.pallas_call = orig

@@ -44,9 +44,14 @@ def _norm(y):
     return y * jax.lax.rsqrt(e)
 
 
-def build(use_bank: bool):
+def build(use_bank: bool, bank_pallas: bool = True):
     sig = StreamSig(BATCH, N, MPX_RATE)
     bg = stereo_mpx_decoder(use_bank=use_bank).bind({"mpx": sig})
+    if use_bank and not bank_pallas:
+        from radiorust_tpu.blocks.filters import _BoundFilterBank
+        for blk in bg.bound:
+            if isinstance(blk, _BoundFilterBank):
+                blk._use_pallas = lambda: False
     pparams = pack_wire(bg.params)
     pstate = pack_wire(bg.init_state())
 
@@ -78,9 +83,13 @@ def build(use_bank: bool):
 
 
 def main():
-    variants = sys.argv[1:] or ["bank", "separate"]
+    # "bank" = FilterBank (fused VMEM bank kernel on TPU, r4);
+    # "bank_xla" = FilterBank forced onto the XLA shared-forward path;
+    # "separate" = three standalone Filters.
+    variants = sys.argv[1:] or ["bank", "bank_xla", "separate"]
     iters = int(os.environ.get("EXP_ITERS", "4096"))
-    built = [(v, build(v == "bank")) for v in variants]
+    built = [(v, build(v.startswith("bank"), bank_pallas=(v == "bank")))
+             for v in variants]
     for v, fn in built:
         t0 = time.perf_counter()
         val = float(fn(0, 2))
