@@ -196,10 +196,8 @@ class _BoundFilter(BoundBlock):
         return {"prev": x}, y
 
     def _use_pallas(self) -> bool:
-        from ..ops.pallas_filter import supported
-        import jax as _jax
-        return (supported(self.in_sig.chunk_len)
-                and _jax.default_backend() not in ("cpu",))
+        from ..ops.pallas_filter import use_fused_filter
+        return use_fused_filter(self.in_sig.chunk_len)
 
     def update_params(self, freq_resp: Callable,
                       window: Optional[Window] = None):
@@ -304,15 +302,14 @@ class _BoundFilterBank(BoundBlock):
         return {"prev": x}, tuple(ys[j] for j in range(k))
 
     def _use_pallas(self) -> bool:
-        # Same gate as _BoundFilter: the fused VMEM bank kernel runs one
-        # forward transform per stream tile and keeps the grids resident
-        # while the K bands consume them (ops/pallas_filter.py
-        # fused_filter_bank); CPU and f64-mode runs take the XLA
-        # shared-forward formulation.
-        from ..ops.pallas_filter import supported
-        import jax as _jax
-        return (supported(self.in_sig.chunk_len)
-                and _jax.default_backend() not in ("cpu",))
+        # Shared backend gate plus a K-aware VMEM budget: the fused bank
+        # kernel's output blocks scale with the band count, and a bank
+        # too large for VMEM must fall back to the XLA shared-forward
+        # formulation rather than fail Mosaic compilation.
+        from ..ops.pallas_filter import bank_supported, use_fused_filter
+        return (use_fused_filter(self.in_sig.chunk_len)
+                and bank_supported(self.in_sig.chunk_len,
+                                   self.num_outputs))
 
     def update_params(self, freq_resps, window: Optional[Window] = None):
         """Redesign every band's response host-side (Filter::update

@@ -88,6 +88,36 @@ def supported(n: int) -> bool:
     return kernel_factors(2 * n) is not None
 
 
+_BANK_OUT_VMEM_BUDGET = 6 * 1024 * 1024  # bytes for the K output blocks
+
+
+def bank_supported(n: int, K: int, tile: int = None) -> bool:
+    """Whether a K-band bank fits the fused kernel: transform-size
+    support plus a VMEM budget on the K-scaling output blocks
+    (2 x [tile, K, n] f32 per grid step).  Large banks fall back to the
+    XLA shared-forward formulation instead of failing Mosaic compilation
+    — the same failure class decimate_supported's weight-slab budget
+    guards (a real 25 MB OOM, VALIDATE_r04 notes)."""
+    if not supported(n):
+        return False
+    if tile is None:
+        tile = config.pallas_tile()
+    return 2 * tile * K * n * 4 <= _BANK_OUT_VMEM_BUDGET
+
+
+def use_fused_filter(chunk_len: int) -> bool:
+    """Shared backend gate for the fused VMEM filter kernels: the chunk
+    must factor for the four-step transform and the backend must be a
+    real TPU — on CPU (which includes every c128/f64-stream-mode run:
+    that mode is CPU-only by policy, numbers.py) the XLA formulations
+    run instead.  Single owner — _BoundFilter, _BoundFilterBank, and
+    any future fused-filter call site must use this, not a private
+    copy."""
+    import jax as _jax
+    return (supported(chunk_len)
+            and _jax.default_backend() not in ("cpu",))
+
+
 @functools.lru_cache(maxsize=32)
 def _factor_constants(n2x: int, n1: int, n2: int) -> Tuple[np.ndarray, ...]:
     k1 = np.arange(n1)

@@ -203,3 +203,15 @@ def test_fused_filter_bank_matches_per_band_kernels():
                                        np.asarray(wi), atol=1e-5)
     finally:
         pf.pl.pallas_call = orig
+
+
+def test_bank_supported_vmem_budget():
+    """Large banks must fall back to the XLA formulation: the fused
+    kernel's output blocks scale with K (2 x [tile, K, n] f32 per grid
+    step), and exceeding the VMEM budget would fail Mosaic compilation
+    instead of degrading gracefully."""
+    from radiorust_tpu.ops.pallas_filter import bank_supported
+    assert bank_supported(6144, 3, tile=8)          # the stereo bank
+    assert not bank_supported(6144, 64, tile=8)     # output blocks alone 12 MB+
+    assert not bank_supported(12288, 16, tile=8)
+    assert not bank_supported(100, 2, tile=8)       # unfactorable chunk

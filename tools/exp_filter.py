@@ -318,8 +318,13 @@ def build_tail(pallas=True):
     return fn, BATCH * N_MID
 
 
-def _with_modes(built, prec, cmm, tile=None, block=False, factors=None,
+def _with_modes(built, prec, cmm, tile=None, block=None, factors=None,
                 s1rows=False):
+    # ``block``: None = inherit the config default (r4: block ON);
+    # True/False = force.  Callers that do not forward it must inherit —
+    # a False default would silently pin the classic pipeline on the
+    # chain_no_*/decim subtractive variants while the ``chain``
+    # reference ran block, corrupting every stage marginal.
     """Set the numeric-mode config for the duration of each call; jit
     traces on the first (warmup) call, baking the modes into the program."""
     from radiorust_tpu import config
