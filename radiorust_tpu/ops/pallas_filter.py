@@ -482,7 +482,14 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
 def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
     n1, n2 = plan.n1, plan.n2
     half = n1 // 2
-    fwd, inv = plan.pipeline_parts(tile)
+    n = half * n2
+    fwd, _ = plan.pipeline_parts(tile)
+    # The transform pipeline is agnostic to the stream-axis width, so the
+    # K response-multiplied grids stack along it (axis 1: stream index
+    # k*tile + x) and ONE inverse of width K*tile serves every band —
+    # 2 inverse dots total instead of 2 per band, with K-times-deeper
+    # matmul M dims.  Row-stacking is bit-identical to per-band inverses.
+    _, inv_many = plan.pipeline_parts(K * tile)
     nc = len(plan.consts)
 
     def kernel(*refs):
@@ -496,11 +503,18 @@ def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
             [previ[:].reshape(tile, half, n2),
              curi[:].reshape(tile, half, n2)], axis=1)
         vr, vi = fwd(xr, xi, *consts)                 # ONE forward
+        prs, pis = [], []
         for k in range(K):                            # K static bands
             pr, pi = _grid_mul(vr, vi, rr[k], ri[k])
-            yr, yi = inv(pr, pi, *consts)
-            outr[:, k, :] = yr
-            outi[:, k, :] = yi
+            prs.append(pr)
+            pis.append(pi)
+        yr, yi = inv_many(jnp.concatenate(prs, axis=1),
+                          jnp.concatenate(pis, axis=1), *consts)
+        y3r = yr.reshape(K, tile, n)
+        y3i = yi.reshape(K, tile, n)
+        for k in range(K):
+            outr[:, k, :] = y3r[k]
+            outi[:, k, :] = y3i[k]
 
     return kernel
 
