@@ -76,5 +76,30 @@ async def main():
     print(f"SSB program tone: {dominant_tone(ssb_sink.chunks):.0f} Hz")
 
 
+def isb_demo():
+    """Independent-sideband reception: two programs on the two sidebands
+    of ONE carrier, decoded simultaneously through a shared-transform
+    FilterBank (`models.analog.isb_receiver` — on TPU the fused VMEM
+    bank kernel runs both sideband filters off one forward transform)."""
+    import jax.numpy as jnp
+
+    from radiorust_tpu.blocks.base import StreamSig
+    from radiorust_tpu.blocks.graph import graph_scan
+    from radiorust_tpu.models.analog import ANALOG_INPUT_RATE, isb_receiver
+
+    rate, n, t_chunks, f_off = ANALOG_INPUT_RATE, ANALOG_INPUT_CHUNK, 8, 30e3
+    t = np.arange(t_chunks * n) / rate
+    iq = (0.5 * np.exp(2j * np.pi * (f_off + 1000.0) * t)      # USB: 1 kHz
+          + 0.5 * np.exp(2j * np.pi * (f_off - 2000.0) * t)    # LSB: 2 kHz
+          ).astype(np.complex64).reshape(t_chunks, 1, n)
+    g = isb_receiver(tune_shift=-f_off).bind(
+        {"iq": StreamSig(1, n, rate)})
+    _, ys = graph_scan(g, g.params, g.init_state(), {"iq": jnp.asarray(iq)})
+    for name in ("usb", "lsb"):
+        audio = [np.asarray(ys[name])[c, 0] for c in range(t_chunks)]
+        print(f"ISB {name} program tone: {dominant_tone(audio):.0f} Hz")
+
+
 if __name__ == "__main__":
     asyncio.run(main())
+    isb_demo()

@@ -29,7 +29,7 @@ from ..blocks.filters import Filter
 from ..blocks.resampling import Downsampler
 from ..blocks.transform import AgcControl, FreqShifter, GainControl, MapSample
 
-__all__ = ["am_receiver", "ssb_receiver",
+__all__ = ["am_receiver", "ssb_receiver", "isb_receiver",
            "ANALOG_INPUT_RATE", "ANALOG_INPUT_CHUNK",
            "ANALOG_AUDIO_RATE", "ANALOG_AUDIO_CHUNK"]
 
@@ -112,3 +112,45 @@ def ssb_receiver(tune_shift: float = 0.0, volume: float = 1.0,
         AgcControl(reference=volume, rate=1e-2) if agc
         else GainControl(volume),
     )
+
+
+def isb_receiver(tune_shift: float = 0.0, volume: float = 1.0,
+                 audio_low: float = 100.0, audio_high: float = 3100.0,
+                 agc: bool = False):
+    """Independent-sideband (ISB) receiver: BOTH sidebands of one
+    suppressed-carrier channel decoded simultaneously.
+
+    ISB transmits two distinct programs on the upper and lower sidebands
+    of a single carrier (a classic point-to-point HF mode); receiving it
+    is two filter-method SSB receivers sharing everything up to the
+    sideband split.  Here that split is ONE :class:`FilterBank` — the
+    USB and LSB selection filters share a single forward transform and
+    one previous-chunk state (and, on TPU, the fused VMEM bank kernel,
+    ``ops/pallas_filter.fused_filter_bank``) instead of running two full
+    overlap-save filters.  Per-band outputs are identical to standalone
+    :func:`ssb_receiver` chains tuned to each sideband.
+
+    The reference library builds receivers as broadcast fan-outs of one
+    tuned stream (``src/flow.rs:44-52``); this is that topology as a
+    compiled DAG.  Returns a :class:`~radiorust_tpu.blocks.graph.Graph`
+    with input ``"iq"`` (256 ksps) and real-audio outputs ``"usb"`` and
+    ``"lsb"`` at 32 ksps.
+    """
+    from ..blocks.filters import FilterBank
+    from ..blocks.graph import Graph
+
+    g = Graph()
+    iq = g.input("iq")
+    common = g.chain([
+        FreqShifter(tune_shift),
+        Downsampler(ANALOG_AUDIO_RATE, 2.0 * audio_high),
+    ], iq)
+    usb_band = _sideband(audio_low, audio_high, lsb=False)
+    lsb_band = _sideband(audio_low, audio_high, lsb=True)
+    usb, lsb = g.bank(FilterBank([usb_band, lsb_band]), common)
+    for name, node in (("usb", usb), ("lsb", lsb)):
+        audio = g.add(MapSample(_real_part, real_output=True), node)
+        audio = g.add(AgcControl(reference=volume, rate=1e-2) if agc
+                      else GainControl(volume), audio)
+        g.output(name, audio)
+    return g
