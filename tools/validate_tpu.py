@@ -248,6 +248,27 @@ def build():
                 batch, T, -1).swapaxes(0, 1)
 
         return bound, gen, False, None
+    if MODEL == "isb":
+        # The r4 fused filter-BANK kernel (one forward transform, K
+        # response multiplies + inverses in VMEM) on a 2-band receiver:
+        # independent programs on the upper and lower sidebands of one
+        # suppressed carrier at DC.
+        from radiorust_tpu.models.analog import (ANALOG_INPUT_CHUNK,
+                                                 ANALOG_INPUT_RATE,
+                                                 isb_receiver)
+        batch, n, rate = 4, ANALOG_INPUT_CHUNK, ANALOG_INPUT_RATE
+        bound = isb_receiver().bind({"iq": StreamSig(batch, n, rate)})
+
+        def gen():
+            t = jnp.arange(T * n, dtype=jnp.float32) / np.float32(rate)
+            tc = t.astype(jnp.complex64)
+            base = (0.5 * jnp.exp(2j * np.pi * 1000.0 * tc)     # USB 1 kHz
+                    + 0.5 * jnp.exp(-2j * np.pi * 2000.0 * tc))  # LSB 2 kHz
+            amp = jnp.linspace(0.5, 1.0, batch).astype(jnp.complex64)
+            return (base[None, :] * amp[:, None]).reshape(
+                batch, T, -1).swapaxes(0, 1)
+
+        return bound, gen, True, None
     raise SystemExit(f"unknown model {MODEL}")
 
 
@@ -305,7 +326,7 @@ TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "stereo": 1e-2,
        # scan-order ulps over chunks; bw_meter: a prefix landing within
        # 1 ulp of the walk limit flips one ~25 Hz bin (documented caveat).
        "morse_rf": 1e-2, "bw_meter": 1e-2, "audiopipe": 1e-3,
-       "wfm_tx": 1e-2}
+       "wfm_tx": 1e-2, "isb": 1e-3}
 
 
 def run_on(platform, model):
