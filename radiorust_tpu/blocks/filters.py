@@ -117,10 +117,9 @@ def extend_response(ir: np.ndarray) -> np.ndarray:
     the reference's f64->Flt cast before the response FFT.  Single owner
     of this layout — the fused kernels' responses must stay bit-identical
     to the unfused filter's."""
-    from ..numbers import stream_complex
     n = ir.shape[-1]
     ext = np.concatenate([np.zeros(n, dtype=np.complex128),
-                          ir.astype(stream_complex()).astype(np.complex128)])
+                          ir.astype(_nums.stream_complex()).astype(np.complex128)])
     return np.fft.fft(ext)
 
 
@@ -145,15 +144,13 @@ class _BoundFilter(BoundBlock):
         # (numpy) array: complex leaves must stay host-side until they
         # cross the jit boundary through the wire packer (see
         # blocks/base.py pack_wire).
-        from ..numbers import stream_complex
         self.params = {"response":
-                       extend_response(ir).astype(stream_complex())}
+                       extend_response(ir).astype(_nums.stream_complex())}
 
     def init_state(self):
         sig = self.in_sig
-        from ..numbers import stream_complex
         return {"prev": np.zeros((sig.batch, sig.chunk_len),
-                                 stream_complex())}
+                                 _nums.stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
@@ -205,8 +202,7 @@ class _BoundFilter(BoundBlock):
         w = window if window is not None else self.window
         r = design_response(freq_resp, w, self.in_sig.chunk_len,
                             self.in_sig.sample_rate)
-        from ..numbers import stream_complex
-        return {"response": r.astype(stream_complex())}
+        return {"response": r.astype(_nums.stream_complex())}
 
 
 class Filter(Block):
@@ -264,9 +260,8 @@ class _BoundFilterBank(BoundBlock):
                  <= 1e-9 * max(float(np.abs(ir.real).max()), 1e-30))
             for ir in irs)
         # One retunable response per band (same wire layout as Filter).
-        from ..numbers import stream_complex
         self.params = {"responses": np.stack(
-            [extend_response(ir).astype(stream_complex()) for ir in irs])}
+            [extend_response(ir).astype(_nums.stream_complex()) for ir in irs])}
 
     @property
     def outputs_real(self):
@@ -274,9 +269,8 @@ class _BoundFilterBank(BoundBlock):
 
     def init_state(self):
         sig = self.in_sig
-        from ..numbers import stream_complex
         return {"prev": np.zeros((sig.batch, sig.chunk_len),
-                                 stream_complex())}
+                                 _nums.stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
@@ -349,8 +343,7 @@ class _BoundSlewRateLimiter(BoundBlock):
         self.params = _nums.stream_real()(slew_rate)
 
     def init_state(self):
-        from ..numbers import stream_complex
-        return {"prev": np.zeros((self.in_sig.batch,), stream_complex())}
+        return {"prev": np.zeros((self.in_sig.batch,), _nums.stream_complex())}
 
     def process(self, params, state, x, reset):
         # Truly sequential recurrence (each output feeds the next clamp,

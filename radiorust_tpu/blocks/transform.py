@@ -92,8 +92,7 @@ class _BoundSquelch(BoundBlock):
         self.params = {"threshold": rdt(threshold), "alpha": rdt(alpha)}
 
     def init_state(self):
-        from ..numbers import stream_real
-        return {"env": np.zeros((self.in_sig.batch,), stream_real())}
+        return {"env": np.zeros((self.in_sig.batch,), _nums.stream_real())}
 
     def process(self, params, state, x, reset):
         # Smoothed power e[n] = alpha e[n-1] + (1-alpha) |x[n]|^2 is a
@@ -214,8 +213,7 @@ class _BoundAgc(BoundBlock):
                        "max_gain": rdt(max_gain)}
 
     def init_state(self):
-        from ..numbers import stream_real
-        return {"gain": np.ones((self.in_sig.batch,), stream_real())}
+        return {"gain": np.ones((self.in_sig.batch,), _nums.stream_real())}
 
     def process(self, params, state, x, reset):
         # y[n] = g[n] x[n];  g[n+1] = clip(g[n] + rate (ref - |y[n]|)).
@@ -444,8 +442,7 @@ def _shift_tables(chunk_len: int, denom: int, numer: int):
     table_b = np.exp(1j * tau * b_idx.astype(np.float64) / denom)
     table_a = np.exp(1j * tau * a_idx.astype(np.float64) / denom)
     adv = (chunk_len * numer) % denom
-    from ..numbers import stream_complex
-    cdt = stream_complex()
+    cdt = _nums.stream_complex()
     return (table_a.astype(cdt), table_b.astype(cdt), np.int32(adv))
 
 

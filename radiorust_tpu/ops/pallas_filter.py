@@ -88,21 +88,26 @@ def supported(n: int) -> bool:
     return kernel_factors(2 * n) is not None
 
 
-_BANK_OUT_VMEM_BUDGET = 6 * 1024 * 1024  # bytes for the K output blocks
+_BANK_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the K-scaling live set
 
 
 def bank_supported(n: int, K: int, tile: int = None) -> bool:
     """Whether a K-band bank fits the fused kernel: transform-size
-    support plus a VMEM budget on the K-scaling output blocks
-    (2 x [tile, K, n] f32 per grid step).  Large banks fall back to the
-    XLA shared-forward formulation instead of failing Mosaic compilation
-    — the same failure class decimate_supported's weight-slab budget
-    guards (a real 25 MB OOM, VALIDATE_r04 notes)."""
+    support plus a VMEM budget on the K-scaling live set per grid step —
+    the 2 x [tile, K, n] output blocks PLUS the concatenated
+    response-multiplied grids (2 x [n1, K*tile, n2] = 4*tile*K*n words,
+    the dominant term) that feed the width-K*tile inverse.  ~8 MB is
+    left for inputs, constants, the forward grid, and inverse
+    transients.  Large banks fall back to the XLA shared-forward
+    formulation instead of failing Mosaic compilation — the same
+    failure class decimate_supported's weight-slab budget guards (a
+    real 25 MB OOM, VALIDATE_r04 notes)."""
     if not supported(n):
         return False
     if tile is None:
         tile = config.pallas_tile()
-    return 2 * tile * K * n * 4 <= _BANK_OUT_VMEM_BUDGET
+    live_words = 2 * tile * K * n + 4 * tile * K * n
+    return live_words * 4 <= _BANK_VMEM_BUDGET
 
 
 def use_fused_filter(chunk_len: int) -> bool:

@@ -280,6 +280,9 @@ class CrossProcessPipeline:
         if len(partition) != nproc:
             raise ValueError(f"partition {partition} must have one stage "
                              f"per process ({nproc})")
+        if sum(partition) != len(blocks) or min(partition) < 1:
+            raise ValueError(f"partition {partition} does not cover "
+                             f"{len(blocks)} blocks with >=1 per stage")
         self.bound = bound_chain
         self.in_sig = bound_chain.in_sig
         self.out_sig = bound_chain.out_sig
@@ -368,7 +371,12 @@ class CrossProcessPipeline:
                     pack_wire(xin), no_reset)
                 if pid == nproc - 1:
                     outs.append(unpack_wire(_jax.device_get(py)))
-                row = self._pack_row(py)
+                    # The shift permutation sends the last stage's row
+                    # nowhere ((i, i+1) for i < P-1): skip the redundant
+                    # device fetch of the largest packed row per tick.
+                    row = np.zeros((self._row_len,), self._row_dtype)
+                else:
+                    row = self._pack_row(py)
             else:
                 row = np.zeros((self._row_len,), self._row_dtype)
             shard = _jax.device_put(row[None, :],

@@ -392,15 +392,21 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
                            factors)
     if name == "chain_mid":
         return _with_modes(build_chain(True, mid=True), prec, cmm,
-                           chain_tile, block)
+                           chain_tile, block, factors)
+    # The subtractive variants MUST carry the same numeric-mode options
+    # as the ``chain`` reference they are subtracted from — a dropped
+    # option silently mixes pipelines and corrupts every stage marginal.
     if name == "chain_no_filter1":
-        return _with_modes(build_chain(True, drop=(1,)), prec, cmm)
+        return _with_modes(build_chain(True, drop=(1,)), prec, cmm,
+                           chain_tile, block, factors)
     if name == "chain_no_tail":
-        return _with_modes(build_chain(True, drop=(3,)), prec, cmm)
+        return _with_modes(build_chain(True, drop=(3,)), prec, cmm,
+                           chain_tile, block, factors)
     if name == "chain_no_demod":
         # NB: approximate — without demod the tail sees a complex stream
         # (two conv planes instead of one), overcounting the tail.
-        return _with_modes(build_chain(True, drop=(2,)), prec, cmm)
+        return _with_modes(build_chain(True, drop=(2,)), prec, cmm,
+                           chain_tile, block, factors)
     if name == "chain_tail_xla":
         return build_chain(True, tail_pallas=False)
     if name == "chain_unfused":
@@ -410,7 +416,8 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
     if name == "mixer":
         return build_frontend("mixer")
     if name == "decim":
-        return _with_modes(build_frontend("decim"), prec, cmm)
+        return _with_modes(build_frontend("decim"), prec, cmm,
+                           block=block, factors=factors)
     if name == "feedback":
         return build_feedback(tile if tile > 128 else N_IN)
     if name == "filter1":

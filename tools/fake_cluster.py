@@ -394,12 +394,22 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
     return 0 if ok else 1
 
 
+_KILL_HOOKED_CASES = ("wfm_time_sharded_t8_with_retune",
+                      "streams_across_hosts_x_channels_within")
+
+
 def run_kill_drill(num_processes: int, local_devices: int,
                    kill_case: str = "wfm_time_sharded_t8_with_retune",
                    timeout: float = 600.0):
     """SIGKILL one worker mid-stream; assert the survivors error out of
     the dead peer's collectives within the timeout instead of hanging.
-    Returns the drill verdict dict (merged into the artifact)."""
+    Returns the drill verdict dict (merged into the artifact).  Only
+    cases with a _maybe_die hook are valid targets — an unhooked name
+    would run the whole suite with no kill and report a misleading
+    failure verdict."""
+    if kill_case not in _KILL_HOOKED_CASES:
+        raise ValueError(f"kill_case {kill_case!r} has no _maybe_die "
+                         f"hook; hooked: {_KILL_HOOKED_CASES}")
     import time
 
     from radiorust_tpu.parallel.multiprocess import launch_local_cluster
