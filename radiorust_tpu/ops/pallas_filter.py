@@ -38,7 +38,7 @@ from radiorust_tpu import config
 __all__ = ["fused_overlap_save", "fused_filter_bank",
            "fused_demod_filter",
            "fused_filter_demod_filter", "response_to_grid", "response_grid",
-           "supported"]
+           "supported", "bank_supported", "use_fused_filter"]
 
 
 def _make_cmm(mm):

@@ -843,6 +843,55 @@ def test_runtime_graph_time_shard_serving_matches_unsharded():
     np.testing.assert_allclose(got_d[:, n:], want_d[:, n:], atol=5e-4)
 
 
+def test_runtime_graph_overlap_indivisible_falls_back_at_construction():
+    """RuntimeGraph's time-shard binding has the same construction-time
+    trace forcing as RuntimeBlock's: a batch-1 stream with overlap=2 (the
+    sub-batch split has nothing to split — a trace-time ValueError) must
+    engage the single-device fallback at actor construction, not kill
+    the stream at its first chunk."""
+    import asyncio
+
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.runtime import ArraySink, RuntimeGraph
+    from radiorust_tpu.runtime.flow import new_sender
+    from radiorust_tpu.signal import Samples
+
+    def build():
+        g = Graph()
+        src = g.input("iq")
+        mid = g.add(FreqShifter.with_shift(500.0), src)
+        g.output("filt", g.add(Filter.new(lowpass(2000.0)), mid))
+        return g
+
+    d, n, steps = 8, 256, 2
+    xs = make_iq(steps * d, 1, n, seed=19)      # batch-1 stream
+    groups = [np.concatenate([xs[g * d + i] for i in range(d)], axis=-1)
+              for g in range(steps)]
+
+    async def drive(mesh, chunks, overlap):
+        sender, connector = new_sender()
+        kw = ({"mesh": mesh, "shard": "time", "overlap": overlap}
+              if mesh is not None else {})
+        rg = RuntimeGraph(build(), **kw)
+        sink = ArraySink()
+        rg.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rg.out("filt"))
+        for c in chunks:
+            await sender.send(Samples(8000.0, c))
+        for _ in range(1200):
+            if len(sink.chunks) >= len(chunks):
+                break
+            await asyncio.sleep(0.01)
+        assert rg.failure is None
+        assert len(sink.chunks) == len(chunks), "stream died"
+        return np.concatenate(sink.chunks, axis=-1)
+
+    mesh = jax.make_mesh((8,), ("t",))
+    got = asyncio.run(drive(mesh, groups, overlap=2))   # falls back
+    want = asyncio.run(drive(None, groups, overlap=1))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 def test_runtime_block_mesh_wfm_fleet_matches_unsharded():
     """A 16-stream WFM fleet through one mesh-serving actor: batched
     chunks run the full receive chain sharded over the 8-device mesh and
