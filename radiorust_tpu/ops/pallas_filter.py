@@ -71,8 +71,17 @@ def kernel_factors(n2x: int):
     import os
     override = os.environ.get("RRTPU_FILTER_FACTORS")
     if override:
-        n1, n2 = (int(v) for v in override.lower().split("x"))
-        if n1 * n2 == n2x and n1 % 2 == 0:
+        try:
+            n1, n2 = (int(v) for v in override.lower().split("x"))
+        except ValueError:
+            raise ValueError(
+                f"RRTPU_FILTER_FACTORS={override!r}: expected 'N1xN2' "
+                f"(two integers, e.g. 128x96)") from None
+        # n1 % 8: the pipeline reshapes/concats slice the transform rows
+        # at sublane granularity — the same alignment the default path
+        # guarantees; an odd-but-even n1 (e.g. 6x2048) would be accepted
+        # here only to fail Mosaic lowering deep inside compilation.
+        if n1 * n2 == n2x and n1 % 8 == 0:
             return n1, n2
         # Override doesn't apply to this transform size: fall through.
     if n2x % 128:
@@ -106,7 +115,11 @@ def bank_supported(n: int, K: int, tile: int = None) -> bool:
         return False
     if tile is None:
         tile = config.pallas_tile()
-    live_words = 2 * tile * K * n + 4 * tile * K * n
+    # 2tKn outputs + 4tKn response-multiplied grids, PLUS the transient
+    # duplication at the jnp.concatenate of the K per-band grids in
+    # _make_bank_kernel (the list of K grids and the concatenated copy
+    # coexist briefly), doubling the grid term's peak.
+    live_words = 2 * tile * K * n + 2 * (4 * tile * K * n)
     return live_words * 4 <= _BANK_VMEM_BUDGET
 
 

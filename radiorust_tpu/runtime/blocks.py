@@ -133,7 +133,11 @@ def _trace_check(step, params, state, in_sig):
             lambda a: jax.ShapeDtypeStruct(_np.shape(a),
                                            _np.result_type(a)), tree)
 
-    x = _np.zeros((in_sig.batch, in_sig.chunk_len), _np.complex64)
+    # Probe dtype follows the stream policy (c128 under f64 stream mode),
+    # so the traced step sees the same wire planes the actor's real chunks
+    # will produce.
+    from .. import numbers as _nums
+    x = _np.zeros((in_sig.batch, in_sig.chunk_len), _nums.stream_complex())
     jax.eval_shape(step, ab(_pw(params)), ab(_pw(state)), ab(_pw(x)),
                    jax.ShapeDtypeStruct((in_sig.batch,), bool))
 

@@ -387,6 +387,11 @@ def parse(v):
 
 
 def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
+    if "s1rows" in opts and name != "filter1":
+        # Only the standalone filter builder threads the orientation flag
+        # through; silently ignoring it would mislabel an A/B run.
+        raise SystemExit(f"s1rows is only supported with the filter1 "
+                         f"variant, not {name!r}")
     if name == "chain":
         return _with_modes(build_chain(True), prec, cmm, chain_tile, block,
                            factors)
