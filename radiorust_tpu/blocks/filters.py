@@ -8,8 +8,8 @@ TPU-native equivalents of the reference's ``src/blocks/filters.rs``.
 1. sample the user frequency-response closure at every DFT bin of the chunk
    (signed frequencies ``i * rate / n``, conjugate-layout fill),
 2. inverse FFT to an impulse response,
-3. fftshift (chunk length must be even — the reference's half-swap equals a
-   standard fftshift only for even ``n``),
+3. the reference's half-swap (a block swap of the two floor-halves; equals
+   fftshift for even ``n``, leaves the last element fixed for odd ``n``),
 4. apply the window (default ``Kaiser.with_null_at_bin(2.0)``) and rescale
    to the pre-window energy,
 5. zero-pad to ``2n`` (zeros in the front half) and FFT once.
@@ -68,10 +68,12 @@ def deemphasis_factor(tau: float, frequency):
 def design_impulse_response(freq_resp: Callable, window: Window, n: int,
                             sample_rate: float) -> np.ndarray:
     """Design the length-n impulse response (complex128) — steps 1-4 of the
-    reference pipeline (sample response, IFFT, fftshift, window,
-    energy-renormalize)."""
-    if n % 2 != 0:
-        raise ValueError("Filter requires an even chunk length")
+    reference pipeline (sample response, IFFT, half-swap, window,
+    energy-renormalize).  Any n >= 1, odd included: the reference's swap
+    loop (``filters.rs:201-203``, ``swap(i, i + n/2)`` for ``i < n/2``) is
+    a block swap of the first two half-open halves with the final element
+    fixed for odd n — reproduced literally below (equals fftshift for
+    even n only)."""
     # Signed bin layout: bins 0..=max positive, n-i negative
     # (src/blocks/filters.rs:190-199).  Bin n/2 (Nyquist, even n) is left at
     # zero exactly like the reference (max_bin_abs = (n-1)/2 < n/2).
@@ -85,9 +87,12 @@ def design_impulse_response(freq_resp: Callable, window: Window, n: int,
     gains = np.array(freq_resp(bins, freqs), dtype=np.complex128)
     if n % 2 == 0:
         gains[n // 2] = 0.0  # Nyquist bin never sampled by the reference.
-    # Inverse FFT to impulse response, center with fftshift.
+    # Inverse FFT to impulse response, center with the reference's literal
+    # half-swap (filters.rs:201-203): block-swap [0,half) and [half,2half),
+    # last element fixed for odd n.  Equals fftshift for even n.
     ir = np.fft.ifft(gains)
-    ir = np.fft.fftshift(ir)
+    half = n // 2
+    ir = np.concatenate([ir[half:2 * half], ir[:half], ir[2 * half:]])
     # Window and renormalize to pre-window energy
     # (src/blocks/filters.rs:204-219).
     w = window_table(window, n)

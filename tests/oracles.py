@@ -177,7 +177,11 @@ def oracle_filter_chunks(chunks, sample_rate, freq_resp, window):
     # rustfft unnormalized inverse = numpy ifft * n
     time = np.fft.ifft(resp) * n
     half = n // 2
-    time = np.concatenate([time[half:], time[:half]])  # swap halves
+    # Literal reference swap loop (filters.rs:201-203): swap(i, i+n/2) for
+    # i in 0..n/2 — a block swap of [0,half) and [half,2*half); for odd n
+    # the last element stays in place (NOT a rotation).
+    time = np.concatenate([time[half:2 * half], time[:half],
+                           time[2 * half:]])
     w = window_table(window, n)
     e_pre = np.sum(np.abs(time) ** 2)
     time = time * w

@@ -352,6 +352,28 @@ def test_filter_matches_oracle():
         np.testing.assert_allclose(ys[k], want[k - 1], atol=2e-4)
 
 
+@pytest.mark.parametrize("n", [1023, 4095])
+def test_filter_matches_oracle_odd_n(n):
+    # Odd chunk lengths run the reference design pipeline unchanged
+    # (filters.rs:184-239): the half-swap at :201-203 is well-defined for
+    # odd n (block swap of the floor-halves, last element fixed) and the
+    # 2n-point overlap-save transform is even regardless.
+    rng = np.random.default_rng(11)
+    rate = 48000.0
+    chunks = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+              ).astype(np.complex64)
+    b = Filter.new(lowpass(8000.0)).bind(sig(chunk_len=n, rate=rate))
+    ys, _ = run_chunks(b, chunks)
+
+    def scalar_resp(bin_idx, freq):
+        return 1.0 + 0.0j if abs(freq) <= 8000.0 else 0.0j
+
+    want = oracles.oracle_filter_chunks(
+        list(chunks), rate, scalar_resp, Kaiser.with_null_at_bin(2.0))
+    for k in range(1, 3):
+        np.testing.assert_allclose(ys[k], want[k - 1], atol=2e-4)
+
+
 def test_filter_passband_tone():
     rate, n = 48000.0, 256
     freq = 1500.0  # on-bin: 1500/48000*256 = 8
