@@ -116,14 +116,19 @@ def design_response(freq_resp: Callable, window: Window, n: int,
     return extend_response(ir)
 
 
-def extend_response(ir: np.ndarray) -> np.ndarray:
-    """Zero-pad an n-tap impulse response to 2n and transform once
-    (``src/blocks/filters.rs:220-238``).  The complex64 round-trip matches
-    the reference's f64->Flt cast before the response FFT.  Single owner
-    of this layout — the fused kernels' responses must stay bit-identical
-    to the unfused filter's."""
-    n = ir.shape[-1]
-    ext = np.concatenate([np.zeros(n, dtype=np.complex128),
+def extend_response(ir: np.ndarray, pad: int = None) -> np.ndarray:
+    """Zero-pad an m-tap impulse response to ``pad + m`` (front zeros) and
+    transform once (``src/blocks/filters.rs:220-238``).  ``pad`` defaults
+    to m — the reference's 2n layout; a larger pad = the decoupled
+    geometry where each step filters ``pad`` new samples against the same
+    m-tap response.  The complex64 round-trip matches the reference's
+    f64->Flt cast before the response FFT.  Single owner of this layout —
+    the fused kernels' responses must stay bit-identical to the unfused
+    filter's."""
+    m = ir.shape[-1]
+    if pad is None:
+        pad = m
+    ext = np.concatenate([np.zeros(pad, dtype=np.complex128),
                           ir.astype(_nums.stream_complex()).astype(np.complex128)])
     return np.fft.fft(ext)
 
@@ -134,14 +139,27 @@ class _BoundFilter(BoundBlock):
         # A real impulse response maps real input to real output.
         return self.input_is_real and self._real_ir
 
-    def __init__(self, sig: StreamSig, freq_resp: Callable, window: Window):
+    def __init__(self, sig: StreamSig, freq_resp: Callable, window: Window,
+                 ir_len: Optional[int] = None):
         self.in_sig = self.out_sig = sig
         self.window = window
         # First output is computed against a zero previous chunk the
         # reference would still be buffering (filters.rs:79-82).
         self.valid_from = 1
         n = sig.chunk_len
-        ir = design_impulse_response(freq_resp, window, n, sig.sample_rate)
+        # Decoupled overlap-save geometry: the impulse response (and with
+        # it the designed frequency resolution, rate/ir_len) may be
+        # SHORTER than the chunk — each step then filters n new samples
+        # against an ir_len-tap history over an (n + ir_len)-point
+        # transform.  Output values equal the coupled geometry's exactly
+        # (same designed IR, same linear convolution); ir_len = n (the
+        # default) reproduces the reference's coupling
+        # (filters.rs:240-259) bit for bit.
+        m = n if ir_len is None else int(ir_len)
+        if not 0 < m <= n:
+            raise ValueError(f"ir_len {m} must be in (0, chunk_len {n}]")
+        self.ir_len = m
+        ir = design_impulse_response(freq_resp, window, m, sig.sample_rate)
         peak = max(float(np.abs(ir.real).max()), 1e-30)
         self._real_ir = bool(np.abs(ir.imag).max() <= 1e-9 * peak)
         # Traced param: Filter::update swaps the response without
@@ -150,15 +168,17 @@ class _BoundFilter(BoundBlock):
         # cross the jit boundary through the wire packer (see
         # blocks/base.py pack_wire).
         self.params = {"response":
-                       extend_response(ir).astype(_nums.stream_complex())}
+                       extend_response(ir, pad=n).astype(
+                           _nums.stream_complex())}
 
     def init_state(self):
         sig = self.in_sig
-        return {"prev": np.zeros((sig.batch, sig.chunk_len),
+        return {"prev": np.zeros((sig.batch, self.ir_len),
                                  _nums.stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
+        m = self.ir_len
         # zeros_like (not a complex scalar literal): complex immediates can
         # hang some TPU compile paths.
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
@@ -177,7 +197,7 @@ class _BoundFilter(BoundBlock):
                                              response_grid)
             # Response grid [k1, k2] computed in-graph from the
             # (retunable) response param.
-            grid = response_grid(params["response"], n)
+            grid = response_grid(params["response"])
             outr, outi = fused_overlap_save(
                 jnp.real(prev), jnp.imag(prev),
                 jnp.real(x), jnp.imag(x),
@@ -194,19 +214,20 @@ class _BoundFilter(BoundBlock):
             yr = jnp.stack([y.real, y.imag], axis=1)
             yr = yr.reshape(x_full.shape[0], n)
             y = jax.lax.complex(yr, jnp.zeros_like(yr))
-            return {"prev": x_full}, y
-        return {"prev": x}, y
+            return {"prev": x_full[..., n - m:]}, y
+        return {"prev": x[..., n - m:]}, y
 
     def _use_pallas(self) -> bool:
         from ..ops.pallas_filter import use_fused_filter
-        return use_fused_filter(self.in_sig.chunk_len)
+        return use_fused_filter(self.in_sig.chunk_len, self.ir_len)
 
     def update_params(self, freq_resp: Callable,
                       window: Optional[Window] = None):
         """Redesign the response host-side (analog of ``Filter::update``)."""
         w = window if window is not None else self.window
-        r = design_response(freq_resp, w, self.in_sig.chunk_len,
-                            self.in_sig.sample_rate)
+        ir = design_impulse_response(freq_resp, w, self.ir_len,
+                                     self.in_sig.sample_rate)
+        r = extend_response(ir, pad=self.in_sig.chunk_len)
         return {"response": r.astype(_nums.stream_complex())}
 
 
@@ -216,28 +237,40 @@ class Filter(Block):
 
     ``freq_resp(bins, freqs)`` is a vectorized closure from signed DFT bin
     indices / signed frequencies (hertz) to complex gains.  Frequency
-    resolution is ``x * sample_rate / chunk_len`` for
-    ``Kaiser.with_null_at_bin(x)`` (the default, x=2.0).
+    resolution is ``x * sample_rate / ir_len`` for
+    ``Kaiser.with_null_at_bin(x)`` (the default, x=2.0), where ``ir_len``
+    defaults to the bound chunk length (the reference's coupling).
+
+    ``ir_len < chunk_len`` decouples the impulse-response length from the
+    samples-per-step: the designed response (and resolution) is that of
+    an ``ir_len``-chunk reference filter, but each step processes a full
+    chunk of new samples over one (chunk+ir_len)-point transform — fewer
+    FLOPs and halo bytes per sample, and on TPU a tile-friendlier
+    transform factorization (e.g. ir 6144 at chunk 10240 -> 16384 =
+    128x128 full MXU tiles).  Output values match the coupled geometry.
     """
 
-    def __init__(self, freq_resp: Callable, window: Optional[Window] = None):
+    def __init__(self, freq_resp: Callable, window: Optional[Window] = None,
+                 ir_len: Optional[int] = None):
         self.freq_resp = freq_resp
         self.window = window if window is not None else Kaiser.with_null_at_bin(2.0)
+        self.ir_len = ir_len
 
     @classmethod
-    def new(cls, freq_resp: Callable) -> "Filter":
-        return cls(freq_resp)
+    def new(cls, freq_resp: Callable, ir_len: Optional[int] = None) -> "Filter":
+        return cls(freq_resp, ir_len=ir_len)
 
     @classmethod
-    def new_rectangular(cls, freq_resp: Callable) -> "Filter":
-        return cls(freq_resp, Rectangular())
+    def new_rectangular(cls, freq_resp: Callable,
+                        ir_len: Optional[int] = None) -> "Filter":
+        return cls(freq_resp, Rectangular(), ir_len=ir_len)
 
     @classmethod
     def with_window(cls, freq_resp: Callable, window: Window) -> "Filter":
         return cls(freq_resp, window)
 
     def bind(self, sig: StreamSig) -> _BoundFilter:
-        return _BoundFilter(sig, self.freq_resp, self.window)
+        return _BoundFilter(sig, self.freq_resp, self.window, self.ir_len)
 
 
 class _BoundFilterBank(BoundBlock):
@@ -251,12 +284,17 @@ class _BoundFilterBank(BoundBlock):
     carrying a single shared previous-chunk state instead of K copies.
     """
 
-    def __init__(self, sig: StreamSig, freq_resps, window: Window):
+    def __init__(self, sig: StreamSig, freq_resps, window: Window,
+                 ir_len: Optional[int] = None):
         self.in_sig = self.out_sig = sig
         self.window = window
         self.valid_from = 1
         n = sig.chunk_len
-        irs = [design_impulse_response(fr, window, n, sig.sample_rate)
+        m = n if ir_len is None else int(ir_len)
+        if not 0 < m <= n:
+            raise ValueError(f"ir_len {m} must be in (0, chunk_len {n}]")
+        self.ir_len = m
+        irs = [design_impulse_response(fr, window, m, sig.sample_rate)
                for fr in freq_resps]
         self.num_outputs = len(irs)
         self.out_sigs = (sig,) * self.num_outputs
@@ -266,7 +304,8 @@ class _BoundFilterBank(BoundBlock):
             for ir in irs)
         # One retunable response per band (same wire layout as Filter).
         self.params = {"responses": np.stack(
-            [extend_response(ir).astype(_nums.stream_complex()) for ir in irs])}
+            [extend_response(ir, pad=n).astype(_nums.stream_complex())
+             for ir in irs])}
 
     @property
     def outputs_real(self):
@@ -274,31 +313,32 @@ class _BoundFilterBank(BoundBlock):
 
     def init_state(self):
         sig = self.in_sig
-        return {"prev": np.zeros((sig.batch, sig.chunk_len),
+        return {"prev": np.zeros((sig.batch, self.ir_len),
                                  _nums.stream_complex())}
 
     def process(self, params, state, x, reset):
         n = self.in_sig.chunk_len
+        m = self.ir_len
         b = x.shape[0]
         k = self.num_outputs
         prev = jnp.where(reset[:, None], jnp.zeros_like(state["prev"]),
                          state["prev"])
         if self._use_pallas():
             from ..ops.pallas_filter import fused_filter_bank, response_grid
-            grids = jnp.stack([response_grid(params["responses"][j], n)
+            grids = jnp.stack([response_grid(params["responses"][j])
                                for j in range(k)])
             outr, outi = fused_filter_bank(
                 jnp.real(prev), jnp.imag(prev), jnp.real(x), jnp.imag(x),
                 jnp.real(grids).astype(jnp.float32),
                 jnp.imag(grids).astype(jnp.float32))
-            return ({"prev": x},
+            return ({"prev": x[..., n - m:]},
                     tuple(jax.lax.complex(outr[:, j], outi[:, j])
                           for j in range(k)))
-        spec = _fft(jnp.concatenate([prev, x], axis=-1))        # [b, 2n] once
+        spec = _fft(jnp.concatenate([prev, x], axis=-1))     # [b, n+m] once
         prod = spec[None, :, :] * params["responses"][:, None, :]
-        ys = _ifft(prod.reshape(k * b, 2 * n))[..., :n].astype(x.dtype)
+        ys = _ifft(prod.reshape(k * b, n + m))[..., :n].astype(x.dtype)
         ys = ys.reshape(k, b, n)
-        return {"prev": x}, tuple(ys[j] for j in range(k))
+        return {"prev": x[..., n - m:]}, tuple(ys[j] for j in range(k))
 
     def _use_pallas(self) -> bool:
         # Shared backend gate plus a K-aware VMEM budget: the fused bank
@@ -306,18 +346,19 @@ class _BoundFilterBank(BoundBlock):
         # too large for VMEM must fall back to the XLA shared-forward
         # formulation rather than fail Mosaic compilation.
         from ..ops.pallas_filter import bank_supported, use_fused_filter
-        return (use_fused_filter(self.in_sig.chunk_len)
+        return (use_fused_filter(self.in_sig.chunk_len, self.ir_len)
                 and bank_supported(self.in_sig.chunk_len,
-                                   self.num_outputs))
+                                   self.num_outputs, m=self.ir_len))
 
     def update_params(self, freq_resps, window: Optional[Window] = None):
         """Redesign every band's response host-side (Filter::update
         analog, ``src/blocks/filters.rs:279-297``)."""
         w = window if window is not None else self.window
         return {"responses": np.stack(
-            [design_response(fr, w, self.in_sig.chunk_len,
-                             self.in_sig.sample_rate).astype(
-                                 _nums.stream_complex())
+            [extend_response(
+                design_impulse_response(fr, w, self.ir_len,
+                                        self.in_sig.sample_rate),
+                pad=self.in_sig.chunk_len).astype(_nums.stream_complex())
              for fr in freq_resps])}
 
 
@@ -330,16 +371,19 @@ class FilterBank(Block):
     ``Filter`` blocks exactly (shared-transform identity of linear
     filtering; equivalence-tested)."""
 
-    def __init__(self, freq_resps, window: Optional[Window] = None):
+    def __init__(self, freq_resps, window: Optional[Window] = None,
+                 ir_len: Optional[int] = None):
         self.freq_resps = tuple(freq_resps)
         if not self.freq_resps:
             raise ValueError("FilterBank needs at least one band")
         self.window = (window if window is not None
                        else Kaiser.with_null_at_bin(2.0))
         self.num_outputs = len(self.freq_resps)
+        self.ir_len = ir_len
 
     def bind(self, sig: StreamSig) -> _BoundFilterBank:
-        return _BoundFilterBank(sig, self.freq_resps, self.window)
+        return _BoundFilterBank(sig, self.freq_resps, self.window,
+                                self.ir_len)
 
 
 class _BoundSlewRateLimiter(BoundBlock):

@@ -137,17 +137,22 @@ class _BoundFmDemodFilter(BoundBlock):
         b = self.in_sig.batch
         return b % ndev == 0 and (b // ndev) % 2 == 0
 
-    def __init__(self, sig: StreamSig, deviation: float, freq_resp, window):
+    def __init__(self, sig: StreamSig, deviation: float, freq_resp, window,
+                 ir_len=None):
         from ..ops.pallas_filter import supported as _filt_supported
         from .filters import design_impulse_response
         self.in_sig = self.out_sig = sig
         self.valid_from = 1  # overlap-save warmup, like _BoundFilter
         n = sig.chunk_len
-        if not _filt_supported(n) or sig.batch % 2:
+        m = n if ir_len is None else int(ir_len)
+        if not 0 < m <= n:
+            raise ValueError(f"ir_len {m} must be in (0, chunk_len {n}]")
+        self.ir_len = m
+        if not _filt_supported(n, m) or sig.batch % 2:
             raise ValueError("FmDemodFilter kernel constraints unmet "
                              "(chunk size / even batch); use FmDemod + "
                              "Filter")
-        ir = design_impulse_response(freq_resp, window, n, sig.sample_rate)
+        ir = design_impulse_response(freq_resp, window, m, sig.sample_rate)
         peak = max(float(np.abs(ir.real).max()), 1e-30)
         if np.abs(ir.imag).max() > 1e-9 * peak:
             raise ValueError("FmDemodFilter requires a real impulse "
@@ -158,16 +163,16 @@ class _BoundFmDemodFilter(BoundBlock):
         # reference's per-chunk watch-channel read
         # (src/blocks/modulation.rs:154-157).
         self.params = {
-            "response": extend_response(ir).astype(np.complex64),
+            "response": extend_response(ir, pad=n).astype(np.complex64),
             "factor": np.float32(sig.sample_rate / deviation / TAU),
         }
 
     def init_state(self):
-        b, n = self.in_sig.batch, self.in_sig.chunk_len
+        b = self.in_sig.batch
         return {
             "plr": np.zeros((b,), np.float32),
             "pli": np.zeros((b,), np.float32),
-            "prevd": np.zeros((b, n), np.float32),
+            "prevd": np.zeros((b, self.ir_len), np.float32),
             "last_out": np.zeros((b,), np.float32),
             "have_prev": np.zeros((b,), np.float32),
         }
@@ -175,7 +180,7 @@ class _BoundFmDemodFilter(BoundBlock):
     def process(self, params, state, x, reset):
         from ..ops.pallas_filter import fused_demod_filter, response_grid
         n = self.in_sig.chunk_len
-        grid = response_grid(params["response"], n)
+        grid = response_grid(params["response"])
         have = jnp.where(reset, 0.0, state["have_prev"])
         # An interrupt also clears the filter tail (the reference's Filter
         # drops previous_chunk on is_interrupt events).
@@ -191,7 +196,7 @@ class _BoundFmDemodFilter(BoundBlock):
         new_state = {
             "plr": jnp.real(x[:, -1]).astype(jnp.float32),
             "pli": jnp.imag(x[:, -1]).astype(jnp.float32),
-            "prevd": d,
+            "prevd": d[:, n - self.ir_len:],
             "last_out": d[:, -1],
             "have_prev": jnp.ones_like(have),
         }
@@ -210,9 +215,9 @@ class _BoundFilterDemodFilter(BoundBlock):
         return b % ndev == 0 and (b // ndev) % 2 == 0
 
     def __init__(self, sig: StreamSig, freq_resp, window, deviation: float,
-                 deemph_resp, deemph_window):
+                 deemph_resp, deemph_window, ir_len=None):
         from ..ops.pallas_filter import supported as _filt_supported
-        from .filters import design_response, design_impulse_response
+        from .filters import design_impulse_response, extend_response
         self.in_sig = self.out_sig = sig
         # Two cascaded overlap-save warmups: output chunk 0 sees a zero
         # channel-filter tail AND a zero deemphasis tail; chunk 1 still
@@ -221,49 +226,52 @@ class _BoundFilterDemodFilter(BoundBlock):
         self.window = window
         self.deemph_window = deemph_window
         n = sig.chunk_len
-        if not _filt_supported(n) or sig.batch % 2:
+        m = n if ir_len is None else int(ir_len)
+        if not 0 < m <= n:
+            raise ValueError(f"ir_len {m} must be in (0, chunk_len {n}]")
+        self.ir_len = m
+        if not _filt_supported(n, m) or sig.batch % 2:
             raise ValueError("FilterDemodFilter kernel constraints unmet "
                              "(chunk size / even batch); use Filter + "
                              "FmDemod + Filter")
-        ir2 = design_impulse_response(deemph_resp, deemph_window, n,
+        ir2 = design_impulse_response(deemph_resp, deemph_window, m,
                                       sig.sample_rate)
         peak = max(float(np.abs(ir2.real).max()), 1e-30)
         if np.abs(ir2.imag).max() > 1e-9 * peak:
             raise ValueError("FilterDemodFilter requires a real deemphasis "
                              "impulse response (conjugate-symmetric gains)")
+        ir1 = design_impulse_response(freq_resp, window, m, sig.sample_rate)
         # Both responses and the demod factor are traced params: Filter
         # update (src/blocks/filters.rs:279-297) and set_deviation
         # (src/blocks/modulation.rs:154-157) retunes swap values, no
         # recompile.
         self.params = {
-            "response1": design_response(freq_resp, window, n,
-                                         sig.sample_rate).astype(np.complex64),
-            "response2": design_response(deemph_resp, deemph_window, n,
-                                         sig.sample_rate).astype(np.complex64),
+            "response1": extend_response(ir1, pad=n).astype(np.complex64),
+            "response2": extend_response(ir2, pad=n).astype(np.complex64),
             "factor": np.float32(sig.sample_rate / deviation / TAU),
         }
 
     def init_state(self):
-        b, n = self.in_sig.batch, self.in_sig.chunk_len
+        b, m = self.in_sig.batch, self.ir_len
         return {
-            "prev": np.zeros((b, n), np.complex64),
+            "prev": np.zeros((b, m), np.complex64),
             "plr": np.zeros((b,), np.float32),
             "pli": np.zeros((b,), np.float32),
-            "prevd": np.zeros((b, n), np.float32),
+            "prevd": np.zeros((b, m), np.float32),
             "last_out": np.zeros((b,), np.float32),
             "have_prev": np.zeros((b,), np.float32),
         }
 
     @staticmethod
-    def _grid(response, n):
+    def _grid(response, n=None):
         from ..ops.pallas_filter import response_grid
-        return response_grid(response, n)
+        return response_grid(response)
 
     def process(self, params, state, x, reset):
         from ..ops.pallas_filter import fused_filter_demod_filter
         n = self.in_sig.chunk_len
-        g1 = self._grid(params["response1"], n)
-        g2 = self._grid(params["response2"], n)
+        g1 = self._grid(params["response1"])
+        g2 = self._grid(params["response2"])
         # An interrupt clears both filter tails and the demod continuity
         # (the reference's Filter drops previous_chunk, FmDemod repeats the
         # last output on the first post-gap sample).
@@ -282,11 +290,12 @@ class _BoundFilterDemodFilter(BoundBlock):
             jnp.real(g2).astype(jnp.float32),
             jnp.imag(g2).astype(jnp.float32),
             params["factor"])
+        m = self.ir_len
         new_state = {
-            "prev": x,
+            "prev": x[:, x.shape[1] - m:],
             "plr": flr,
             "pli": fli,
-            "prevd": d,
+            "prevd": d[:, d.shape[1] - m:],
             "last_out": d[:, -1],
             "have_prev": jnp.ones_like(have),
         }
@@ -295,10 +304,11 @@ class _BoundFilterDemodFilter(BoundBlock):
     def update_filter_params(self, freq_resp, window=None):
         """Redesign the channel-filter response host-side (analog of
         ``Filter::update``, src/blocks/filters.rs:279-297)."""
-        from .filters import design_response
+        from .filters import design_impulse_response, extend_response
         w = window if window is not None else self.window
-        r = design_response(freq_resp, w, self.in_sig.chunk_len,
-                            self.in_sig.sample_rate)
+        ir = design_impulse_response(freq_resp, w, self.ir_len,
+                                     self.in_sig.sample_rate)
+        r = extend_response(ir, pad=self.in_sig.chunk_len)
         return {**self.params, "response1": r.astype(np.complex64)}
 
 
@@ -312,7 +322,7 @@ class FilterDemodFilter(Block):
     """
 
     def __init__(self, freq_resp, deviation: float, deemph_resp,
-                 window=None, deemph_window=None):
+                 window=None, deemph_window=None, ir_len=None):
         from ..windowing import Kaiser, Rectangular
         self.freq_resp = freq_resp
         self.deviation = float(deviation)
@@ -321,11 +331,12 @@ class FilterDemodFilter(Block):
                        else Kaiser.with_null_at_bin(2.0))
         self.deemph_window = (deemph_window if deemph_window is not None
                               else Rectangular())
+        self.ir_len = ir_len
 
     def bind(self, sig: StreamSig) -> _BoundFilterDemodFilter:
         return _BoundFilterDemodFilter(sig, self.freq_resp, self.window,
                                        self.deviation, self.deemph_resp,
-                                       self.deemph_window)
+                                       self.deemph_window, self.ir_len)
 
 
 class FmDemodFilter(Block):
@@ -336,12 +347,14 @@ class FmDemodFilter(Block):
     stream pairs sharing each complex transform.
     """
 
-    def __init__(self, deviation: float, freq_resp, window=None):
+    def __init__(self, deviation: float, freq_resp, window=None,
+                 ir_len=None):
         from ..windowing import Rectangular
         self.deviation = float(deviation)
         self.freq_resp = freq_resp
         self.window = window if window is not None else Rectangular()
+        self.ir_len = ir_len
 
     def bind(self, sig: StreamSig) -> _BoundFmDemodFilter:
         return _BoundFmDemodFilter(sig, self.deviation, self.freq_resp,
-                                   self.window)
+                                   self.window, self.ir_len)

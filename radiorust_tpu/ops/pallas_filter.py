@@ -92,15 +92,26 @@ def kernel_factors(n2x: int):
     return n1, 128
 
 
-def supported(n: int) -> bool:
-    """The kernel needs an even chunk with 2n divisible by 1024."""
-    return kernel_factors(2 * n) is not None
+def supported(n: int, m: int = None) -> bool:
+    """Whether the fused kernel can run a chunk of ``n`` new samples with
+    an ``m``-tap overlap-save history (``m = n`` — the reference's coupled
+    geometry — when omitted).  Needs the ``n + m``-point transform to
+    factor for the four-step pipeline and the history to land on whole
+    grid rows (``m`` divisible by the lane factor ``n2``)."""
+    if m is None:
+        m = n
+    f = kernel_factors(n + m)
+    if f is None:
+        return False
+    n1, n2 = f
+    return m % n2 == 0 and 0 < m < n + m
 
 
 _BANK_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the K-scaling live set
 
 
-def bank_supported(n: int, K: int, tile: int = None) -> bool:
+def bank_supported(n: int, K: int, tile: int = None,
+                   m: int = None) -> bool:
     """Whether a K-band bank fits the fused kernel: transform-size
     support plus a VMEM budget on the K-scaling live set per grid step —
     the 2 x [tile, K, n] output blocks PLUS the concatenated
@@ -111,7 +122,7 @@ def bank_supported(n: int, K: int, tile: int = None) -> bool:
     formulation instead of failing Mosaic compilation — the same
     failure class decimate_supported's weight-slab budget guards (a
     real 25 MB OOM, VALIDATE_r04 notes)."""
-    if not supported(n):
+    if not supported(n, m):
         return False
     if tile is None:
         tile = config.pallas_tile()
@@ -123,29 +134,31 @@ def bank_supported(n: int, K: int, tile: int = None) -> bool:
     return live_words * 4 <= _BANK_VMEM_BUDGET
 
 
-def use_fused_filter(chunk_len: int) -> bool:
-    """Shared backend gate for the fused VMEM filter kernels: the chunk
-    must factor for the four-step transform and the backend must be a
-    real TPU — on CPU (which includes every c128/f64-stream-mode run:
-    that mode is CPU-only by policy, numbers.py) the XLA formulations
-    run instead.  Single owner — _BoundFilter, _BoundFilterBank, and
-    any future fused-filter call site must use this, not a private
-    copy."""
+def use_fused_filter(chunk_len: int, ir_len: int = None) -> bool:
+    """Shared backend gate for the fused VMEM filter kernels: the
+    (chunk, history) geometry must factor for the four-step transform and
+    the backend must be a real TPU — on CPU (which includes every
+    c128/f64-stream-mode run: that mode is CPU-only by policy,
+    numbers.py) the XLA formulations run instead.  Single owner —
+    _BoundFilter, _BoundFilterBank, and any future fused-filter call
+    site must use this, not a private copy."""
     import jax as _jax
-    return (supported(chunk_len)
+    return (supported(chunk_len, ir_len)
             and _jax.default_backend() not in ("cpu",))
 
 
 @functools.lru_cache(maxsize=32)
-def _factor_constants(n2x: int, n1: int, n2: int) -> Tuple[np.ndarray, ...]:
+def _factor_constants(n2x: int, n1: int, n2: int,
+                      ho: int) -> Tuple[np.ndarray, ...]:
     k1 = np.arange(n1)
     d1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)       # [k1, i1]
     k2 = np.arange(n2)
     d2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)       # [i2, k2]
     tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(n2)) / n2x)
     # Inverse factors (conjugates); stage-1 inverse only needs output rows
-    # i1 < n1//2 (the first n time samples).
-    e1 = np.conj(d1)[:, : n1 // 2]                          # [k1, i1<half]
+    # i1 < ho (the first X = ho*n2 time samples — ho = n1//2 in the
+    # coupled geometry, n1 - m/n2 when the history is shorter).
+    e1 = np.conj(d1)[:, :ho]                                # [k1, i1<ho]
     f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
     return (*f32(d1), *f32(d2), *f32(tw), *f32(e1))
 
@@ -159,20 +172,24 @@ def response_to_grid(response: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rg.real.astype(np.float32), rg.imag.astype(np.float32)
 
 
-def response_grid(response, n: int):
+def response_grid(response, n: int = None):
     """Traced variant of :func:`response_to_grid`: maps a (possibly
-    traced, retunable) complex R[2n] param to the [n1, n2] kernel grid
-    with the 1/(2n) IFFT norm folded in.  The single owner of the
-    layout contract between the response vector and ``kernel_factors`` —
-    every fused-kernel call site must use it (including under a
-    ``RRTPU_FILTER_FACTORS`` override, where n2 != 128)."""
-    n1, n2 = kernel_factors(2 * n)
-    return jnp.swapaxes(response.reshape(n2, n1), 0, 1) / (2.0 * n)
+    traced, retunable) complex R[N] param to the [n1, n2] kernel grid
+    with the 1/N IFFT norm folded in (N = len(response) = chunk + history
+    — 2n in the coupled geometry).  The single owner of the layout
+    contract between the response vector and ``kernel_factors`` — every
+    fused-kernel call site must use it (including under a
+    ``RRTPU_FILTER_FACTORS`` override, where n2 != 128).  ``n`` is
+    accepted for backward compatibility and ignored: the transform size
+    is the response's own length."""
+    N = response.shape[-1]
+    n1, n2 = kernel_factors(N)
+    return jnp.swapaxes(response.reshape(n2, n1), 0, 1) / float(N)
 
 
 @functools.lru_cache(maxsize=32)
-def _block_constants(n2x: int, n1: int, n2: int,
-                     mode: str) -> Tuple[np.ndarray, ...]:
+def _block_constants(n2x: int, n1: int, n2: int, mode: str,
+                     ho: int) -> Tuple[np.ndarray, ...]:
     """Block-form DFT constants: each complex factor C becomes ONE real
     matrix with the [[Cr,-Ci],[Ci,Cr]] (left operand) or [[Cr,Ci],[-Ci,Cr]]
     (right operand) structure, so a complex matmul is a single real dot of
@@ -184,7 +201,7 @@ def _block_constants(n2x: int, n1: int, n2: int,
     k2 = np.arange(n2)
     d2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)
     tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(n2)) / n2x)
-    e1t = np.conj(d1)[:, : n1 // 2].T                  # [half, k1]
+    e1t = np.conj(d1)[:, :ho].T                        # [ho, k1]
 
     def left(c):                                       # y = C @ z
         return np.block([[c.real, -c.imag], [c.imag, c.real]])
@@ -214,15 +231,20 @@ def _grid_mul(vr, vi, rr, ri):
     return vr * gr - vi * gi, vr * gi + vi * gr
 
 
-def _os_pipeline_block(n1, n2, X, mode):
+def _os_pipeline_block(n1, n2, X, mode, ho=None):
     """Block-matrix variant of :func:`_os_pipeline`: each DFT stage is ONE
     real dot on re/im-concatenated operands (stage 1/inverse-1 concatenate
     planes along the contraction sublanes, stage 2/inverse-2 along lanes).
     Same FLOPs as the 4-mult complex form, 1/4 the MXU dispatches, deeper
-    accumulation (K = 2*n1 or 2*n2), and no f32 cross-term adds."""
+    accumulation (K = 2*n1 or 2*n2), and no f32 cross-term adds.
+
+    ``ho``: output rows of the inverse truncation (n1//2 in the coupled
+    geometry; n1 - m/n2 when the overlap history m is decoupled from the
+    chunk length)."""
     from .mxu import _split_bf16
-    half = n1 // 2
-    n = half * n2
+    if ho is None:
+        ho = n1 // 2
+    n = ho * n2
     base = functools.partial(jax.lax.dot_general,
                              preferred_element_type=jnp.float32,
                              precision=(jax.lax.Precision.DEFAULT
@@ -322,8 +344,8 @@ def _os_pipeline_block(n1, n2, X, mode):
         s = jnp.concatenate([sr.reshape(n1, X * n2),
                              si.reshape(n1, X * n2)], axis=0)
         y = bdot_left(e1, s)
-        yr = jnp.swapaxes(y[:half].reshape(half, X, n2), 0, 1).reshape(X, n)
-        yi = jnp.swapaxes(y[half:].reshape(half, X, n2), 0, 1).reshape(X, n)
+        yr = jnp.swapaxes(y[:ho].reshape(ho, X, n2), 0, 1).reshape(X, n)
+        yi = jnp.swapaxes(y[ho:].reshape(ho, X, n2), 0, 1).reshape(X, n)
         return yr, yi
 
     def pipeline(zr, zi, rr, ri, *consts):
@@ -337,32 +359,44 @@ def _os_pipeline_block(n1, n2, X, mode):
 class _TransformPlan:
     """Owns the choice between the classic complex-matmul pipeline and the
     block-matrix pipeline (config.filter_blockmm): the constant arrays fed
-    to the kernel and the matching pipeline builder."""
+    to the kernel and the matching pipeline builder.
 
-    def __init__(self, n2x: int, precision=None):
+    ``prev_rows``: grid rows holding the overlap-save history (m / n2).
+    Defaults to n1//2 — the reference's coupled geometry where history =
+    chunk = half the transform.  A smaller value decouples the filter's
+    IR length from the samples-per-step (same designed response, more new
+    samples per transform — the tile-friendly 128x128 geometry)."""
+
+    def __init__(self, n2x: int, precision=None, prev_rows: int = None):
         from .mxu import resolve_mode
         self.n1, self.n2 = kernel_factors(n2x)
+        self.hp = self.n1 // 2 if prev_rows is None else prev_rows
+        if not 0 < self.hp < self.n1:
+            raise ValueError(f"prev_rows {self.hp} outside (0, {self.n1})")
+        self.ho = self.n1 - self.hp
         self.mode = resolve_mode(precision)
         self.block = config.filter_blockmm()
         self.precision = precision
         if self.block:
-            self.consts = _block_constants(n2x, self.n1, self.n2, self.mode)
+            self.consts = _block_constants(n2x, self.n1, self.n2, self.mode,
+                                           self.ho)
         else:
-            self.consts = _factor_constants(n2x, self.n1, self.n2)
+            self.consts = _factor_constants(n2x, self.n1, self.n2, self.ho)
 
     def const_arrays(self):
         return [jnp.asarray(c) for c in self.consts]
 
     def _parts(self, X: int):
         if self.block:
-            return _os_pipeline_block(self.n1, self.n2, X, self.mode)
+            return _os_pipeline_block(self.n1, self.n2, X, self.mode,
+                                      self.ho)
         from .mxu import make_dot
         dot = make_dot(self.precision)
 
         def mm(a, b):
             return dot(a, b, (((1,), (0,)), ((), ())))
 
-        return _os_pipeline(_make_cmm(mm), self.n1, self.n2, X)
+        return _os_pipeline(_make_cmm(mm), self.n1, self.n2, X, self.ho)
 
     def pipeline(self, X: int):
         """forward -> response multiply -> inverse, fused."""
@@ -375,14 +409,16 @@ class _TransformPlan:
         return fwd, inv
 
 
-def _os_pipeline(cmm, n1, n2, X):
+def _os_pipeline(cmm, n1, n2, X, ho=None):
     """The overlap-save transform pipeline on X packed streams: forward
     four-step DFT -> response multiply -> inverse with the stage-1
-    contraction truncated to the first n output samples.  Operates on
-    [X, n1, n2] grids; returns [X, n] planes.  Shared by the filter, the
+    contraction truncated to the first ``ho * n2`` output samples
+    (``ho`` = n1//2 in the coupled geometry).  Operates on [X, n1, n2]
+    grids; returns [X, n] planes.  Shared by the filter, the
     demod+filter, and the merged filter+demod+filter kernels."""
-    half = n1 // 2
-    n = half * n2
+    if ho is None:
+        ho = n1 // 2
+    n = ho * n2
 
     def forward(zr, zi, d1r, d1i, d2r, d2i, twr, twi, e1r, e1i):
         """Forward four-step DFT: [X, n1, n2] planes -> grid [n1, X, n2]."""
@@ -418,15 +454,15 @@ def _os_pipeline(cmm, n1, n2, X):
         qi = qi.reshape(n1, X, n2)
         sr = qr * wr + qi * wi
         si = qi * wr - qr * wi
-        # Inverse stage 1, truncated to the first n samples (i1 < half):
+        # Inverse stage 1, truncated to the first n samples (i1 < ho):
         # x[i1, X, i2] = sum_k1 conj(D1)[k1, i1] * S[k1, X, i2].
         sr2 = sr.reshape(n1, X * n2)
         si2 = si.reshape(n1, X * n2)
-        e1rt = jnp.swapaxes(e1r, 0, 1)               # [half, k1]
+        e1rt = jnp.swapaxes(e1r, 0, 1)               # [ho, k1]
         e1it = jnp.swapaxes(e1i, 0, 1)
         yr, yi = cmm(e1rt, e1it, sr2, si2)
-        yr = jnp.swapaxes(yr.reshape(half, X, n2), 0, 1).reshape(X, n)
-        yi = jnp.swapaxes(yi.reshape(half, X, n2), 0, 1).reshape(X, n)
+        yr = jnp.swapaxes(yr.reshape(ho, X, n2), 0, 1).reshape(X, n)
+        yi = jnp.swapaxes(yi.reshape(ho, X, n2), 0, 1).reshape(X, n)
         return yr, yi
 
     def pipeline(zr, zi, rr, ri, *consts):
@@ -439,7 +475,7 @@ def _os_pipeline(cmm, n1, n2, X):
 
 def _make_kernel(plan: "_TransformPlan", tile: int):
     n1, n2 = plan.n1, plan.n2
-    half = n1 // 2
+    hp, ho = plan.hp, plan.ho
     pipe = plan.pipeline(tile)
     nc = len(plan.consts)
 
@@ -448,12 +484,12 @@ def _make_kernel(plan: "_TransformPlan", tile: int):
         consts = refs[6:6 + nc]
         outr, outi = refs[6 + nc:]
         s = tile
-        # Assemble [s, n1, n2] grid: prev rows then cur rows.
+        # Assemble [s, n1, n2] grid: hp history rows then ho cur rows.
         xr = jnp.concatenate(
-            [prevr[:].reshape(s, half, n2), curr[:].reshape(s, half, n2)],
+            [prevr[:].reshape(s, hp, n2), curr[:].reshape(s, ho, n2)],
             axis=1)
         xi = jnp.concatenate(
-            [previ[:].reshape(s, half, n2), curi[:].reshape(s, half, n2)],
+            [previ[:].reshape(s, hp, n2), curi[:].reshape(s, ho, n2)],
             axis=1)
         yr, yi = pipe(xr, xi, rr[:], ri[:], *[c[:] for c in consts])
         outr[:] = yr
@@ -462,31 +498,47 @@ def _make_kernel(plan: "_TransformPlan", tile: int):
     return kernel
 
 
+def _filter_plan(m: int, n: int, precision):
+    """Transform plan for an m-tap history and n new samples per step
+    (N = m + n point transform); validates the row alignment."""
+    _, n2 = kernel_factors(m + n)
+    if m % n2:
+        raise ValueError(
+            f"history {m} not divisible by lane factor {n2}")
+    return _TransformPlan(m + n, precision, prev_rows=m // n2)
+
+
 def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
                        tile: int = None, precision=None):
     """Filter one chunk step for all streams.
 
-    Inputs: float32 planes [batch, n] for the previous and current chunks,
-    and the response grid planes [n1, n2] from :func:`response_to_grid`.
-    Returns (outr, outi) float32 [batch, n].
+    Inputs: float32 planes [batch, m] (overlap-save history — ``m = n``
+    in the reference's coupled geometry, shorter when the IR length is
+    decoupled) and [batch, n] (current chunk), plus the response grid
+    planes [n1, n2] from :func:`response_to_grid` of the length-(m+n)
+    extended response.  Returns (outr, outi) float32 [batch, n].
     """
     b, n = curr.shape
+    m = prevr.shape[1]
     if tile is None:
         tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
-    plan = _TransformPlan(2 * n, precision)
+    plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_kernel(plan, tile)
     grid = (b // tile,)
     stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec((tile, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outr, outi = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[stream_spec] * 4 + [const_spec] * (2 + len(const_arrays)),
+        in_specs=[prev_spec] * 2 + [stream_spec] * 2
+                 + [const_spec] * (2 + len(const_arrays)),
         out_specs=[stream_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)] * 2,
     )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
@@ -499,8 +551,8 @@ def fused_overlap_save(prevr, previ, curr, curi, resp_gr, resp_gi,
 
 def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
     n1, n2 = plan.n1, plan.n2
-    half = n1 // 2
-    n = half * n2
+    hp, ho = plan.hp, plan.ho
+    n = ho * n2
     fwd, _ = plan.pipeline_parts(tile)
     # The transform pipeline is agnostic to the stream-axis width, so the
     # K response-multiplied grids stack along it (axis 1: stream index
@@ -515,11 +567,11 @@ def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
         consts = tuple(c[:] for c in refs[6:6 + nc])
         outr, outi = refs[6 + nc:]                    # [tile, K, n]
         xr = jnp.concatenate(
-            [prevr[:].reshape(tile, half, n2),
-             curr[:].reshape(tile, half, n2)], axis=1)
+            [prevr[:].reshape(tile, hp, n2),
+             curr[:].reshape(tile, ho, n2)], axis=1)
         xi = jnp.concatenate(
-            [previ[:].reshape(tile, half, n2),
-             curi[:].reshape(tile, half, n2)], axis=1)
+            [previ[:].reshape(tile, hp, n2),
+             curi[:].reshape(tile, ho, n2)], axis=1)
         vr, vi = fwd(xr, xi, *consts)                 # ONE forward
         prs, pis = [], []
         for k in range(K):                            # K static bands
@@ -550,25 +602,29 @@ def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
     [batch, K, n] — band k of stream b at ``out[b, k]``.
     """
     b, n = curr.shape
+    m = prevr.shape[1]
     K = resp_gr.shape[0]
     if tile is None:
         tile = config.pallas_tile()
     tile = min(tile, b)
     if b % tile:
         tile = 1
-    plan = _TransformPlan(2 * n, precision)
+    plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_bank_kernel(plan, tile, K)
     grid = (b // tile,)
     stream_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec((tile, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out3 = pl.BlockSpec((tile, K, n), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     outr, outi = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[stream_spec] * 4 + [const_spec] * (2 + len(const_arrays)),
+        in_specs=[prev_spec] * 2 + [stream_spec] * 2
+                 + [const_spec] * (2 + len(const_arrays)),
         out_specs=[out3] * 2,
         out_shape=[jax.ShapeDtypeStruct((b, K, n), jnp.float32)] * 2,
     )(prevr, previ, curr, curi, resp_gr, resp_gi, *const_arrays)
@@ -625,16 +681,19 @@ def _make_demod(rows: int, n: int):
     return demod
 
 
-def _make_pair_filter(pipe, pair: int, n1: int, n2: int):
+def _make_pair_filter(pipe, pair: int, n1: int, n2: int, hp: int = None):
     """Overlap-save on [prev_d || d] real planes with stream *pairs* packed
     into single complex transforms (exact for real impulse responses).
-    Returns a stacked [pair, 2, n] plane (real part = even streams, imag =
-    odd; the stack keeps the lane dim)."""
-    n = (n1 // 2) * n2
+    ``prevd`` holds m = hp*n2 history samples (m = n in the coupled
+    geometry).  Returns a stacked [pair, 2, n] plane (real part = even
+    streams, imag = odd; the stack keeps the lane dim)."""
+    if hp is None:
+        hp = n1 // 2
+    N = n1 * n2
 
     def pair_filter(prevd, d, rr, ri, consts):
-        buf = jnp.concatenate([prevd, d], axis=-1)          # [tile, 2n]
-        v = buf.reshape(pair, 2, 2 * n)
+        buf = jnp.concatenate([prevd, d], axis=-1)          # [tile, N]
+        v = buf.reshape(pair, 2, N)
         zr = v[:, 0, :].reshape(pair, n1, n2)
         zi = v[:, 1, :].reshape(pair, n1, n2)
         yr, yi = pipe(zr, zi, rr, ri, *consts)
@@ -651,13 +710,12 @@ def _make_demod_filter_kernel(plan: "_TransformPlan", tile: int):
     ``tile`` must be even; the DFT stages run at tile/2 packed streams.
     """
     n1, n2 = plan.n1, plan.n2
-    half = n1 // 2
-    n = half * n2
+    n = plan.ho * n2
     pair = tile // 2
     pipe = plan.pipeline(pair)
     nc = len(plan.consts)
     demod = _make_demod(tile, n)
-    pair_filter = _make_pair_filter(pipe, pair, n1, n2)
+    pair_filter = _make_pair_filter(pipe, pair, n1, n2, plan.hp)
 
     def kernel(*refs):
         (curr, curi, plr, pli, prevd, lastout, havep, fac,
@@ -679,8 +737,9 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     """FM demod + overlap-save filter in one kernel.
 
     ``curr/curi``: [batch, n] pre-demod planes; ``prev_last_*``: [batch]
-    last sample of the previous pre-demod chunk; ``prevd``: [batch, n]
-    previous demodulated chunk; ``last_out``/``have_prev``: [batch] demod
+    last sample of the previous pre-demod chunk; ``prevd``: [batch, m]
+    previous demodulated history (m = n in the coupled geometry, the IR
+    length when decoupled); ``last_out``/``have_prev``: [batch] demod
     continuity state (have_prev as 0/1 float); ``resp_gr/gi``: response
     grid planes from :func:`response_to_grid` (real impulse response
     required).  ``factor`` = sample_rate / deviation / 2pi — a Python
@@ -690,13 +749,14 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     demodulated chunk for the next step's state).  Batch must be even.
     """
     b, n = curr.shape
+    m = prevd.shape[1]
     if tile is None:
         tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2
     assert b % tile == 0
-    plan = _TransformPlan(2 * n, precision)
+    plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_demod_filter_kernel(plan, tile)
     fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
@@ -711,7 +771,7 @@ def fused_demod_filter(curr, curi, prev_last_r, prev_last_i, prevd,
     out, dout = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row(n), row(n), col, col, row(n), col, col, col]
+        in_specs=[row(n), row(n), col, col, row(m), col, col, col]
                  + [const_spec] * (2 + len(const_arrays)),
         out_specs=[out3, row(n)],
         out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),
@@ -741,14 +801,14 @@ def _make_filter_demod_filter_kernel(plan: "_TransformPlan", tile: int):
     lane-offset slices are a Mosaic lowering hazard.
     """
     n1, n2 = plan.n1, plan.n2
-    half = n1 // 2
-    n = half * n2
+    hp, ho = plan.hp, plan.ho
+    n = ho * n2
     pair = tile // 2
     pipe_full = plan.pipeline(tile)
     pipe_pair = plan.pipeline(pair)
     nc = len(plan.consts)
     demod = _make_demod(tile, n)
-    pair_filter = _make_pair_filter(pipe_pair, pair, n1, n2)
+    pair_filter = _make_pair_filter(pipe_pair, pair, n1, n2, hp)
 
     def kernel(*refs):
         (prevr, previ, curr, curi, plr, pli, prevd, lastout, havep,
@@ -757,11 +817,11 @@ def _make_filter_demod_filter_kernel(plan: "_TransformPlan", tile: int):
         out, dout, flr, fli = refs[14 + nc:]
         # --- channel filter: overlap-save on [prev || cur] (complex) ---
         xr = jnp.concatenate(
-            [prevr[:].reshape(tile, half, n2),
-             curr[:].reshape(tile, half, n2)], axis=1)
+            [prevr[:].reshape(tile, hp, n2),
+             curr[:].reshape(tile, ho, n2)], axis=1)
         xi = jnp.concatenate(
-            [previ[:].reshape(tile, half, n2),
-             curi[:].reshape(tile, half, n2)], axis=1)
+            [previ[:].reshape(tile, hp, n2),
+             curi[:].reshape(tile, ho, n2)], axis=1)
         f1r, f1i = pipe_full(xr, xi, r1r[:], r1i[:], *consts)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
         lastcol = col == (n - 1)
@@ -786,11 +846,12 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
                               factor, tile: int = None, precision=None):
     """Channel filter + FM demod + deemphasis filter in one kernel.
 
-    ``prevr/previ``/``curr/curi``: [batch, n] previous/current chunk planes
-    of the pre-filter complex stream (overlap-save state = previous input
-    chunk, src/blocks/filters.rs:240-259); ``prev_last_*``: [batch] last
-    sample of the previous *filtered* chunk (demod continuity — returned by
-    the previous call); ``prevd``: [batch, n] previous demodulated chunk;
+    ``prevr/previ``: [batch, m] overlap-save history planes of the
+    pre-filter complex stream (m = n in the coupled geometry,
+    src/blocks/filters.rs:240-259); ``curr/curi``: [batch, n] current
+    chunk planes; ``prev_last_*``: [batch] last sample of the previous
+    *filtered* chunk (demod continuity — returned by the previous call);
+    ``prevd``: [batch, m] previous demodulated history;
     ``last_out``/``have_prev``: [batch] demod output continuity;
     ``r1_*``/``r2_*``: response grid planes from :func:`response_to_grid`
     (the deemphasis response must come from a real impulse response);
@@ -801,13 +862,17 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
     even.
     """
     b, n = curr.shape
+    m = prevr.shape[1]
+    if prevd.shape[1] != m:
+        raise ValueError("merged kernel requires equal channel/deemphasis "
+                         "history lengths")
     if tile is None:
         tile = 2 * config.pallas_tile()   # pair-packed: tile counts streams
     tile = min(tile, b)
     if b % tile or tile % 2:
         tile = 2
     assert b % tile == 0
-    plan = _TransformPlan(2 * n, precision)
+    plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_filter_demod_filter_kernel(plan, tile)
     fac = jnp.broadcast_to(jnp.asarray(factor, jnp.float32), (b,))
@@ -822,7 +887,8 @@ def fused_filter_demod_filter(prevr, previ, curr, curi,
     out, dout, flr, fli = _pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row(n)] * 4 + [col, col, row(n), col, col, col]
+        in_specs=[row(m), row(m), row(n), row(n)]
+                 + [col, col, row(m), col, col, col]
                  + [const_spec] * (4 + len(const_arrays)),
         out_specs=[out3, row(n), col, col],
         out_shape=[jax.ShapeDtypeStruct((b // 2, 2, n), jnp.float32),

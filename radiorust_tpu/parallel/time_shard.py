@@ -132,15 +132,17 @@ def _sharded_combine(block, params, state, xs, axis):
 
 
 def _sharded_filter(block, params, state, x, axis):
-    """Overlap-save filter: state = previous input chunk
-    (src/blocks/filters.rs:240-260), rebuilt from the neighbor's chunk."""
-    prev = _halo_tail(x, state["prev"], x.shape[-1], axis)
+    """Overlap-save filter: state = previous m input samples (m = the IR
+    length — the full previous chunk in the reference's coupled geometry,
+    src/blocks/filters.rs:240-260), rebuilt from the neighbor's tail.
+    Decoupled geometry shrinks the halo to m < chunk_len bytes."""
+    prev = _halo_tail(x, state["prev"], state["prev"].shape[-1], axis)
     return block.process(params, {"prev": prev}, x, _no_reset(x))
 
 
 def _sharded_filter_bank(block, params, state, x, axis):
     # Same halo as Filter (the bands share one previous-input state).
-    prev = _halo_tail(x, state["prev"], x.shape[-1], axis)
+    prev = _halo_tail(x, state["prev"], state["prev"].shape[-1], axis)
     return block.process(params, {"prev": prev}, x, _no_reset(x))
 
 
@@ -372,8 +374,12 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     d_local = _atan2_poly(pim, pre) * params["factor"].astype(jnp.float32)
     d_local = d_local.at[:, 0].set(
         jnp.where(have < 0.5, last_out, d_local[:, 0]))
-    prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
-    grid = response_grid(params["response"], n)
+    # Only the m-sample filter history crosses ICI (m = chunk in the
+    # coupled geometry, the IR length when decoupled).
+    m = state["prevd"].shape[-1]
+    prevd = jnp.where(first, state["prevd"],
+                      _ring_left(d_local[:, n - m:], axis))
+    grid = response_grid(params["response"])
     y, dout = fused_demod_filter(
         xr, xi, plr, pli, prevd, last_out, have,
         jnp.real(grid).astype(jnp.float32),
@@ -382,7 +388,7 @@ def _sharded_fm_demod_filter(block, params, state, x, axis):
     new_state = {
         "plr": xr[:, -1],
         "pli": xi[:, -1],
-        "prevd": dout,
+        "prevd": dout[:, n - m:],
         "last_out": dout[:, -1],
         "have_prev": jnp.ones_like(have),
     }
@@ -403,9 +409,10 @@ def _sharded_filter_demod_filter(block, params, state, x, axis):
     from ..ops.pallas_filter import (_atan2_poly, fused_demod_filter,
                                      fused_overlap_save, response_grid)
     n = x.shape[-1]
-    g1 = response_grid(params["response1"], n)
-    g2 = response_grid(params["response2"], n)
-    prev = _halo_tail(x, state["prev"], n, axis)
+    m = state["prev"].shape[-1]
+    g1 = response_grid(params["response1"])
+    g2 = response_grid(params["response2"])
+    prev = _halo_tail(x, state["prev"], m, axis)
     f1r, f1i = fused_overlap_save(
         jnp.real(prev), jnp.imag(prev), jnp.real(x), jnp.imag(x),
         jnp.real(g1).astype(jnp.float32), jnp.imag(g1).astype(jnp.float32))
@@ -423,17 +430,18 @@ def _sharded_filter_demod_filter(block, params, state, x, axis):
     d_local = _atan2_poly(pim, pre) * params["factor"].astype(jnp.float32)
     d_local = d_local.at[:, 0].set(
         jnp.where(have < 0.5, last_out, d_local[:, 0]))
-    prevd = jnp.where(first, state["prevd"], _ring_left(d_local, axis))
+    prevd = jnp.where(first, state["prevd"],
+                      _ring_left(d_local[:, n - m:], axis))
     y, dout = fused_demod_filter(
         f1r, f1i, plr, pli, prevd, last_out, have,
         jnp.real(g2).astype(jnp.float32),
         jnp.imag(g2).astype(jnp.float32),
         params["factor"])
     new_state = {
-        "prev": x,
+        "prev": x[:, n - m:],
         "plr": f1r[:, -1],
         "pli": f1i[:, -1],
-        "prevd": dout,
+        "prevd": dout[:, n - m:],
         "last_out": dout[:, -1],
         "have_prev": jnp.ones_like(have),
     }

@@ -49,6 +49,61 @@ def test_fused_filter_matches_reference(n, batch):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
 
 
+@pytest.mark.parametrize("m,n,batch", [(512, 1536, 4), (1024, 3072, 3),
+                                       (1536, 512, 2)])
+def test_fused_filter_decoupled_geometry(m, n, batch):
+    """History length m decoupled from the chunk length n: the kernel
+    filters n new samples against an m-sample history over one
+    (m+n)-point transform (VERDICT r4 item 1 — the geometry that unlocks
+    full 128x128 MXU tiles at the flagship sizes)."""
+    assert supported(n, m)
+    rng = np.random.default_rng(m + n + batch)
+    prev = (rng.standard_normal((batch, m))
+            + 1j * rng.standard_normal((batch, m))).astype(np.complex64)
+    cur = (rng.standard_normal((batch, n))
+           + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    resp = (rng.standard_normal(m + n)
+            + 1j * rng.standard_normal(m + n)).astype(np.complex64)
+    gr, gi = response_to_grid(resp)
+    outr, outi = fused_overlap_save(
+        jnp.asarray(prev.real), jnp.asarray(prev.imag),
+        jnp.asarray(cur.real), jnp.asarray(cur.imag),
+        jnp.asarray(gr), jnp.asarray(gi))
+    got = np.asarray(outr) + 1j * np.asarray(outi)
+    want = reference_overlap_save(prev, cur, resp)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
+
+
+def test_fused_bank_decoupled_geometry():
+    """The bank kernel under the decoupled geometry equals per-band
+    fused_overlap_save calls with the same m-sample history."""
+    import radiorust_tpu.ops.pallas_filter as pf
+
+    m, n, batch, K = 512, 1536, 4, 2
+    rng = np.random.default_rng(17)
+    prev = (rng.standard_normal((batch, m))
+            + 1j * rng.standard_normal((batch, m))).astype(np.complex64)
+    cur = (rng.standard_normal((batch, n))
+           + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    resps = (rng.standard_normal((K, m + n))
+             + 1j * rng.standard_normal((K, m + n))).astype(np.complex64)
+    grids = [response_to_grid(resps[k]) for k in range(K)]
+    outr, outi = pf.fused_filter_bank(
+        jnp.asarray(prev.real), jnp.asarray(prev.imag),
+        jnp.asarray(cur.real), jnp.asarray(cur.imag),
+        jnp.asarray(np.stack([g[0] for g in grids])),
+        jnp.asarray(np.stack([g[1] for g in grids])))
+    for k in range(K):
+        wr, wi = fused_overlap_save(
+            jnp.asarray(prev.real), jnp.asarray(prev.imag),
+            jnp.asarray(cur.real), jnp.asarray(cur.imag),
+            jnp.asarray(grids[k][0]), jnp.asarray(grids[k][1]))
+        np.testing.assert_allclose(np.asarray(outr[:, k]),
+                                   np.asarray(wr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(outi[:, k]),
+                                   np.asarray(wi), atol=1e-5)
+
+
 def test_supported_sizes():
     assert supported(6144)      # 2n=12288 = 96*128
     assert supported(2048)      # 4096 = 64... plan_factors(4096)=(64,64)?

@@ -261,6 +261,27 @@ def test_time_sharded_fused_wfm(devices):
     np.testing.assert_allclose(got[2:], want[2:], atol=5e-4)
 
 
+def test_time_sharded_decoupled_geometry_wfm(devices):
+    """The decoupled overlap-save geometry (filter_ir_len < mid chunk)
+    time-shards: the halo shrinks to the IR length and the fused kernels
+    run the hp != n1/2 transform split; must match sequential scanning of
+    the same decoupled chain AND the coupled chain's filtering."""
+    mesh = jax.make_mesh((4,), ("t",))
+    n = 4096  # mid chunk 1536, IRs at 512 taps -> 2048-pt transforms
+    sig = StreamSig(2, n, 1024000.0)
+    chain = wfm_receiver(fuse_frontend=True, fuse_demod=True,
+                         filter_ir_len=512)
+    steps = 2
+    t = np.arange(steps * 4 * n) / 1024000.0
+    audio = 0.3 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = np.exp(1j * (2 * np.pi * 150000.0 / 1024000.0 * np.cumsum(audio)))
+    xs = np.stack([iq, iq * np.exp(0.5j)]).astype(np.complex64)
+    xs = np.moveaxis(xs.reshape(2, steps * 4, n), 1, 0)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got[2:], want[2:], atol=5e-4)
+
+
 def test_time_sharded_merged_mid_wfm(devices):
     """The fully-merged chain (MixerDecimator + FilterDemodFilter) time-
     shards: the sharded handler decomposes the merged kernel into its two

@@ -88,16 +88,19 @@ def _deemph_grid():
 
 
 def build_chain(fused: bool, tail_pallas: bool = True, drop=(),
-                mid: bool = False):
+                mid: bool = False, n_in: int = None, ir_len=None):
     """``drop``: indexes into the chain's spec list to remove (subtractive
     profiling — e.g. fused chain is [MixerDecimator, Filter, FmDemodFilter,
     Downsampler, GainControl]; dropping Filter is shape-preserving).
     ``mid``: merge filter1+demod+deemph into the single FilterDemodFilter
-    kernel."""
+    kernel.  ``n_in``/``ir_len``: decoupled-geometry A/B — bind at a
+    larger input chunk with the filter IRs pinned at 6144 taps (same
+    designed responses, more new samples per transform)."""
     from radiorust_tpu.blocks.base import Chain
+    N_IN = n_in or globals()["N_IN"]
     sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
     spec = wfm_receiver(fuse_frontend=fused, fuse_demod=fused,
-                        fuse_mid=mid)
+                        fuse_mid=mid, filter_ir_len=ir_len)
     if drop:
         spec = Chain(*[b for i, b in enumerate(spec.specs) if i not in drop])
     bound = spec.bind(sig)
@@ -217,6 +220,44 @@ def build_filter1(tile=8, precision="highest"):
         return acc
 
     return fn, BATCH * N_MID
+
+
+def build_filter1_geom(X, tile=8, precision="highest", m=N_MID):
+    """Decoupled-geometry standalone filter kernel: m=6144-tap IR, X new
+    samples per step over an (X+m)-point transform (VERDICT r4 item 1).
+    X=10240 -> 16384 = 128x128 full-tile factors; compare msps_equiv
+    against filter1 (the coupled 12288 = 96x128 kernel)."""
+    from radiorust_tpu.blocks.filters import (design_impulse_response,
+                                              extend_response)
+    from radiorust_tpu.ops.pallas_filter import (fused_overlap_save,
+                                                 response_to_grid)
+    from radiorust_tpu.windowing import Kaiser
+    ir = design_impulse_response(_lowpass_100k, Kaiser.with_null_at_bin(2.0),
+                                 m, MID_RATE)
+    r = extend_response(ir, pad=X).astype(np.complex64)
+    gr, gi = response_to_grid(r)
+    prec = dict(highest=jax.lax.Precision.HIGHEST,
+                high=jax.lax.Precision.HIGH,
+                default=jax.lax.Precision.DEFAULT)[precision]
+
+    @jax.jit
+    def fn(seed, iters):
+        xr, xi = _rand_planes(seed, (BATCH, X))
+        pr, pi = _rand_planes(seed + 1, (BATCH, m))
+
+        def body(i, carry):
+            pr, pi, xr, xi, acc = carry
+            outr, outi = fused_overlap_save(
+                pr, pi, xr, xi, jnp.asarray(gr), jnp.asarray(gi),
+                tile=tile, precision=prec)
+            return (xr[:, X - m:], xi[:, X - m:], _norm(outr), _norm(outi),
+                    acc + jnp.sum(jnp.square(outr)))
+
+        _, _, _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (pr, pi, xr, xi, jnp.float32(0.0)))
+        return acc
+
+    return fn, BATCH * X
 
 
 def build_filter1_xla():
@@ -392,6 +433,15 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
         # through; silently ignoring it would mislabel an A/B run.
         raise SystemExit(f"s1rows is only supported with the filter1 "
                          f"variant, not {name!r}")
+    if name.startswith("geom"):
+        # geomCHUNK: full fused chain at input chunk CHUNK, IRs at 6144.
+        return _with_modes(build_chain(True, n_in=int(name[4:]),
+                                       ir_len=6144),
+                           prec, cmm, chain_tile, block, factors)
+    if name.startswith("filter1g"):
+        # filter1gX: standalone decoupled kernel, X new samples/step.
+        return _with_modes(build_filter1_geom(int(name[8:]), tile, prec),
+                           prec, cmm, None, block, factors)
     if name == "chain":
         return _with_modes(build_chain(True), prec, cmm, chain_tile, block,
                            factors)

@@ -72,10 +72,13 @@ def _configs():
     # fallback re-exec); defaults match bench.py's defaults.
     wfm_f = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
     wfm_fd = os.environ.get("BENCH_FUSE_DEMOD", "1") == "1"
+    wfm_chunk = int(os.environ.get("BENCH_CHUNK", str(WFM_INPUT_CHUNK)))
+    wfm_ir = int(os.environ.get("BENCH_IR", "6144"))
     from radiorust_tpu.models.stereo import wfm_stereo_receiver
     return {
-        "wfm": (wfm_receiver(fuse_frontend=wfm_f, fuse_demod=wfm_fd),
-                WFM_INPUT_CHUNK, WFM_INPUT_RATE),
+        "wfm": (wfm_receiver(fuse_frontend=wfm_f, fuse_demod=wfm_fd,
+                             filter_ir_len=wfm_ir),
+                wfm_chunk, WFM_INPUT_RATE),
         "stereo": (wfm_stereo_receiver(), WFM_INPUT_CHUNK,
                    WFM_INPUT_RATE),
         "wfm_unfused": (wfm_receiver(), WFM_INPUT_CHUNK, WFM_INPUT_RATE),
