@@ -156,6 +156,25 @@ class _BoundChain(BoundBlock):
         # chunks, matching _BoundFilterDemodFilter's fused valid_from=2
         # and the skip_out=2 used by test_models/test_parallel).
         self.valid_from = sum(b.valid_from for b in bound)
+        # A phase-mode (schedule-padded) tail block makes the whole
+        # chain's output ragged; propagate for outer compositions.
+        self.ragged_output = getattr(bound[-1], "ragged_output", False)
+
+    def valid_counts(self, k0: int, nsteps: int = 1):
+        """Schedule of valid output samples per chunk (ragged tail block
+        only; full chunks otherwise)."""
+        last = self.blocks[-1]
+        if hasattr(last, "valid_counts"):
+            return last.valid_counts(k0, nsteps)
+        import numpy as _np
+        return _np.full((nsteps,), self.out_sig.chunk_len, _np.int64)
+
+    # Host-side schedule mirror for ragged tails (see _BoundResampler).
+    def schedule_phase(self, state) -> int:
+        return self.blocks[-1].schedule_phase(state[-1])
+
+    def advance_schedule(self, phase: int):
+        return self.blocks[-1].advance_schedule(phase)
 
     def init_state(self):
         return tuple(b.init_state() for b in self.blocks)
@@ -221,8 +240,17 @@ class Chain(Block):
     def bind(self, sig: StreamSig) -> _BoundChain:
         bound = []
         is_real = False
-        for spec in self.specs:
+        for i, spec in enumerate(self.specs):
             b = spec.bind(sig)
+            if getattr(b, "ragged_output", False) and i < len(self.specs) - 1:
+                # Phase-mode resamplers emit schedule-padded chunks that
+                # downstream compiled blocks would misread as samples.
+                raise ValueError(
+                    f"{type(b).__name__} produces padded (schedule-valid) "
+                    "chunks at this chunk length and must be the LAST "
+                    "block of a compiled chain; re-chunk to a multiple "
+                    "of the resampling period or consume it through the "
+                    "runtime layer")
             b.input_is_real = is_real
             bound.append(b)
             sig = b.out_sig

@@ -237,6 +237,17 @@ class BoundGraph:
                 out_sig.append(b.out_sig)
                 is_real.append(b.output_is_real)
                 valid_from.append(valid_from[up] + b.valid_from)
+        for b in self.bound:
+            if b is not None and getattr(b, "ragged_output", False):
+                # Phase-mode resamplers emit schedule-padded chunks; a
+                # graph has no per-output trim path (and downstream nodes
+                # would misread padding as samples).  Re-chunk to a
+                # multiple of the resampling period instead.
+                raise ValueError(
+                    f"{type(b).__name__} produces padded (schedule-valid) "
+                    "chunks at this chunk length and cannot be a graph "
+                    "node; re-chunk to a multiple of the resampling "
+                    "period or serve it as a chain tail")
         self._node_sig = out_sig
         self.out_sigs = {n: out_sig[i] for n, i in self._outputs.items()}
         #: Per-output first reference-comparable chunk index.

@@ -7,10 +7,14 @@ reference's per-sample ring-buffer loops into a static strided convolution
 ring buffer becomes a ``hist`` slab of the last taps-worth of input samples.
 
 Unlike the reference blocks (which take an ``output_chunk_len`` and
-accumulate), these blocks map one input chunk to one output chunk of
-``chunk_len * q / p`` samples; compose with a ``Rechunker`` when a specific
-output chunk length is needed.  Input chunk length must be a multiple of the
-reduced ratio's ``p``.
+accumulate), these blocks map one input chunk to one output chunk.  When
+the input chunk is a whole number of resampling periods (``chunk_len %
+p == 0``) the output chunk is exactly ``chunk_len * q / p`` samples.  ANY
+other chunk length also binds (*phase mode*): the output chunk is a fixed
+``ceil(chunk_len/p) * q`` samples whose valid prefix follows the
+deterministic ``valid_counts`` schedule, with zero padding behind it —
+the runtime actor layer trims by the schedule; in a compiled Chain a
+phase-mode resampler must be the last block.
 """
 
 from __future__ import annotations
@@ -35,29 +39,75 @@ class _BoundResampler(BoundBlock):
                  output_rate: float):
         self.in_sig = sig
         self.plan = plan
-        out_len = plan.out_len(sig.chunk_len)
+        # Any chunk length binds: when the chunk is not a whole number of
+        # p-periods the step runs in *phase mode* (ops/polyphase.py
+        # rational_fir_phase) — fixed ceil(C/p)*q-sample output chunks
+        # whose valid prefix follows the host-computable
+        # ``valid_counts`` schedule (reference parity:
+        # src/blocks/resampling.rs:103-133 resamples any rate pair at any
+        # chunking; here the data-dependent output count becomes padding
+        # plus a static schedule, the XLA-native shape discipline).
+        self.phase_mode = not plan.aligned(sig.chunk_len)
+        if self.phase_mode:
+            out_len = plan.windows_per_step(sig.chunk_len) * plan.q
+            # Downstream compiled blocks cannot consume padded chunks;
+            # Chain.bind rejects a ragged block mid-chain.  The runtime
+            # actor layer trims by the schedule instead.
+            self.ragged_output = True
+        else:
+            out_len = plan.out_len(sig.chunk_len)
         self.out_sig = StreamSig(sig.batch, out_len, output_rate)
         # Host numpy leaf (framework convention): an eager device array
         # here would force a device->host fetch on every checkpoint save
         # (CLAUDE.md relay rules 4/7).
         self.params = {"kernel": np.asarray(plan.kernel)}
 
+    def valid_counts(self, k0: int, nsteps: int = 1):
+        """Valid output samples in chunks k0..k0+nsteps (every full
+        out_len in aligned mode; the periodic phase-mode schedule
+        otherwise)."""
+        return self.plan.valid_counts(self.in_sig.chunk_len, k0, nsteps)
+
+    # -- host-side schedule mirror (runtime actors trim padded chunks) --
+    def schedule_phase(self, state) -> int:
+        """Current grid phase from a host-side state tree (checkpoint
+        restores land mid-schedule; the phase alone determines it)."""
+        return int(np.asarray(state["phase"])[0]) if self.phase_mode else 0
+
+    def advance_schedule(self, phase: int):
+        """(valid output samples of the next chunk, next phase)."""
+        C, p, q = self.in_sig.chunk_len, self.plan.p, self.plan.q
+        return q * ((phase + C) // p), (phase + C) % p
+
     def init_state(self):
         # Zero history matches the reference's zero-initialized ring buffer
         # (src/blocks/resampling.rs:99,234).
         from ..numbers import stream_complex
-        return {"hist": np.zeros((self.in_sig.batch, self.plan.hist),
-                                 stream_complex())}
+        b = self.in_sig.batch
+        if self.phase_mode:
+            return {"hist": np.zeros((b, self.plan.phase_hist),
+                                     stream_complex()),
+                    "phase": np.zeros((b,), np.int32)}
+        return {"hist": np.zeros((b, self.plan.hist), stream_complex())}
 
     def _use_pallas(self) -> bool:
         from ..ops.pallas_frontend import decimate_supported
         import jax as _jax
-        return (decimate_supported(self.in_sig.chunk_len, self.plan)
+        return (not self.phase_mode
+                and decimate_supported(self.in_sig.chunk_len, self.plan)
                 and self.plan.hist <= self.in_sig.chunk_len
                 and _jax.default_backend() not in ("cpu",))
 
     def process(self, params, state, x, reset):
         plan = self.plan
+        if self.phase_mode:
+            from ..ops.polyphase import rational_fir_phase
+            y, nh, nph = rational_fir_phase(
+                x, state["hist"], state["phase"], params["kernel"],
+                plan.p, plan.q, real_input=self.input_is_real)
+            # The reference does not reset resampler state on events
+            # (src/blocks/resampling.rs:135-137).
+            return {"hist": nh, "phase": nph}, y
         if self._use_pallas():
             # Lane-aligned banded-GEMM kernel: XLA's strided-conv lowering
             # collapses for long anti-alias FIRs (e.g. the WFM tail's

@@ -41,7 +41,7 @@ from ..windowing import Kaiser
 
 __all__ = [
     "design_ir", "RationalPlan", "plan_downsample", "plan_upsample",
-    "rational_fir",
+    "rational_fir", "rational_fir_phase",
 ]
 
 
@@ -73,7 +73,27 @@ def _exact_ratio(input_rate: float, output_rate: float) -> Tuple[int, int]:
 
 @dataclass(frozen=True)
 class RationalPlan:
-    """Static plan for one rational resampling op."""
+    """Static plan for one rational resampling op.
+
+    Two execution modes share the plan:
+
+    - *aligned* (``chunk_len % p == 0``): the original static formulation —
+      exactly ``chunk_len/p`` whole periods per step, one strided conv.
+    - *phase* (any chunk length): the window grid no longer lands on chunk
+      boundaries, so the step carries the grid phase ``(k*C) mod p`` in
+      state and slices the history+chunk buffer at a traced offset.  The
+      per-step output is a fixed ``ceil(C/p)*q``-sample chunk whose first
+      ``valid_counts(k)`` samples are real outputs (the rest zero-padding)
+      — the deterministic, host-computable schedule has period
+      ``p/gcd(C,p)``.  Matches the reference's phase-accumulator loop
+      (``src/blocks/resampling.rs:103-133``) output for output.
+
+    Both directions reduce to the same geometry: window ``w`` (emitting
+    outputs ``w*q..w*q+q``) covers inputs ``[w*p + D - Kw, w*p + D)`` with
+    ``D = s0 - hist + Kw = p`` identically for the down- and up-sampling
+    plan constructions (verified in tests), so a window is computable
+    exactly when ``(w+1)*p`` input samples have been seen.
+    """
 
     p: int            # input samples per period
     q: int            # output samples per period
@@ -88,6 +108,27 @@ class RationalPlan:
                 f"chunk_len {chunk_len} must be a multiple of {self.p} "
                 f"(rational resampling period); insert a Rechunker")
         return (chunk_len // self.p) * self.q
+
+    def aligned(self, chunk_len: int) -> bool:
+        return chunk_len % self.p == 0
+
+    @property
+    def phase_hist(self) -> int:
+        """History samples carried in phase mode (Kw - 1: enough to cover
+        the oldest input any next-step window can reach)."""
+        return int(self.kernel.shape[1]) - 1
+
+    def windows_per_step(self, chunk_len: int) -> int:
+        """Static window slots per step in phase mode (>= any step's
+        actual count)."""
+        return -(-chunk_len // self.p)
+
+    def valid_counts(self, chunk_len: int, k0: int, nsteps: int):
+        """Valid output samples per step for steps k0..k0+nsteps (phase
+        mode schedule; in aligned mode every entry is chunk_len/p*q)."""
+        C, p, q = chunk_len, self.p, self.q
+        return np.array([q * (((k + 1) * C) // p - (k * C) // p)
+                         for k in range(k0, k0 + nsteps)], np.int64)
 
 
 def plan_downsample(input_rate: float, output_rate: float, bandwidth: float,
@@ -165,6 +206,71 @@ def plan_upsample(input_rate: float, output_rate: float, bandwidth: float,
     from ..numbers import stream_real
     return RationalPlan(p=p, q=q, kernel=W.astype(stream_real()),
                         hist=hist, s0=s0, out_per_in=Fraction(q, p))
+
+
+def rational_fir_phase(x: jax.Array, hist: jax.Array, phase: jax.Array,
+                       kernel: jax.Array, p: int, q: int,
+                       real_input: bool = False):
+    """One arbitrary-chunk-length rational resampling step (phase mode).
+
+    ``x``: [batch, C] complex chunk; ``hist``: [batch, Kw-1] carried input
+    tail; ``phase``: [batch] int32 grid phase ``(k*C) mod p`` (replicated
+    across the batch — kept batch-major for the sharded executors'
+    sub-batch splitting; row 0 drives the slice).  Returns
+    ``(y [batch, E*q], new_hist, new_phase)`` with ``E = ceil(C/p)``; the
+    first ``v*q`` output samples are valid where ``v = (phase + C) // p``
+    whole windows completed this step (the rest are zeroed padding — the
+    schedule is host-computable via :meth:`RationalPlan.valid_counts`).
+
+    Window ``w`` covers absolute inputs ``[(w+1)p - Kw, (w+1)p)``; with
+    the buffer holding the last ``Kw-1`` history samples plus the chunk,
+    this step's first window starts at buffer offset ``p - 1 - phase``
+    (derived in RationalPlan's docstring; identical window contents to
+    the aligned formulation, so outputs match it bit for bit wherever
+    both modes apply).
+    """
+    b, C = x.shape
+    Kw = int(kernel.shape[1])
+    E = -(-C // p)
+    rdt = jnp.float64 if x.dtype == jnp.complex128 else jnp.float32
+    ph = phase[0].astype(jnp.int32)
+    parts = [hist, x]
+    if p > 1:
+        # Up to p-1 of the last windows may read past the chunk end
+        # before they are valid; zero-pad so the static slice never
+        # overruns (those windows are masked out below).
+        parts.append(jnp.zeros((b, p - 1), x.dtype))
+    buf = jnp.concatenate(parts, axis=-1)
+    if real_input:
+        planes = buf.real[:, None, :]
+        nb = b
+    else:
+        planes = jnp.concatenate([buf.real, buf.imag], axis=0)[:, None, :]
+        nb = 2 * b
+    width = E * p + (Kw - p)
+    o = (p - 1) - ph
+    sl = jax.lax.dynamic_slice(planes.astype(rdt), (0, 0, o),
+                               (nb, 1, width))
+    out = jax.lax.conv_general_dilated(
+        sl, kernel[:, None, :].astype(rdt),
+        window_strides=(p,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=rdt,
+        precision=config.matmul_precision(),
+    )                                                 # [nb, q, E]
+    v = (ph + jnp.int32(C)) // jnp.int32(p)
+    mask = (jnp.arange(E, dtype=jnp.int32) < v)[None, None, :]
+    out = jnp.where(mask, out, jnp.zeros_like(out))
+    if real_input:
+        yr = jnp.swapaxes(out, 1, 2).reshape(b, E * q)
+        y = jax.lax.complex(yr, jnp.zeros_like(yr))
+    else:
+        yc = jax.lax.complex(out[:b], out[b:])        # [b, q, E]
+        y = jnp.swapaxes(yc, 1, 2).reshape(b, E * q)
+    new_hist = (jnp.concatenate([hist, x], axis=-1)[:, -(Kw - 1):]
+                if Kw > 1 else hist[:, :0])
+    new_phase = (phase + jnp.int32(C)) % jnp.int32(p)
+    return y.astype(x.dtype), new_hist, new_phase
 
 
 def rational_fir(xp: jax.Array, kernel: jax.Array, p: int, q: int,

@@ -152,6 +152,20 @@ def _sharded_select(block, params, state, xs, axis):
 
 
 def _sharded_resampler(block, params, state, x, axis):
+    if getattr(block, "phase_mode", False):
+        # Arbitrary-chunk (phase-mode) resampler: the grid phase advances
+        # by C mod p per chunk, data-independently, so device d computes
+        # its own phase in closed form (like the FreqShifter's k0); the
+        # take-last carry then holds the group-advanced phase.  Each
+        # device's output chunk keeps its own valid-prefix padding —
+        # identical layout to sequential stepping.
+        p = block.plan.p
+        C = x.shape[-1]
+        hist = _halo_tail(x, state["hist"], block.plan.phase_hist, axis)
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        phase = (state["phase"] + d * jnp.int32(C % p)) % jnp.int32(p)
+        return block.process(params, {"hist": hist, "phase": phase}, x,
+                             _no_reset(x))
     hist = _halo_tail(x, state["hist"], block.plan.hist, axis)
     return block.process(params, {"hist": hist}, x, _no_reset(x))
 

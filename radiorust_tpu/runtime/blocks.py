@@ -221,6 +221,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._bound = None
         self._state = None
         self._pstate = None  # packed (wire-format) device state
+        self._sched_phase = None  # ragged-tail valid-prefix schedule mirror
         self._restored_state = None  # pending load_checkpoint state
         self.failure: Optional[Exception] = None  # fatal error, if any
         self._pending_reset = False
@@ -238,6 +239,16 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         if bound is None:
             from ..blocks.base import jit_step, jit_step_sharded
             bound = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
+            if (self.mesh is not None
+                    and getattr(bound, "ragged_output", False)):
+                # The mesh-serving wrappers (TimeShardedChain et al.)
+                # would emit un-trimmed padded chunks — the schedule
+                # mirror only wraps the single-device step.  Surface at
+                # bind time, not as silent padding downstream.
+                raise ValueError(
+                    "phase-mode (arbitrary-ratio) resampler tails are not "
+                    "supported under mesh serving; serve single-device or "
+                    "re-chunk to a multiple of the resampling period")
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
             if self.mesh is not None and self.shard == "channels":
@@ -511,6 +522,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._pending_reset = False
         if self._bound is not None:
             self._state = state
+            if getattr(self._bound, "ragged_output", False):
+                # Restored phase lands mid-schedule; re-derive the mirror.
+                self._sched_phase = self._bound.schedule_phase(state)
         else:
             self._restored_state = state
 
@@ -538,12 +552,21 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         throughput numbers remain correct, per-chunk times read higher.
         """
         from ..blocks.base import unpack_wire
-        py, bound, n_in, batched, t0 = entry
+        py, bound, n_in, batched, t0, valid = entry
         y = np.asarray(unpack_wire(jax.tree.map(np.asarray, py)))
         self.chunks_processed += 1
         # The np.asarray fetch above synchronizes the device, so the
         # recorded wall time covers the real compute.
         self.stats.record_chunk(n_in, time.perf_counter() - t0)
+        if valid is not None:
+            # Phase-mode (arbitrary-ratio) resampler tail: the compiled
+            # step pads each chunk to a static length; the actor trims to
+            # the schedule's valid prefix so downstream consumers see a
+            # gapless stream (the reference's variable-count accumulator
+            # behavior, src/blocks/resampling.rs:103-133).
+            if valid == 0:
+                return
+            y = y[:, :valid]
         # 1-D input stays 1-D downstream — unless the chain grows the
         # batch (a Channelizer folds channels into it): then the output is
         # genuinely 2-D [channels, t] and y[0] would strip all but one.
@@ -616,6 +639,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                         # the restored history is stale, start fresh.
                         self._restored_state = None
                         self._state = bound.init_state()
+                    # Ragged (phase-mode resampler) tails: mirror the
+                    # schedule phase host-side so each emitted chunk can
+                    # be trimmed to its valid prefix.  Derived from the
+                    # (host numpy) state, so a checkpoint restore lands
+                    # mid-schedule correctly.
+                    self._sched_phase = (
+                        bound.schedule_phase(self._state)
+                        if getattr(bound, "ragged_output", False) else None)
                     self._pstate = None
                     self._pending_reset = False
                 reset = np.full((x.shape[0],), self._pending_reset)
@@ -628,7 +659,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 self._pstate, py = bound._jit(
                     pack_wire(bound.params), self._pstate,
                     pack_wire(x), reset)
-                inflight.append((py, bound, x.size, batched, t0))
+                valid = None
+                if self._sched_phase is not None:
+                    valid, self._sched_phase = bound.advance_schedule(
+                        self._sched_phase)
+                inflight.append((py, bound, x.size, batched, t0, valid))
                 while len(inflight) > self.pipeline_depth:
                     await self._fetch_send(inflight.popleft())
         except ChannelClosed:
@@ -869,7 +904,9 @@ class RuntimeGraph(RuntimeBlock):
 
     async def _fetch_send(self, entry) -> None:
         from ..blocks.base import unpack_wire
-        pys, bound, n_in, batched, t0 = entry
+        # ``valid`` is always None for graphs: ragged (phase-mode
+        # resampler) outputs are rejected at graph construction.
+        pys, bound, n_in, batched, t0, valid = entry
         ys = {k: np.asarray(unpack_wire(jax.tree.map(np.asarray, v)))
               for k, v in pys.items()}
         self.chunks_processed += 1

@@ -133,6 +133,22 @@ def test_time_sharded_overlap_rejects_odd_batch(devices):
         ts.process(ts.params, ts.init_state(), jnp.asarray(x))
 
 
+def test_time_sharded_phase_mode_resampler(devices):
+    """Arbitrary-chunk (phase-mode) resampler under time sharding: each
+    device derives its grid phase in closed form; the padded per-chunk
+    output layout must match sequential stepping exactly."""
+    from radiorust_tpu.blocks.resampling import Downsampler
+    mesh = jax.make_mesh((4,), ("t",))
+    sig = StreamSig(2, 100, 1024.0)          # 100 % 8 != 0 -> phase mode
+    chain = Chain(Downsampler(384.0, 200.0))
+    steps = 3
+    xs = make_iq(steps * 4, sig.batch, sig.chunk_len, seed=31)
+    got, bound = run_time_sharded(chain, sig, xs, mesh, steps)
+    assert bound.ragged_output
+    want = sequential_reference(chain.bind(sig), xs)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 @pytest.mark.parametrize("name,chain,sig", CASES, ids=[c[0] for c in CASES])
 def test_time_sharded_matches_sequential(devices, name, chain, sig):
     mesh = jax.make_mesh((4,), ("t",))

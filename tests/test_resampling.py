@@ -74,9 +74,88 @@ def test_downsample_tone_preserved():
     np.testing.assert_allclose(steps, 2 * np.pi * f / out_rate, atol=1e-2)
 
 
-def test_downsample_requires_period_aligned_chunks():
-    with pytest.raises(ValueError):
-        Downsampler(384.0, 200.0).bind(StreamSig(1, 100, 1024.0))
+def run_ragged(block, chunks, rate):
+    """Scan a (possibly phase-mode) resampler and concatenate each output
+    chunk's schedule-valid prefix — the gapless stream the runtime actor
+    layer emits."""
+    n = chunks.shape[1]
+    b = block.bind(StreamSig(1, n, rate))
+    xs = jnp.asarray(chunks[:, None, :])
+    state, ys = scan(b, b.params, b.init_state(), xs)
+    ys = np.asarray(ys)[:, 0, :]
+    if not getattr(b, "ragged_output", False):
+        return ys.reshape(-1), b
+    vc = b.valid_counts(0, chunks.shape[0])
+    # Padding behind the valid prefix must be exact zeros.
+    for k, v in enumerate(vc):
+        assert np.all(ys[k, v:] == 0)
+    return np.concatenate([ys[k, :v] for k, v in enumerate(vc)]), b
+
+
+@pytest.mark.parametrize("out_rate", [44100.0, 22050.0, 11025.0])
+def test_downsample_any_chunk_audio_rates(out_rate):
+    """The VERDICT r4 item-3 contract: the reference's own 1.024 Msps
+    input binds to standard audio rates at a power-of-two chunk
+    (resampling.rs:103-133 handles any ratio/chunk; here phase mode).
+    p = 10240/20480/40960 per 441 — for the lower rates p exceeds the
+    chunk, so whole steps emit zero valid samples."""
+    in_rate = 1024000.0
+    chunks = make_input(6, 16384, seed=int(out_rate))
+    b = Downsampler(out_rate, 0.4 * out_rate).bind(
+        StreamSig(1, 16384, in_rate))
+    assert b.phase_mode and b.ragged_output
+    got, _ = run_ragged(Downsampler(out_rate, 0.4 * out_rate), chunks,
+                        in_rate)
+    want = oracles.oracle_downsample(chunks.reshape(-1), in_rate, out_rate,
+                                     0.4 * out_rate)
+    assert len(got) <= len(want) and len(got) > 0
+    np.testing.assert_allclose(got, want[:len(got)], atol=2e-4)
+
+
+@pytest.mark.parametrize("n", [60, 100, 7])
+def test_downsample_phase_mode_matches_oracle(n):
+    # 8/3 ratio at chunk lengths that are not multiples of 8, including
+    # a chunk smaller than one period.
+    chunks = make_input(8, n, seed=n)
+    got, b = run_ragged(Downsampler(384.0, 200.0), chunks, 1024.0)
+    assert b.phase_mode
+    want = oracles.oracle_downsample(chunks.reshape(-1), 1024.0, 384.0,
+                                     200.0)
+    np.testing.assert_allclose(got, want[:len(got)], atol=2e-4)
+
+
+def test_upsample_phase_mode_matches_oracle():
+    # 3/8 upsample (p=3) at a chunk length not divisible by 3.
+    chunks = make_input(5, 64, seed=5)
+    got, b = run_ragged(Upsampler(1024.0, 300.0), chunks, 384.0)
+    assert b.phase_mode
+    want = oracles.oracle_upsample(chunks.reshape(-1), 384.0, 1024.0, 300.0)
+    np.testing.assert_allclose(got, want[:len(got)], atol=2e-4)
+
+
+def test_phase_mode_equals_aligned_rechunked():
+    """The same stream resampled through phase mode (chunk 60) and the
+    aligned formulation (chunk 64) must produce the identical output
+    stream — the two modes share the window grid exactly."""
+    total = 960  # divisible by both 60 and 64
+    x = make_input(1, total, seed=9).reshape(-1)
+    got_p, bp = run_ragged(Downsampler(384.0, 200.0), x.reshape(-1, 60),
+                           1024.0)
+    got_a, ba = run_ragged(Downsampler(384.0, 200.0), x.reshape(-1, 64),
+                           1024.0)
+    assert bp.phase_mode and not ba.phase_mode
+    np.testing.assert_allclose(got_p, got_a[:len(got_p)], atol=1e-6)
+
+
+def test_phase_mode_must_be_last_in_chain():
+    from radiorust_tpu.blocks.base import Chain
+    from radiorust_tpu.blocks.transform import GainControl
+    with pytest.raises(ValueError, match="LAST block"):
+        Chain(Downsampler(384.0, 200.0),
+              GainControl(0.5)).bind(StreamSig(1, 100, 1024.0))
+    # As the last block it binds fine.
+    Chain(GainControl(0.5),
+          Downsampler(384.0, 200.0)).bind(StreamSig(1, 100, 1024.0))
 
 
 def test_downsample_output_sig():

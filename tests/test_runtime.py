@@ -142,6 +142,35 @@ def test_runtime_gain_block():
     run(main())
 
 
+def test_runtime_phase_mode_resampler_trims_to_schedule():
+    """An arbitrary-ratio resampler (chunk not a multiple of the period)
+    served through the actor layer emits a GAPLESS stream: the actor
+    trims each padded chunk to the schedule's valid prefix, matching the
+    reference's variable-count accumulator output
+    (resampling.rs:103-133)."""
+    from radiorust_tpu.blocks.resampling import Downsampler
+    import oracles
+
+    rng = np.random.default_rng(13)
+    data = (rng.standard_normal(800)
+            + 1j * rng.standard_normal(800)).astype(np.complex64)
+
+    async def main():
+        src = ArraySource(data, chunk_len=100, sample_rate=1024.0)
+        down = RuntimeBlock(Downsampler(384.0, 200.0))
+        sink = ArraySink()
+        down.feed_from(src)
+        sink.feed_from(down)
+        # 800 inputs -> 100 whole periods -> 300 outputs.
+        await until(lambda: len(sink.samples) >= 300)
+        got = np.asarray(sink.samples)
+        want = oracles.oracle_downsample(data, 1024.0, 384.0, 200.0)
+        np.testing.assert_allclose(got, want[:len(got)], atol=2e-4)
+        assert sink.sample_rate == 384.0
+
+    run(main())
+
+
 def test_runtime_rebind_on_rate_change():
     async def main():
         sender, connector = new_sender()
