@@ -134,17 +134,19 @@ def main():
         pass
 
     from radiorust_tpu.blocks.base import StreamSig, pack_wire, unpack_wire
-    from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK, WFM_INPUT_RATE,
-                                          wfm_receiver)
+    from radiorust_tpu.models.wfm import WFM_INPUT_RATE, wfm_receiver
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     T = int(os.environ.get("BENCH_T", "16"))
     # Input chunk length: the decoupled overlap-save geometry processes
     # more new samples per filter transform while keeping the reference's
-    # designed 6144-tap responses (BENCH_IR).  At the default 16384-chunk
-    # binding, ir_len 6144 IS the coupled geometry — bit-identical to the
-    # reference layout.
-    chunk = int(os.environ.get("BENCH_CHUNK", str(WFM_INPUT_CHUNK)))
+    # designed 6144-tap responses (BENCH_IR) — same filtering, same
+    # resolution, fewer FLOPs/sample and fuller MXU tiles.  Default 24576
+    # (mid chunk 9216, 15360-pt transforms): +12% whole-chain over the
+    # coupled 16384 geometry, tied with chunk 40960/49152 but smallest
+    # buffers/latency (tools/exp_filter.py geomN A/B, r5).  BENCH_CHUNK=
+    # 16384 reproduces the reference-coupled layout bit for bit.
+    chunk = int(os.environ.get("BENCH_CHUNK", "24576"))
     ir_len = int(os.environ.get("BENCH_IR", "6144"))
     sig = StreamSig(batch, chunk, WFM_INPUT_RATE)
     fuse = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"

@@ -72,7 +72,7 @@ def _configs():
     # fallback re-exec); defaults match bench.py's defaults.
     wfm_f = os.environ.get("BENCH_FUSE_FRONTEND", "1") == "1"
     wfm_fd = os.environ.get("BENCH_FUSE_DEMOD", "1") == "1"
-    wfm_chunk = int(os.environ.get("BENCH_CHUNK", str(WFM_INPUT_CHUNK)))
+    wfm_chunk = int(os.environ.get("BENCH_CHUNK", "24576"))
     wfm_ir = int(os.environ.get("BENCH_IR", "6144"))
     from radiorust_tpu.models.stereo import wfm_stereo_receiver
     return {
