@@ -51,17 +51,29 @@ __all__ = [
 
 
 def initialize(coordinator_address: str, num_processes: int,
-               process_id: int) -> None:
+               process_id: int,
+               heartbeat_timeout_seconds: Optional[int] = None) -> None:
     """Join the job's coordination service (multi-controller bring-up).
 
     Call once, before any other JAX API touches devices.  On a real TPU
     pod the three arguments normally come from the scheduler's
     environment and plain ``jax.distributed.initialize()`` autodetects
-    them; this explicit form is what the fake-cluster workers use."""
+    them; this explicit form is what the fake-cluster workers use.
+
+    ``heartbeat_timeout_seconds`` bounds dead-peer DETECTION latency:
+    survivors of a peer crash error out of pending collectives once the
+    coordination service misses that many seconds of heartbeats (JAX
+    default 100 — the fake cluster's r4 SIGKILL drill measured ~103 s to
+    detection; the elastic drill runs with 10 for <15 s detection).
+    Production guidance in docs/SCALING.md: low enough to meet the
+    recovery SLO, high enough to ride out GC/compile pauses."""
     import jax
+    kw = {}
+    if heartbeat_timeout_seconds is not None:
+        kw["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id, **kw)
 
 
 def process_index() -> int:

@@ -258,13 +258,22 @@ class CrossProcessPipeline:
     Warm-up bubble: stage *i* idles for the first *i* ticks (its state
     is untouched while no valid chunk has reached it), exactly like the
     reference's one-chunk-per-hop chain latency (``src/flow.rs:51-52``);
-    ``run`` drives ``T + P - 1`` ticks and the LAST process returns the
-    ``T`` outputs (other processes return ``None``).  v1 scope: no
-    mid-stream resets/events (use the single-host pipeline for those).
+    ``run`` drives ``T + S - 1`` ticks and each group's LAST stage
+    process returns the ``T`` outputs (other processes return ``None``).
+    v1 scope: no mid-stream resets/events (use the single-host pipeline
+    for those).
+
+    ``groups=G`` composes the pipeline axis with the channel (stream)
+    axis: the P processes form a (G groups x S stages) grid of G
+    independent pipeline replicas, each serving its own batch slice —
+    the serving-fleet layout where both scaling axes are populated at
+    once (one big mesh dimension hides process-count assumptions that a
+    single-axis layout never exercises).
     """
 
     def __init__(self, bound_chain: _BoundChain,
-                 partition: Optional[Sequence[int]] = None):
+                 partition: Optional[Sequence[int]] = None,
+                 groups: int = 1):
         import jax as _jax
         from jax.sharding import Mesh, NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -274,12 +283,28 @@ class CrossProcessPipeline:
         if nproc < 2:
             raise ValueError("CrossProcessPipeline needs a multi-process "
                              "job (jax.distributed.initialize)")
+        # ``groups`` composes the pipeline axis with the channel (stream)
+        # axis: the processes form a (group, stage) grid — G independent
+        # pipeline replicas of S stages each, every replica serving its
+        # own slice of the stream batch.  ``bound_chain`` is the
+        # PER-GROUP chain (its batch = streams per group); ``run`` takes
+        # the full [T, groups*batch, n] stream and routes rows
+        # g*batch:(g+1)*batch into group g's stage 0.
+        if groups < 1 or nproc % groups:
+            raise ValueError(f"groups={groups} must divide the process "
+                             f"count ({nproc})")
+        self.groups = groups
+        stages = nproc // groups
+        if stages < 2:
+            raise ValueError("each pipeline group needs >= 2 stages")
+        self.stages = stages
+        self.gid, self.sid = divmod(self.pid, stages)
         blocks = list(bound_chain.blocks)
         if partition is None:
-            partition = balance_partition(len(blocks), nproc)
-        if len(partition) != nproc:
+            partition = balance_partition(len(blocks), stages)
+        if len(partition) != stages:
             raise ValueError(f"partition {partition} must have one stage "
-                             f"per process ({nproc})")
+                             f"per group process ({stages})")
         if sum(partition) != len(blocks) or min(partition) < 1:
             raise ValueError(f"partition {partition} does not cover "
                              f"{len(blocks)} blocks with >=1 per stage")
@@ -308,9 +333,9 @@ class CrossProcessPipeline:
                 (tdef, [l.shape for l in leaves],
                  int(sum(np.prod(l.shape) for l in leaves))))
         self._row_len = max(t[2] for t in self._stage_out_tpl)
-        self.stage = _Stage([bounds[self.pid]]
-                            if not hasattr(bounds[self.pid], "blocks")
-                            else list(bounds[self.pid].blocks),
+        self.stage = _Stage([bounds[self.sid]]
+                            if not hasattr(bounds[self.sid], "blocks")
+                            else list(bounds[self.sid].blocks),
                             _jax.local_devices()[0])
         # One-device-per-process handoff mesh + the shift program.  Must
         # pick each process's FIRST device — the same one the stage
@@ -322,7 +347,10 @@ class CrossProcessPipeline:
             devs.setdefault(d.process_index, d)
         mesh = Mesh(np.array([devs[p] for p in range(nproc)]), ("stage",))
         self._sharding = NamedSharding(mesh, P("stage"))
-        perm = [(i, i + 1) for i in range(nproc - 1)]
+        # Handoffs stay INSIDE each group's stage run: no pair crosses a
+        # group boundary, so the G pipelines are independent replicas.
+        perm = [(g * stages + i, g * stages + i + 1)
+                for g in range(groups) for i in range(stages - 1)]
         self._shift = _jax.jit(_jax.shard_map(
             lambda r: _jax.lax.ppermute(r, "stage", perm),
             mesh=mesh, in_specs=P("stage"), out_specs=P("stage")))
@@ -349,31 +377,38 @@ class CrossProcessPipeline:
         return unpack_wire(_jax.tree.unflatten(tdef, leaves))
 
     def run(self, xs):
-        """Feed ``xs`` ([T, batch, chunk_len] complex, identical on every
-        process — only stage 0 consumes it), run ``T + P - 1`` ticks, and
-        return the ``T`` output chunks on the LAST process (``None``
+        """Feed ``xs`` ([T, groups*batch, chunk_len] complex, identical on
+        every process — group g's stage 0 consumes rows
+        ``g*batch:(g+1)*batch``), run ``T + S - 1`` ticks, and return the
+        ``T`` output chunks on each group's LAST stage process (``None``
         elsewhere).  Every process must call this with the same T."""
         import jax as _jax
         t_total = len(xs)
-        pid, nproc = self.pid, self.depth
+        sid, stages = self.sid, self.stages
+        bs = self.in_sig.batch
+        if xs[0].shape[0] != self.groups * bs:
+            raise ValueError(
+                f"xs batch {xs[0].shape[0]} != groups*batch "
+                f"({self.groups}x{bs})")
         recv = np.zeros((self._row_len,), self._row_dtype)
         outs = []
         no_reset = np.zeros((self.stage.bound.in_sig.batch,), bool)
-        for t in range(t_total + nproc - 1):
-            have = pid <= t < t_total + pid
+        for t in range(t_total + stages - 1):
+            have = sid <= t < t_total + sid
             if have:
-                if pid == 0:
-                    xin = np.asarray(xs[t])
+                if sid == 0:
+                    xin = np.asarray(
+                        xs[t][self.gid * bs:(self.gid + 1) * bs])
                 else:
-                    xin = np.asarray(self._unpack_row(recv, pid - 1))
+                    xin = np.asarray(self._unpack_row(recv, sid - 1))
                 self.stage.state, py, _ = self.stage.step(
                     self.stage.params, self.stage.state,
                     pack_wire(xin), no_reset)
-                if pid == nproc - 1:
+                if sid == stages - 1:
                     outs.append(unpack_wire(_jax.device_get(py)))
                     # The shift permutation sends the last stage's row
-                    # nowhere ((i, i+1) for i < P-1): skip the redundant
-                    # device fetch of the largest packed row per tick.
+                    # nowhere: skip the redundant device fetch of the
+                    # largest packed row per tick.
                     row = np.zeros((self._row_len,), self._row_dtype)
                 else:
                     row = self._pack_row(py)
@@ -382,11 +417,11 @@ class CrossProcessPipeline:
             shard = _jax.device_put(row[None, :],
                                     _jax.local_devices()[0])
             g = _jax.make_array_from_single_device_arrays(
-                (nproc, self._row_len), self._sharding, [shard])
+                (self.depth, self._row_len), self._sharding, [shard])
             shifted = self._shift(g)
             recv = np.asarray(
                 next(iter(shifted.addressable_shards)).data)[0]
-        if pid == nproc - 1:
+        if sid == stages - 1:
             assert len(outs) == t_total, (len(outs), t_total)
             return np.stack(outs)
         return None

@@ -76,7 +76,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ARTIFACT = os.path.join(REPO, "MULTIPROC_r04.json")
+ARTIFACT = os.path.join(REPO, "MULTIPROC_r05.json")
 
 
 def _fm_iq(total: int, batch: int, rate: float):
@@ -288,7 +288,152 @@ def _case_streams_x_channels(mesh, process_id, case_name=None):
                                     label=f"streams-x-channels step {s}")
 
 
+def _case_pipeline_x_channel_groups(process_id, num_processes):
+    """Case 7 (8x1 suite): compose the PIPELINE and CHANNEL axes in one
+    case — the processes form a (2 groups x 4 stages) grid of pipeline
+    replicas, each serving its own batch slice
+    (``CrossProcessPipeline(groups=2)``).  Each group's last stage
+    value-checks its slice against the sequential scan.  Exercises
+    process-count-dependent assumptions (grouped ppermute pairs, per-
+    group warmup bubbles) that the 4x2 single-axis topology hides."""
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.pipeline import CrossProcessPipeline
+
+    groups = 2
+    bs, n, rate, steps = 2, 2048, 1024000.0, 6
+    sig = StreamSig(bs, n, rate)
+    bound = wfm_receiver().bind(sig)       # 7 blocks over 4 stages/group
+    pipe = CrossProcessPipeline(bound, groups=groups)
+    xs = _fm_iq(steps * n, groups * bs, rate)
+    xs = np.moveaxis(xs.reshape(groups * bs, steps, n), 1, 0)
+    got = pipe.run(xs)
+    if got is not None:                    # this process is a group tail
+        rows = slice(pipe.gid * bs, (pipe.gid + 1) * bs)
+        ref = wfm_receiver().bind(sig)
+        _, want = scan(ref, ref.params, ref.init_state(),
+                       jnp.asarray(xs[:, rows]))
+        np.testing.assert_allclose(
+            got[2:], np.asarray(want)[2:], atol=5e-4,
+            err_msg=f"pipeline group {pipe.gid}")
+
+
+def elastic_worker(coordinator: str, num_processes: int, process_id: int,
+                   mode: str) -> int:
+    """Elastic recovery drill worker (VERDICT r4 item 2).
+
+    ``serve``: stream the time-sharded WFM chain; after two groups, save
+    an Orbax sharded checkpoint, then process 1 SIGKILLs itself
+    mid-stream.  Survivors run with a 10 s coordination heartbeat, so
+    they must ERROR OUT of the dead peer's collectives in well under the
+    r4 drill's ~103 s — each prints its measured ``DETECT <s>``.
+
+    ``resume``: a RELAUNCHED smaller cohort (n-1 processes -> a 6-device
+    mesh) loads the checkpoint (the r4 scale-down migration machinery:
+    same state pytree, new mesh), continues the remaining stream in
+    t=6-sized groups, and value-checks every post-recovery chunk against
+    the uninterrupted sequential scan."""
+    import time
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from radiorust_tpu.parallel import multiprocess as mp
+    hb = int(os.environ.get("FAKE_CLUSTER_HEARTBEAT", "10"))
+    mp.initialize(coordinator, num_processes, process_id,
+                  heartbeat_timeout_seconds=hb)
+    import jax.numpy as jnp
+    from radiorust_tpu.blocks.base import StreamSig, scan
+    from radiorust_tpu.models.wfm import wfm_receiver
+    from radiorust_tpu.parallel.multiprocess import \
+        assert_addressable_allclose
+    from radiorust_tpu.parallel.time_shard import TimeShardedChain
+    from radiorust_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    ndev = len(jax.devices())
+    t = ndev
+    mesh = jax.make_mesh((ndev,), ("t",))
+    batch, n, rate = 2, 2048, 1024000.0
+    TOTAL = 46          # serve: 2 groups of 8 + kill; resume: 16 + 5x6
+    ckpt_dir = os.environ["FAKE_CLUSTER_CKPT"]
+    sig = StreamSig(batch, n, rate)
+    bound = wfm_receiver().bind(sig)
+    ts = TimeShardedChain(bound, mesh, t_axis="t")
+    xs_flat = _fm_iq(TOTAL * n, batch, rate)
+    xs = np.moveaxis(xs_flat.reshape(batch, TOTAL, n), 1, 0)
+    ref = wfm_receiver().bind(sig)
+    _, want = scan(ref, ref.params, ref.init_state(), jnp.asarray(xs))
+    want = np.asarray(want)
+    out_n = bound.out_sig.chunk_len
+
+    def group_x(start):
+        g = xs[start:start + t]
+        return np.moveaxis(g, 0, 1).reshape(batch, t * n)
+
+    if mode == "serve":
+        state = ts.init_state()
+        for s in range(2):
+            state, _y = ts.process(ts.params, state, group_x(s * t))
+        save_sharded(os.path.join(ckpt_dir, "ckpt"), state)
+        if process_id == 0:
+            with open(os.path.join(ckpt_dir, "progress.json"), "w") as f:
+                json.dump({"chunks_done": 2 * t}, f)
+        mp.all_processes_ok(True)   # checkpoint durable before the kill
+        if process_id == 1:
+            print("[p1] elastic drill: SIGKILL mid-stream", flush=True)
+            sys.stdout.flush()
+            os.kill(os.getpid(), signal.SIGKILL)
+        t0 = time.monotonic()
+        try:
+            s0 = 2 * t
+            while s0 + t <= TOTAL:
+                state, y = ts.process(ts.params, state, group_x(s0))
+                # Force execution: detection surfaces at the fetch.
+                np.asarray(next(iter(y.addressable_shards)).data)
+                s0 += t
+            print(f"[p{process_id}] ERROR: dead peer never detected",
+                  flush=True)
+            return 7
+        except Exception as e:  # noqa: BLE001 - the drill's exit path
+            dt = time.monotonic() - t0
+            print(f"[p{process_id}] DETECT {dt:.1f} "
+                  f"({type(e).__name__})", flush=True)
+            return 1
+
+    # mode == "resume"
+    with open(os.path.join(ckpt_dir, "progress.json")) as f:
+        done = json.load(f)["chunks_done"]
+    state = load_sharded(os.path.join(ckpt_dir, "ckpt"), ts.init_state(),
+                         mesh=mesh)
+    ok = True
+    s0 = done
+    while s0 + t <= TOTAL:
+        state, y = ts.process(ts.params, state, group_x(s0))
+        w = np.moveaxis(want[s0:s0 + t], 0, 1).reshape(batch, t * out_n)
+        try:
+            assert_addressable_allclose(y, w, atol=5e-4,
+                                        label=f"resume chunks {s0}")
+        except Exception as e:  # noqa: BLE001 - verdict is the artifact
+            print(f"[p{process_id}] resume check FAILED: "
+                  f"{type(e).__name__}: {str(e)[:500]}", flush=True)
+            ok = False
+        s0 += t
+    ok = mp.all_processes_ok(ok and s0 == TOTAL)
+    if process_id == 0:
+        with open(os.path.join(ckpt_dir, "resume_verdict.json"),
+                  "w") as f:
+            json.dump({"ok": bool(ok), "resumed_from_chunk": done,
+                       "chunks_recovered": TOTAL - done,
+                       "mesh_devices": ndev}, f)
+    print(f"[p{process_id}] resume ok={ok}", flush=True)
+    return 0 if ok else 1
+
+
 def worker(coordinator: str, num_processes: int, process_id: int) -> int:
+    mode = os.environ.get("FAKE_CLUSTER_ELASTIC")
+    if mode:
+        return elastic_worker(coordinator, num_processes, process_id, mode)
     # The environment's sitecustomize pins jax to the experimental TPU
     # relay programmatically; the env var alone is not enough (same
     # override as tests/conftest.py).
@@ -334,6 +479,22 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
             ok = False
             if kill_case:
                 raise
+
+    if os.environ.get("FAKE_CLUSTER_SUITE") == "x81":
+        # 8-process x 1-device topology (max process count the 8-device
+        # mesh allows): every mesh hop crosses a process boundary.
+        mesh_t8 = jax.make_mesh((ndev,), ("t",))
+        attempt("x81_wfm_time_sharded_t8",
+                f"x81 case 1 (t={ndev}, 1 device/process)",
+                lambda: _case_time_sharded_wfm(
+                    mesh_t8, ndev, None, retune=False,
+                    process_id=process_id))
+        attempt("x81_pipeline_2groups_x_4stages",
+                "x81 case 7 (pipeline x channel groups)",
+                lambda: _case_pipeline_x_channel_groups(process_id,
+                                                        num_processes))
+        ok = mp.all_processes_ok(ok)
+        return 0 if ok else 1
 
     mesh_t = jax.make_mesh((ndev,), ("t",))
     attempt("wfm_time_sharded_t8_with_retune",
@@ -429,6 +590,115 @@ def run_kill_drill(num_processes: int, local_devices: int,
             "hung": len(hung)}, outputs
 
 
+def run_elastic_drill(num_processes: int, local_devices: int,
+                      heartbeat_s: int = 10, timeout: float = 900.0):
+    """Elastic recovery (VERDICT r4 item 2): compose detection INTO
+    recovery.  Phase A SIGKILLs one worker mid-stream after an Orbax
+    sharded checkpoint; survivors (10 s heartbeat) must error out fast —
+    measured as ``detect_s``.  Phase B relaunches an (n-1)-process
+    cohort that re-forms the smaller mesh, loads the checkpoint, and
+    continues the stream with every post-recovery chunk value-checked
+    (``recovery_s`` = relaunch + restore + full residual stream)."""
+    import shutil
+    import time
+
+    from radiorust_tpu.parallel.multiprocess import (free_port,
+                                                     launch_local_cluster)
+    tmpdir = os.path.join("/tmp", f"rr_elastic_{free_port()}")
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    os.makedirs(tmpdir, exist_ok=True)
+    env_a = dict(os.environ,
+                 FAKE_CLUSTER_ELASTIC="serve", FAKE_CLUSTER_CKPT=tmpdir,
+                 FAKE_CLUSTER_HEARTBEAT=str(heartbeat_s),
+                 JAX_PLATFORMS="cpu",
+                 XLA_FLAGS=("--xla_force_host_platform_device_count="
+                            f"{local_devices}"))
+    # Phase A runs under a POLLING launcher (not launch_local_cluster):
+    # the JAX distributed client hard-terminates survivors when the
+    # coordination service reports the dead peer (client.h fatal path —
+    # no Python exception to catch), so detection latency is measured
+    # from OUTSIDE as (survivor exit time) - (victim exit time).
+    import subprocess as _sp
+    import tempfile
+    port = free_port()
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f".p{i}.log",
+                                        delete=False)
+            for i in range(num_processes)]
+    procs = [_sp.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--process-id", str(i), "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", str(num_processes)],
+        env=env_a, stdout=logs[i], stderr=_sp.STDOUT, text=True)
+        for i in range(num_processes)]
+    deadline = time.monotonic() + timeout
+    exits = {}
+    while len(exits) < num_processes and time.monotonic() < deadline:
+        for i, p in enumerate(procs):
+            if i not in exits and p.poll() is not None:
+                exits[i] = (p.returncode, time.monotonic())
+        time.sleep(0.1)
+    hung = [i for i in range(num_processes) if i not in exits]
+    for i in hung:
+        procs[i].kill()
+        procs[i].wait()
+    outputs = []
+    for lf in logs:
+        lf.flush()
+        lf.seek(0)
+        outputs.append(lf.read())
+        lf.close()
+        os.unlink(lf.name)
+    victim_killed = (1 in exits
+                     and exits[1][0] == -signal.SIGKILL)
+    surv_ids = [i for i in range(num_processes) if i != 1]
+    survivors = [exits[i][0] if i in exits else None for i in surv_ids]
+    detect_s = None
+    if victim_killed and not hung:
+        t_kill = exits[1][1]
+        detect_s = round(max(exits[i][1] for i in surv_ids) - t_kill, 1)
+    phase_a_ok = (victim_killed and not hung
+                  and all(c is not None and c != 0 for c in survivors)
+                  and detect_s is not None)
+    t1 = time.monotonic()
+    codes_b, outputs_b = launch_local_cluster(
+        os.path.abspath(__file__), num_processes=num_processes - 1,
+        local_devices=local_devices, timeout=timeout,
+        env_extra={"FAKE_CLUSTER_ELASTIC": "resume",
+                   "FAKE_CLUSTER_CKPT": tmpdir})
+    recovery_s = time.monotonic() - t1
+    phase_b_ok = all(c == 0 for c in codes_b)
+    verdict_file = os.path.join(tmpdir, "resume_verdict.json")
+    resume_verdict = None
+    if os.path.exists(verdict_file):
+        with open(verdict_file) as f:
+            resume_verdict = json.load(f)
+    ok = (phase_a_ok and phase_b_ok
+          and bool(resume_verdict and resume_verdict.get("ok"))
+          and detect_s < 15.0)
+    return {"ok": ok, "heartbeat_s": heartbeat_s,
+            "detect_s": detect_s,
+            "detect_target_s": 15.0,
+            "victim_code": exits.get(1, (None,))[0],
+            "survivor_codes": survivors,
+            "recovery_s": round(recovery_s, 1),
+            "resume": resume_verdict}, outputs + outputs_b
+
+
+def run_x81_suite(timeout: float = 900.0):
+    """8-process x 1-device run: case 1 at t=8 with every hop
+    cross-process, plus the pipeline x channel-groups composition
+    (VERDICT r4 item 7)."""
+    from radiorust_tpu.parallel.multiprocess import launch_local_cluster
+    codes, outputs = launch_local_cluster(
+        os.path.abspath(__file__), num_processes=8, local_devices=1,
+        timeout=timeout, env_extra={"FAKE_CLUSTER_SUITE": "x81"})
+    ok = all(c == 0 for c in codes)
+    return {"ok": ok, "num_processes": 8, "local_devices": 1,
+            "cases": ["x81_wfm_time_sharded_t8",
+                      "x81_pipeline_2groups_x_4stages"],
+            "exit_codes": codes}, outputs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, default=None)
@@ -436,6 +706,8 @@ def main():
     ap.add_argument("--num-processes", type=int, default=4)
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--skip-kill-drill", action="store_true")
+    ap.add_argument("--skip-elastic", action="store_true")
+    ap.add_argument("--skip-x81", action="store_true")
     args = ap.parse_args()
     if args.process_id is not None:
         sys.exit(worker(args.coordinator, args.num_processes,
@@ -466,6 +738,37 @@ def main():
         with open(ARTIFACT, "w") as f:
             json.dump(art, f, indent=1)
         print(f"updated {os.path.basename(ARTIFACT)} with kill drill")
+    if not args.skip_elastic:
+        elastic, el_out = run_elastic_drill(args.num_processes,
+                                            args.local_devices)
+        print(f"--- elastic recovery drill: {json.dumps(elastic)} ---")
+        if not elastic["ok"]:
+            for i, out in enumerate(el_out):
+                print(f"--- elastic process output {i} ---")
+                print(out)
+            sys.exit(1)
+        with open(ARTIFACT) as f:
+            art = json.load(f)
+        art["cases"].append("elastic_sigkill_checkpoint_resume_smaller_mesh")
+        art["elastic_drill"] = elastic
+        with open(ARTIFACT, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"updated {os.path.basename(ARTIFACT)} with elastic drill")
+    if not args.skip_x81:
+        x81, x81_out = run_x81_suite()
+        print(f"--- 8x1 suite: {json.dumps(x81)} ---")
+        if not x81["ok"]:
+            for i, out in enumerate(x81_out):
+                print(f"--- x81 process {i} ---")
+                print(out)
+            sys.exit(1)
+        with open(ARTIFACT) as f:
+            art = json.load(f)
+        art["cases"].extend(x81["cases"])
+        art["x81"] = x81
+        with open(ARTIFACT, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"updated {os.path.basename(ARTIFACT)} with the 8x1 suite")
     sys.exit(0)
 
 
