@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Serving-runtime soak: the actor stack under sustained load on the
+real chip (VERDICT r4 item 5).
+
+Drives  SdrRx(SyntheticSdrDriver) -> Rechunker -> RuntimeBlock(WFM) ->
+Buffer -> Blackhole  for >= SOAK_SECONDS wall-clock (default 330 s,
+~10k+ chunks through the relay), sampling every 5 s:
+
+- cumulative audio samples delivered to the sink (throughput),
+- host RSS (``/proc/self/statm``),
+- the Buffer's queued duration and entry count,
+- the actor's processed-chunk counter.
+
+Failure criteria (the relay's documented degradation modes, CLAUDE.md
+rules 4/7/10, would show up as exactly these):
+
+- THROUGHPUT DECAY: any post-warmup minute's sink throughput below
+  ``DECAY_FRAC`` (default 0.7) of the best post-warmup minute;
+- HOST-MEMORY CREEP: RSS growth from the end of minute 1 to the end of
+  the run above ``RSS_BUDGET_MB`` (default 300);
+- QUEUE GROWTH: the Buffer's queued duration exceeding its configured
+  ``max_capacity`` (the actor stack must hold the backpressure
+  contract, not accumulate).
+
+Writes SOAK_r05.json and prints it; exits nonzero on failure.  The
+reference's whole value is *continuous* streaming
+(``src/blocks/mod.rs:27-34``) — this artifact is the proof the serving
+path is more than a bench loop.
+
+CPU regression: ``JAX_PLATFORMS=cpu SOAK_SECONDS=8 python tools/soak.py``
+exercises the same harness end-to-end (tests/test_soak.py).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO / ".jax_cache"))
+os.environ.setdefault("RRTPU_MATMUL_PRECISION", "high")
+
+ARTIFACT = REPO / "SOAK_r05.json"
+
+
+def rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def main():
+    duration = float(os.environ.get("SOAK_SECONDS", "330"))
+    sample_every = min(5.0, max(1.0, duration / 8))
+    on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    if not on_cpu:
+        from bench import wait_for_backend
+        wait_for_backend()
+    import jax
+    if on_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+        _cc.set_cache_dir(os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    import asyncio
+
+    import numpy as np
+
+    from radiorust_tpu.models.wfm import WFM_INPUT_RATE, wfm_receiver
+    from radiorust_tpu.runtime import (Blackhole, Buffer, Rechunker,
+                                       RuntimeBlock)
+    from radiorust_tpu.runtime.io import SdrRx, SyntheticSdrDriver
+
+    chunk = int(os.environ.get("SOAK_CHUNK", "24576"))
+    ir_len = int(os.environ.get("SOAK_IR", "6144"))
+    depth = int(os.environ.get("SOAK_PIPELINE_DEPTH", "2"))
+    max_cap = 2.0
+
+    async def soak():
+        # FM-modulated tone carrier inside the passband + light noise:
+        # representative load, unthrottled (the source always outruns the
+        # device block, so the measured rate is the serving path's own).
+        driver = SyntheticSdrDriver(WFM_INPUT_RATE,
+                                    tones=((57000.0, 0.7),), noise=0.05)
+        src = SdrRx(driver)
+        rechunk = Rechunker(chunk)
+        wfm = RuntimeBlock(wfm_receiver(fuse_frontend=not on_cpu,
+                                        fuse_demod=not on_cpu,
+                                        filter_ir_len=ir_len),
+                           name="soak_wfm", pipeline_depth=depth)
+        buf = Buffer(initial_capacity=0.1, min_capacity=0.05,
+                     max_capacity=max_cap, max_age=4.0)
+        sink = Blackhole()
+        rechunk.feed_from(src)
+        wfm.feed_from(rechunk)
+        buf.feed_from(wfm)
+        sink.feed_from(buf)
+        await src.activate()
+
+        t0 = time.monotonic()
+        samples = []
+        while True:
+            await asyncio.sleep(sample_every)
+            now = time.monotonic() - t0
+            samples.append({
+                "t_s": round(now, 1),
+                "sink_samples": int(sink.samples_seen),
+                "chunks_processed": int(wfm.chunks_processed),
+                "rss_mb": round(rss_mb(), 1),
+                "queue_s": round(buf._queue.duration, 3),
+                "queue_entries": len(buf._queue),
+            })
+            if wfm.failure is not None:
+                raise wfm.failure
+            if now >= duration:
+                break
+        await src.deactivate()
+        await src.close()
+        return samples
+
+    t_start = time.monotonic()
+    samples = asyncio.run(soak())
+    wall = time.monotonic() - t_start
+
+    # Per-minute throughput buckets (bucket = 60 s, or duration/4 for
+    # short CPU regression runs so the decay check still has >= 3
+    # buckets).
+    bucket_s = 60.0 if duration >= 240 else max(duration / 4, 2.0)
+    # Rate between consecutive probe points, grouped by bucket.
+    rates = {}
+    for a, b in zip(samples, samples[1:]):
+        bk = int(b["t_s"] // bucket_s)
+        d_samp = b["sink_samples"] - a["sink_samples"]
+        d_t = b["t_s"] - a["t_s"]
+        if d_t > 0:
+            rates.setdefault(bk, []).append(d_samp / d_t)
+    minute_msps = {str(k): round(sum(v) / len(v) / 1e6, 3)
+                   for k, v in sorted(rates.items())}
+    # Warmup exclusion: compile + initial Buffer fill ride the first
+    # bucket(s) — 60 s on chip, the first third of a short CPU
+    # regression run.
+    warmup_s = 60.0 if duration >= 240 else duration / 3
+    k_min = int(np.ceil(warmup_s / bucket_s))
+    post_warmup = [sum(v) / len(v) for k, v in sorted(rates.items())
+                   if k >= k_min] or [sum(v) / len(v)
+                                      for _, v in sorted(rates.items())]
+    best = max(post_warmup)
+    worst = min(post_warmup)
+    decay_frac = float(os.environ.get("DECAY_FRAC", "0.7"))
+    rss_budget = float(os.environ.get("RSS_BUDGET_MB", "300"))
+    rss_after_warmup = samples[min(len(samples) - 1,
+                                   int(60 / sample_every))]["rss_mb"]
+    rss_growth = samples[-1]["rss_mb"] - rss_after_warmup
+    max_queue = max(s["queue_s"] for s in samples)
+
+    throughput_ok = best > 0 and worst >= decay_frac * best
+    rss_ok = rss_growth <= rss_budget
+    queue_ok = max_queue <= max_cap + 0.5
+    chunks = samples[-1]["chunks_processed"]
+    ok = bool(throughput_ok and rss_ok and queue_ok and chunks > 0)
+
+    record = {
+        "ok": ok,
+        "platform": "cpu" if on_cpu else "tpu",
+        "duration_s": round(wall, 1),
+        "chunks_processed": chunks,
+        "input_msamples": round(chunks * chunk / 1e6, 1),
+        "sink_samples": samples[-1]["sink_samples"],
+        "bucket_s": bucket_s,
+        "bucket_sink_msps": minute_msps,
+        "throughput_ok": bool(throughput_ok),
+        "worst_over_best": round(worst / best, 3) if best else None,
+        "rss_start_mb": samples[0]["rss_mb"],
+        "rss_end_mb": samples[-1]["rss_mb"],
+        "rss_growth_after_warmup_mb": round(rss_growth, 1),
+        "rss_ok": bool(rss_ok),
+        "max_queue_s": round(max_queue, 3),
+        "queue_ok": bool(queue_ok),
+        "pipeline_depth": depth,
+        "chunk": chunk,
+        "probes": samples if duration < 240 else samples[::3],
+    }
+    out = json.dumps(record, indent=1)
+    if not on_cpu or os.environ.get("SOAK_WRITE") == "1":
+        ARTIFACT.write_text(out)
+    print(out)
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
