@@ -8,8 +8,9 @@ is bit-identical across backends, and the synthetic program signals use
 only arange/trig — so both sides compute from the same samples; we
 compare per-chunk output energy / real-sum / imag-sum checksums.
 
-Models: wfm, wfm_fused, stereo, channelizer, channelizer_fused, am, ssb,
-morse, morse_rf, bw_meter, audiopipe, wfm_tx (VERDICT r2 item 4: the
+Models: wfm, wfm_fused, wfm_wide (the r5 decoupled-geometry flagship),
+stereo, channelizer, channelizer_fused, am, ssb,
+morse, morse_rf, bw_meter, audiopipe, wfm_tx, isb (VERDICT r2 item 4: the
 backend's bf16/precision quirks make "CPU-equal" a per-model question,
 not a given; r3 item 1: bw_meter's single-scan bandwidth walk and FmMod's
 MXU prefix-sum integrator were rewritten and must be twinned on-chip —
@@ -77,6 +78,16 @@ def build():
         f = MODEL.endswith("fused")
         batch, n = 8, WFM_INPUT_CHUNK
         bound = wfm_receiver(fuse_frontend=f, fuse_demod=f).bind(
+            StreamSig(batch, n, WFM_INPUT_RATE))
+        return bound, (lambda: noise(batch, n)), False, None
+    if MODEL == "wfm_wide":
+        # The r5 flagship geometry: chunk 24576 with the filter IRs held
+        # at the reference's 6144-tap design (decoupled overlap-save —
+        # the hp != n1/2 transform split on-chip, bench.py's default).
+        from radiorust_tpu.models.wfm import WFM_INPUT_RATE, wfm_receiver
+        batch, n = 8, 24576
+        bound = wfm_receiver(fuse_frontend=True, fuse_demod=True,
+                             filter_ir_len=6144).bind(
             StreamSig(batch, n, WFM_INPUT_RATE))
         return bound, (lambda: noise(batch, n)), False, None
     if MODEL == "stereo":
@@ -319,13 +330,24 @@ print("CHECKSUMS", " ".join(f"{v:.8e}" for v in out.reshape(-1)))
 
 # Per-model steady-state tolerance: noise-driven FM demod is chaotic
 # (ulps amplify through atan2), tone-driven chains are smooth.
-TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "stereo": 1e-2,
+#
+# stereo/bw_meter budget ATTRIBUTION (VERDICT r4 item 3, measured r5):
+# rerunning both twins under RRTPU_MATMUL_PRECISION=highest splits the
+# precision mode from trajectory divergence —
+#     stereo    4.415e-3 (high)  ->  3.08e-4 (highest)
+#     bw_meter  6.869e-3 (high)  ->  1.96e-6 (highest)
+# i.e. ~93% (stereo) / ~100% (bw_meter) of the bound is the documented
+# bf16-hi/lo 3-pass decomposition of the 'high' matmul mode flowing
+# through the stereo pilot normalization / the metering's in-hertz walk
+# — NOT chaos.  Bounds are the high-mode measurement x ~1.4 headroom,
+# no longer a 1e-2 blanket.
+TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "wfm_wide": 2e-2, "stereo": 6e-3,
        "channelizer": 1e-2, "channelizer_fused": 1e-2,
        "am": 1e-3, "ssb": 1e-3, "morse": 1e-3,
        # morse_rf/wfm_tx: FmMod's carried phase accumulates cross-backend
-       # scan-order ulps over chunks; bw_meter: a prefix landing within
-       # 1 ulp of the walk limit flips one ~25 Hz bin (documented caveat).
-       "morse_rf": 1e-2, "bw_meter": 1e-2, "audiopipe": 1e-3,
+       # scan-order ulps over chunks; bw_meter: see attribution above
+       # (plus the documented 1-ulp walk-limit bin-flip caveat).
+       "morse_rf": 1e-2, "bw_meter": 9e-3, "audiopipe": 1e-3,
        "wfm_tx": 1e-2, "isb": 1e-3}
 
 
