@@ -75,9 +75,9 @@ class _BoundResampler(BoundBlock):
         return int(np.asarray(state["phase"])[0]) if self.phase_mode else 0
 
     def advance_schedule(self, phase: int):
-        """(valid output samples of the next chunk, next phase)."""
-        C, p, q = self.in_sig.chunk_len, self.plan.p, self.plan.q
-        return q * ((phase + C) // p), (phase + C) % p
+        """(valid output samples of the next chunk, next phase) —
+        delegates to the schedule's single owner, RationalPlan.advance."""
+        return self.plan.advance(phase, self.in_sig.chunk_len)
 
     def init_state(self):
         # Zero history matches the reference's zero-initialized ring buffer

@@ -123,12 +123,25 @@ class RationalPlan:
         actual count)."""
         return -(-chunk_len // self.p)
 
+    def advance(self, phase: int, chunk_len: int):
+        """One schedule step from grid phase ``phase``: returns
+        ``(valid_output_samples, next_phase)``.  SINGLE OWNER of the
+        phase-mode schedule — ``valid_counts``, the bound block's
+        runtime mirror (``advance_schedule``), and the traced in-kernel
+        ``v``/``new_phase`` in :func:`rational_fir_phase` all follow
+        this formula; change them together."""
+        v = self.q * ((phase + chunk_len) // self.p)
+        return v, (phase + chunk_len) % self.p
+
     def valid_counts(self, chunk_len: int, k0: int, nsteps: int):
         """Valid output samples per step for steps k0..k0+nsteps (phase
         mode schedule; in aligned mode every entry is chunk_len/p*q)."""
-        C, p, q = chunk_len, self.p, self.q
-        return np.array([q * (((k + 1) * C) // p - (k * C) // p)
-                         for k in range(k0, k0 + nsteps)], np.int64)
+        phase = (k0 * chunk_len) % self.p
+        out = []
+        for _ in range(nsteps):
+            v, phase = self.advance(phase, chunk_len)
+            out.append(v)
+        return np.array(out, np.int64)
 
 
 def plan_downsample(input_rate: float, output_rate: float, bandwidth: float,
@@ -258,6 +271,8 @@ def rational_fir_phase(x: jax.Array, hist: jax.Array, phase: jax.Array,
         preferred_element_type=rdt,
         precision=config.matmul_precision(),
     )                                                 # [nb, q, E]
+    # Traced mirror of RationalPlan.advance (the schedule's single
+    # owner): v whole windows complete this step, the rest are masked.
     v = (ph + jnp.int32(C)) // jnp.int32(p)
     mask = (jnp.arange(E, dtype=jnp.int32) < v)[None, None, :]
     out = jnp.where(mask, out, jnp.zeros_like(out))

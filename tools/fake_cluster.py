@@ -541,6 +541,12 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> int:
         # Failure drills report via exit codes only — never overwrite
         # the real artifact with an injected failure.
         return 0 if ok else 1
+    if os.environ.get("FAKE_CLUSTER_WRITE") != "1":
+        # Only the launcher's own run owns the artifact: the test suite
+        # reuses these workers (tests/test_multiprocess.py) and must not
+        # clobber a drill-enriched MULTIPROC artifact with a bare
+        # base-suite one (this exact clobber shipped once).
+        return 0 if ok else 1
     if process_id == 0:
         art = {"ok": ok, "num_processes": num_processes,
                "global_devices": ndev, "cases": cases,
@@ -716,7 +722,8 @@ def main():
     from radiorust_tpu.parallel.multiprocess import launch_local_cluster
     codes, outputs = launch_local_cluster(
         os.path.abspath(__file__), num_processes=args.num_processes,
-        local_devices=args.local_devices)
+        local_devices=args.local_devices,
+        env_extra={"FAKE_CLUSTER_WRITE": "1"})
     for i, out in enumerate(outputs):
         print(f"--- process {i} (exit {codes[i]}) ---")
         print(out)

@@ -91,8 +91,11 @@ def main():
                                     tones=((57000.0, 0.7),), noise=0.05)
         src = SdrRx(driver)
         rechunk = Rechunker(chunk)
+        # SdrRx serves ONE stream (1-D chunks -> the actor binds batch
+        # 1), so the pair-packed FmDemodFilter kernel (even batch
+        # required) cannot run — fuse the frontend only; the filters
+        # still run the fused overlap-save kernel at tile 1.
         wfm = RuntimeBlock(wfm_receiver(fuse_frontend=not on_cpu,
-                                        fuse_demod=not on_cpu,
                                         filter_ir_len=ir_len),
                            name="soak_wfm", pipeline_depth=depth)
         buf = Buffer(initial_capacity=0.1, min_capacity=0.05,
@@ -155,8 +158,12 @@ def main():
     worst = min(post_warmup)
     decay_frac = float(os.environ.get("DECAY_FRAC", "0.7"))
     rss_budget = float(os.environ.get("RSS_BUDGET_MB", "300"))
-    rss_after_warmup = samples[min(len(samples) - 1,
-                                   int(60 / sample_every))]["rss_mb"]
+    # Same warmup boundary as the throughput check — a hardcoded 60 s
+    # index would clamp to the last sample on short (CPU regression)
+    # runs and make the creep check vacuous.
+    warm_idx = next((i for i, s in enumerate(samples)
+                     if s["t_s"] >= warmup_s), len(samples) - 1)
+    rss_after_warmup = samples[warm_idx]["rss_mb"]
     rss_growth = samples[-1]["rss_mb"] - rss_after_warmup
     max_queue = max(s["queue_s"] for s in samples)
 
