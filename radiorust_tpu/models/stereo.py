@@ -87,7 +87,8 @@ def _lr_matrix(m, d):
 
 
 def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
-                       volume: float, use_bank: bool = True):
+                       volume: float, use_bank: bool = True,
+                       ir_len=None):
     """Add the MPX stereo decode nodes; returns (stereo, pilot) node refs.
 
     ``mpx`` must be the real-valued composite baseband at 384 kHz.  The
@@ -102,11 +103,12 @@ def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
     # (use_bank=False).
     if use_bank:
         mono, pilot, sub = g.bank(
-            FilterBank([_mono_band, _pilot_band, _subcarrier_band]), mpx)
+            FilterBank([_mono_band, _pilot_band, _subcarrier_band],
+                       ir_len=ir_len), mpx)
     else:
-        mono = g.add(Filter.new(_mono_band), mpx)
-        pilot = g.add(Filter.new(_pilot_band), mpx)
-        sub = g.add(Filter.new(_subcarrier_band), mpx)
+        mono = g.add(Filter.new(_mono_band, ir_len=ir_len), mpx)
+        pilot = g.add(Filter.new(_pilot_band, ir_len=ir_len), mpx)
+        sub = g.add(Filter.new(_subcarrier_band, ir_len=ir_len), mpx)
     carrier = g.add(MapSample(_double_phase), pilot)
     diff = g.add(Combine(_mix_subcarrier), (sub, carrier))
     # Tunable stereo separation (1 = full stereo, 0 = mono on both ears):
@@ -114,7 +116,7 @@ def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
     diff = g.add(GainControl(separation), diff)
     stereo = g.add(Combine(_lr_matrix), (mono, diff))
     stereo = g.chain([
-        Filter.new_rectangular(_deemphasis_band),
+        Filter.new_rectangular(_deemphasis_band, ir_len=ir_len),
         Downsampler(WFM_AUDIO_RATE, 2.0 * 20000.0),
         GainControl(volume),
     ], stereo)
@@ -123,12 +125,14 @@ def _add_stereo_decode(g: Graph, mpx: NodeRef, separation: float,
 
 def stereo_mpx_decoder(separation: float = 1.0,
                        volume: float = 1.0,
-                       use_bank: bool = True) -> Graph:
+                       use_bank: bool = True,
+                       filter_ir_len=None) -> Graph:
     """Standalone MPX decoder: input "mpx" (real composite at 384 kHz) ->
     outputs "stereo" (L + jR at 48 kHz) and "pilot" (analytic pilot)."""
     g = Graph()
     mpx = g.input("mpx")
-    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume, use_bank)
+    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume, use_bank,
+                                       ir_len=filter_ir_len)
     g.output("stereo", stereo)
     g.output("pilot", pilot)
     return g
@@ -137,7 +141,8 @@ def stereo_mpx_decoder(separation: float = 1.0,
 def wfm_stereo_receiver(tune_shift: float = 0.0, volume: float = 1.0,
                         deviation: float = 150000.0,
                         separation: float = 1.0,
-                        fuse_frontend: bool = False) -> Graph:
+                        fuse_frontend: bool = False,
+                        filter_ir_len=None) -> Graph:
     """Full stereo WFM receiver as one compiled DAG.
 
     IQ 1.024 Msps [batch, 16384] -> tune -> decimate 384 kHz -> +-100 kHz
@@ -158,9 +163,11 @@ def wfm_stereo_receiver(tune_shift: float = 0.0, volume: float = 1.0,
     else:
         head = [FreqShifter.with_shift(tune_shift),
                 Downsampler(MPX_RATE, 200000.0)]
-    mpx = g.chain([*head, Filter.new(_lowpass_100k), FmDemod(deviation)],
-                  iq)
-    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume)
+    mpx = g.chain([*head, Filter.new(_lowpass_100k,
+                                     ir_len=filter_ir_len),
+                   FmDemod(deviation)], iq)
+    stereo, pilot = _add_stereo_decode(g, mpx, separation, volume,
+                                       ir_len=filter_ir_len)
     g.output("stereo", stereo)
     g.output("pilot", pilot)
     return g

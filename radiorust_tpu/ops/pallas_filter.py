@@ -110,6 +110,26 @@ def supported(n: int, m: int = None) -> bool:
 _BANK_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the K-scaling live set
 
 
+def _bank_live_bytes(tile: int, K: int, n: int) -> int:
+    # 2tKn outputs + 4tKn response-multiplied grids, PLUS the transient
+    # duplication at the jnp.concatenate of the K per-band grids in
+    # _make_bank_kernel (the list of K grids and the concatenated copy
+    # coexist briefly), doubling the grid term's peak.
+    return (2 * tile * K * n + 2 * (4 * tile * K * n)) * 4
+
+
+def bank_tile(n: int, K: int, tile: int = None) -> int:
+    """Largest stream tile (halving from the configured default) whose
+    K-band live set fits the VMEM budget; 0 when even tile 1 does not
+    fit.  Bigger banks/chunks shrink the tile instead of falling
+    straight back to XLA — e.g. the stereo bank (K=3) at the decoupled
+    geometry's n=9216 runs at tile 4."""
+    t = tile if tile is not None else config.pallas_tile()
+    while t > 1 and _bank_live_bytes(t, K, n) > _BANK_VMEM_BUDGET:
+        t //= 2
+    return t if _bank_live_bytes(t, K, n) <= _BANK_VMEM_BUDGET else 0
+
+
 def bank_supported(n: int, K: int, tile: int = None,
                    m: int = None) -> bool:
     """Whether a K-band bank fits the fused kernel: transform-size
@@ -118,20 +138,12 @@ def bank_supported(n: int, K: int, tile: int = None,
     response-multiplied grids (2 x [n1, K*tile, n2] = 4*tile*K*n words,
     the dominant term) that feed the width-K*tile inverse.  ~8 MB is
     left for inputs, constants, the forward grid, and inverse
-    transients.  Large banks fall back to the XLA shared-forward
+    transients; the tile halves until the set fits (:func:`bank_tile`).
+    Banks too large at ANY tile fall back to the XLA shared-forward
     formulation instead of failing Mosaic compilation — the same
     failure class decimate_supported's weight-slab budget guards (a
     real 25 MB OOM, VALIDATE_r04 notes)."""
-    if not supported(n, m):
-        return False
-    if tile is None:
-        tile = config.pallas_tile()
-    # 2tKn outputs + 4tKn response-multiplied grids, PLUS the transient
-    # duplication at the jnp.concatenate of the K per-band grids in
-    # _make_bank_kernel (the list of K grids and the concatenated copy
-    # coexist briefly), doubling the grid term's peak.
-    live_words = 2 * tile * K * n + 2 * (4 * tile * K * n)
-    return live_words * 4 <= _BANK_VMEM_BUDGET
+    return supported(n, m) and bank_tile(n, K, tile) >= 1
 
 
 def use_fused_filter(chunk_len: int, ir_len: int = None) -> bool:
@@ -604,10 +616,9 @@ def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
     b, n = curr.shape
     m = prevr.shape[1]
     K = resp_gr.shape[0]
-    if tile is None:
-        tile = config.pallas_tile()
+    tile = bank_tile(n, K, tile)   # VMEM-budgeted (halves as K*n grows)
     tile = min(tile, b)
-    if b % tile:
+    if tile < 1 or b % tile:
         tile = 1
     plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()

@@ -261,12 +261,15 @@ def test_fused_filter_bank_matches_per_band_kernels():
 
 
 def test_bank_supported_vmem_budget():
-    """Large banks must fall back to the XLA formulation: the fused
-    kernel's output blocks scale with K (2 x [tile, K, n] f32 per grid
-    step), and exceeding the VMEM budget would fail Mosaic compilation
-    instead of degrading gracefully."""
-    from radiorust_tpu.ops.pallas_filter import bank_supported
-    assert bank_supported(6144, 3, tile=8)          # the stereo bank
-    assert not bank_supported(6144, 64, tile=8)     # output blocks alone 12 MB+
-    assert not bank_supported(12288, 16, tile=8)
+    """Oversized banks degrade gracefully: the tile HALVES until the
+    K-scaling live set fits VMEM (bank_tile); only banks too large at
+    tile 1 fall back to the XLA formulation (exceeding the budget would
+    fail Mosaic compilation instead)."""
+    from radiorust_tpu.ops.pallas_filter import bank_supported, bank_tile
+    assert bank_tile(6144, 3, tile=8) == 8          # the stereo bank
+    assert bank_tile(9216, 3, tile=8) == 4          # decoupled-geometry bank
+    assert bank_tile(12288, 16, tile=8) == 1        # big bank: tile floor
+    assert bank_supported(12288, 16, tile=8)
+    assert bank_tile(6144, 64, tile=8) == 0         # >8 MB even at tile 1
+    assert not bank_supported(6144, 64, tile=8)
     assert not bank_supported(100, 2, tile=8)       # unfactorable chunk

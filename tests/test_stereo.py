@@ -214,6 +214,33 @@ def test_fan_in_validation_errors():
             (StreamSig(1, 16, 8000.0), StreamSig(1, 32, 8000.0)))
 
 
+def test_decoder_decoupled_geometry_levels():
+    """The MPX decoder under the decoupled overlap-save geometry
+    (filter_ir_len < chunk): all four filters keep the ir-length design,
+    so the paths stay sample-aligned and channel separation holds at a
+    chunk that is 3x the IR length."""
+    m, n, t_chunks = 512, 1536, 6
+    ts = np.arange(t_chunks * n) / MPX_RATE
+    mpx = make_mpx(ts).astype(np.complex64)
+    xs = {"mpx": jnp.asarray(mpx.reshape(t_chunks, 1, n))}
+    g = stereo_mpx_decoder(filter_ir_len=m).bind(
+        {"mpx": StreamSig(1, n, MPX_RATE)})
+    left, right = decode_stereo(g, xs)
+    rate = 48000.0
+    l_l, l_r = tone_peaks(left, rate)
+    r_l, r_r = tone_peaks(right, rate)
+    # Each channel's own tone dominates the other's by the separation
+    # margin (same assertion class as the coupled-geometry test).
+    assert l_l > 8 * l_r and r_r > 8 * r_l
+    # And the bank form equals the separate-filters form here too.
+    gb = stereo_mpx_decoder(use_bank=False, filter_ir_len=m).bind(
+        {"mpx": StreamSig(1, n, MPX_RATE)})
+    _, ya = graph_scan(g, g.params, g.init_state(), xs)
+    _, yb = graph_scan(gb, gb.params, gb.init_state(), xs)
+    np.testing.assert_allclose(np.asarray(ya["stereo"]),
+                               np.asarray(yb["stereo"]), atol=2e-5)
+
+
 def test_decoder_bank_matches_separate_filters():
     """The FilterBank-based decoder (default) and the separate-Filter form
     (use_bank=False, kept as the benchmark reference) are the same math."""
