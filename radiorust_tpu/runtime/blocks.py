@@ -221,6 +221,8 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._bound = None
         self._state = None
         self._pstate = None  # packed (wire-format) device state
+        self._pparams = None  # packed params cache (device-resident)
+        self._pparams_src = None  # identity of the params it was built from
         self._sched_phase = None  # ragged-tail valid-prefix schedule mirror
         self._restored_state = None  # pending load_checkpoint state
         self.failure: Optional[Exception] = None  # fatal error, if any
@@ -656,8 +658,26 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 from ..blocks.base import pack_wire
                 if self._pstate is None:
                     self._pstate = pack_wire(self._state)
+                if (self._pparams is None
+                        or self._pparams_src is not bound.params):
+                    # Params are constant between retunes (every setter
+                    # REASSIGNS bound.params, so identity tracks
+                    # validity).  Cache them as DEVICE-resident arrays:
+                    # re-packing + re-uploading a few hundred kB of
+                    # responses per chunk was measured as the dominant
+                    # cost and a ~5 MB/s client-memory leak on the relay
+                    # backend (SOAK_r05 first run), and per-chunk large
+                    # puts after fetches also trip its
+                    # fetch-degrades-puts mode (CLAUDE.md rule 4).  Mesh
+                    # serving keeps host numpy (the sharded jit handles
+                    # placement).
+                    pp = pack_wire(bound.params)
+                    if self.mesh is None:
+                        pp = jax.device_put(pp)
+                    self._pparams = pp
+                    self._pparams_src = bound.params
                 self._pstate, py = bound._jit(
-                    pack_wire(bound.params), self._pstate,
+                    self._pparams, self._pstate,
                     pack_wire(x), reset)
                 valid = None
                 if self._sched_phase is not None:

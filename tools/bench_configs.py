@@ -74,10 +74,25 @@ def build(name):
         n, rate = 10240, 1024000.0
         post = lambda y, out_rate: jnp.sum(  # noqa: E731
             measure_bandwidth(y, out_rate))
+    elif name in ("stereo", "stereo_wide"):
+        # Full stereo WFM receiver (graph: bank decode + fan-in) — _wide
+        # runs the r5 decoupled overlap-save geometry (input chunk 24576,
+        # filter IRs at the reference 6144-tap design; the bank kernel
+        # drops to tile 4 under the VMEM budget).
+        from radiorust_tpu.models.stereo import wfm_stereo_receiver
+        wide = name.endswith("wide")
+        n, rate = (24576 if wide else 16384), 1024000.0
+        chain = wfm_stereo_receiver(fuse_frontend=True,
+                                    filter_ir_len=6144 if wide else None)
+        post = None
     else:
         raise SystemExit(f"unknown config {name}")
 
-    bound = chain.bind(StreamSig(BATCH, n, rate))
+    is_graph = hasattr(chain, "input")  # Graph spec, not Chain
+    if is_graph:
+        bound = chain.bind({"iq": StreamSig(BATCH, n, rate)})
+    else:
+        bound = chain.bind(StreamSig(BATCH, n, rate))
 
     @jax.jit
     def bench(pp, ps, seed, reps):
@@ -91,6 +106,11 @@ def build(name):
         reset = jnp.zeros((BATCH,), bool)
 
         def sb(st, x):
+            if is_graph:
+                st, ys = bound.process(params, st, {"iq": x})
+                acc = sum(jnp.sum(jnp.abs(l) ** 2)
+                          for l in jax.tree.leaves(ys))
+                return st, acc
             st, y = bound.process(params, st, x, reset)
             acc = jnp.sum(jnp.abs(y) ** 2)
             if post is not None:
