@@ -54,6 +54,16 @@ def build(name):
     elif name == "wfm_unfused":
         bound = wfm_receiver().bind(StreamSig(BATCH, n, rate))
         is_graph = False
+    elif name == "wfm_wide":
+        # The r5 decoupled geometry: the chunk budget grows to 24 ms
+        # (24576 samples @ 1.024 Msps) while the filters keep the
+        # reference's 6144-tap responses.
+        n = 24576
+        bound = wfm_receiver(fuse_frontend=True,
+                             fuse_demod=(BATCH % 2 == 0),
+                             filter_ir_len=6144).bind(
+            StreamSig(BATCH, n, rate))
+        is_graph = False
     elif name == "stereo":
         from radiorust_tpu.models.stereo import wfm_stereo_receiver
         bound = wfm_stereo_receiver().bind(
@@ -97,7 +107,7 @@ def build(name):
 
 
 def main():
-    names = sys.argv[1:] or ["wfm", "wfm_unfused", "stereo"]
+    names = sys.argv[1:] or ["wfm", "wfm_wide", "wfm_unfused", "stereo"]
     built = []
     for name in names:
         bench, pp, ps, n, rate = build(name)
