@@ -617,8 +617,16 @@ def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
     m = prevr.shape[1]
     K = resp_gr.shape[0]
     tile = bank_tile(n, K, tile)   # VMEM-budgeted (halves as K*n grows)
+    if tile < 1:
+        # Callers are expected to pre-gate with bank_supported; building
+        # the kernel anyway would hit the Mosaic VMEM OOM the budget
+        # exists to prevent.
+        raise ValueError(
+            f"filter bank K={K}, n={n} exceeds the VMEM budget at any "
+            "tile; use the XLA shared-forward formulation "
+            "(bank_supported gates this)")
     tile = min(tile, b)
-    if tile < 1 or b % tile:
+    if b % tile:
         tile = 1
     plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()

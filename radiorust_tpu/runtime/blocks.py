@@ -315,6 +315,11 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         self._param_overrides[slot] = fn
         if self._bound is not None:
             self._bound.params = fn(self._bound, self._bound.params)
+            # Explicit cache drop: a user fn may mutate params IN PLACE
+            # and return the same object, which the identity check in
+            # the dispatch loop would read as "unchanged".
+            self._pparams = None
+            self._pparams_src = None
 
     # -- typed convenience setters (the reference's watch-channel API) -----
     #
@@ -430,9 +435,13 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                                                          state[i], shift)
                 bound.params = tuple(params)
                 self._state = tuple(state)
+                self._pparams = None
+                self._pparams_src = None
             elif isinstance(bound, shifters):
                 bound.params, self._state = bound.retune(
                     bound.params, self._state, shift)
+                self._pparams = None
+                self._pparams_src = None
         self._apply_typed(lambda blk, p: blk.shift_params(shift)
                           if isinstance(blk, shifters) else None,
                           slot="set_shift")

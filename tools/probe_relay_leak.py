@@ -17,14 +17,15 @@ it (or any growth on CPU) still fails.
 """
 
 import os
+import pathlib
 import sys
 
 import numpy as np
 
-
-def rss_mb() -> float:
-    with open("/proc/self/statm") as f:
-        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+# Shared measurement helper: the probe's numbers calibrate soak.py's
+# retention allowance, so both MUST read RSS identically.
+from soak import rss_mb  # noqa: E402
 
 
 def main():

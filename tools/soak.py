@@ -61,13 +61,18 @@ def rss_mb() -> float:
 def main():
     duration = float(os.environ.get("SOAK_SECONDS", "330"))
     sample_every = min(5.0, max(1.0, duration / 8))
-    on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
-    if not on_cpu:
+    want_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    if not want_cpu:
         from bench import wait_for_backend
         wait_for_backend()
     import jax
-    if on_cpu:
+    if want_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # The allowance/verdict key off the backend that actually resolved —
+    # a relay outage can silently fall back to CPU
+    # (BENCH_ALLOW_DEAD_BACKEND), and granting the TPU retention
+    # allowance there would hide a genuine framework leak.
+    on_cpu = jax.default_backend() == "cpu"
     try:
         from jax.experimental.compilation_cache import (
             compilation_cache as _cc)
