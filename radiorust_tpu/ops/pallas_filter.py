@@ -111,21 +111,23 @@ _BANK_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the K-scaling live set
 
 
 def _bank_live_bytes(tile: int, K: int, n: int) -> int:
-    # 2tKn outputs + 4tKn response-multiplied grids, PLUS the transient
-    # duplication at the jnp.concatenate of the K per-band grids in
-    # _make_bank_kernel (the list of K grids and the concatenated copy
-    # coexist briefly), doubling the grid term's peak.
-    return (2 * tile * K * n + 2 * (4 * tile * K * n)) * 4
+    # 2tKn outputs + 4tKn stacked response-multiplied grids (the K-band
+    # multiply writes the stacked layout directly — one broadcast pass,
+    # no per-band concat transient).
+    return (2 * tile * K * n + 4 * tile * K * n) * 4
 
 
 def bank_tile(n: int, K: int, tile: int = None) -> int:
-    """Largest stream tile (halving from the configured default) whose
-    K-band live set fits the VMEM budget; 0 when even tile 1 does not
-    fit.  Bigger banks/chunks shrink the tile instead of falling
-    straight back to XLA — e.g. the stereo bank (K=3) at the decoupled
-    geometry's n=9216 runs at tile 4."""
+    """Largest SUBLANE-LEGAL stream tile whose K-band live set fits the
+    VMEM budget; 0 when none does.  Mosaic requires the stream block's
+    leading dim to be a multiple of 8 (or equal to the full batch — the
+    small-batch case handled at the call site), so the halving floors at
+    8: an n=9216, K=3 bank fits at tile 8; banks too large even there
+    fall back to the XLA shared-forward formulation (a tile-4 block was
+    measured UNLOWERABLE, r5 config sweep)."""
     t = tile if tile is not None else config.pallas_tile()
-    while t > 1 and _bank_live_bytes(t, K, n) > _BANK_VMEM_BUDGET:
+    t = max(8, (t // 8) * 8)
+    while t > 8 and _bank_live_bytes(t, K, n) > _BANK_VMEM_BUDGET:
         t //= 2
     return t if _bank_live_bytes(t, K, n) <= _BANK_VMEM_BUDGET else 0
 
@@ -585,13 +587,17 @@ def _make_bank_kernel(plan: "_TransformPlan", tile: int, K: int):
             [previ[:].reshape(tile, hp, n2),
              curi[:].reshape(tile, ho, n2)], axis=1)
         vr, vi = fwd(xr, xi, *consts)                 # ONE forward
-        prs, pis = [], []
-        for k in range(K):                            # K static bands
-            pr, pi = _grid_mul(vr, vi, rr[k], ri[k])
-            prs.append(pr)
-            pis.append(pi)
-        yr, yi = inv_many(jnp.concatenate(prs, axis=1),
-                          jnp.concatenate(pis, axis=1), *consts)
+        # All K response multiplies as ONE broadcast elementwise pass
+        # into the stacked [n1, K*tile, n2] layout (band k = rows
+        # k*tile..(k+1)*tile, identical to the per-band concat this
+        # replaces — which transiently DOUBLED the dominant VMEM term).
+        vr4 = vr[:, None, :, :]                       # [n1, 1, tile, n2]
+        vi4 = vi[:, None, :, :]
+        gr4 = jnp.swapaxes(rr[:], 0, 1)[:, :, None, :]  # [n1, K, 1, n2]
+        gi4 = jnp.swapaxes(ri[:], 0, 1)[:, :, None, :]
+        pr = (vr4 * gr4 - vi4 * gi4).reshape(n1, K * tile, n2)
+        pi = (vr4 * gi4 + vi4 * gr4).reshape(n1, K * tile, n2)
+        yr, yi = inv_many(pr, pi, *consts)
         y3r = yr.reshape(K, tile, n)
         y3i = yi.reshape(K, tile, n)
         for k in range(K):
@@ -627,7 +633,9 @@ def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
             "(bank_supported gates this)")
     tile = min(tile, b)
     if b % tile:
-        tile = 1
+        # Array-dim-equal blocks are always lowerable; a tile-1 remainder
+        # block would not be (Mosaic sublane rule).
+        tile = b
     plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_bank_kernel(plan, tile, K)

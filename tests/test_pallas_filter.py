@@ -267,9 +267,10 @@ def test_bank_supported_vmem_budget():
     fail Mosaic compilation instead)."""
     from radiorust_tpu.ops.pallas_filter import bank_supported, bank_tile
     assert bank_tile(6144, 3, tile=8) == 8          # the stereo bank
-    assert bank_tile(9216, 3, tile=8) == 4          # decoupled-geometry bank
-    assert bank_tile(12288, 16, tile=8) == 1        # big bank: tile floor
-    assert bank_supported(12288, 16, tile=8)
-    assert bank_tile(6144, 64, tile=8) == 0         # >8 MB even at tile 1
+    assert bank_tile(9216, 3, tile=8) == 8          # decoupled-geometry bank
+    assert bank_tile(9216, 3, tile=16) == 8         # 10.6 MB at 16: halves once
+    assert bank_tile(12288, 16, tile=8) == 0        # too big at the tile floor
+    assert not bank_supported(12288, 16, tile=8)
+    assert bank_tile(6144, 64, tile=8) == 0
     assert not bank_supported(6144, 64, tile=8)
     assert not bank_supported(100, 2, tile=8)       # unfactorable chunk
