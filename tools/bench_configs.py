@@ -132,10 +132,18 @@ def main():
     names = sys.argv[1:] or ["morse", "audiopipe", "bw_meter"]
     built = []
     for name in names:
-        bench, pp, ps, n = build(name)
-        t0 = time.perf_counter()
-        warm = float(bench(pp, ps, 0, 1))
-        assert np.isfinite(warm) and warm > 0.0, f"{name}: bad warmup {warm}"
+        # One failing config must not kill the batch — compiles through
+        # the relay are expensive (same policy as tools/exp_filter.py).
+        try:
+            bench, pp, ps, n = build(name)
+            t0 = time.perf_counter()
+            warm = float(bench(pp, ps, 0, 1))
+            assert np.isfinite(warm) and warm > 0.0, \
+                f"{name}: bad warmup {warm}"
+        except Exception as e:
+            print(f"# FAILED {name}: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            continue
         print(f"# warm {name}: {time.perf_counter() - t0:.1f}s", flush=True)
         built.append((name, bench, pp, ps, n))
 
