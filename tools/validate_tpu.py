@@ -90,12 +90,16 @@ def build():
                              filter_ir_len=6144).bind(
             StreamSig(batch, n, WFM_INPUT_RATE))
         return bound, (lambda: noise(batch, n)), False, None
-    if MODEL == "stereo":
+    if MODEL in ("stereo", "stereo_wide"):
+        # _wide: the r5 decoupled geometry on the full stereo DAG — the
+        # fused filter-BANK kernel at the hp != n1/2 transform split.
         from radiorust_tpu.models.stereo import wfm_stereo_receiver
         from radiorust_tpu.models.wfm import (WFM_INPUT_CHUNK,
                                               WFM_INPUT_RATE)
-        batch, n = 4, WFM_INPUT_CHUNK
-        bound = wfm_stereo_receiver().bind(
+        wide = MODEL.endswith("wide")
+        batch, n = 4, (24576 if wide else WFM_INPUT_CHUNK)
+        bound = wfm_stereo_receiver(
+            filter_ir_len=6144 if wide else None).bind(
             {"iq": StreamSig(batch, n, WFM_INPUT_RATE)})
 
         def gen():
@@ -342,6 +346,7 @@ print("CHECKSUMS", " ".join(f"{v:.8e}" for v in out.reshape(-1)))
 # — NOT chaos.  Bounds are the high-mode measurement x ~1.4 headroom,
 # no longer a 1e-2 blanket.
 TOL = {"wfm": 2e-2, "wfm_fused": 2e-2, "wfm_wide": 2e-2, "stereo": 6e-3,
+       "stereo_wide": 6e-3,
        "channelizer": 1e-2, "channelizer_fused": 1e-2,
        "am": 1e-3, "ssb": 1e-3, "morse": 1e-3,
        # morse_rf/wfm_tx: FmMod's carried phase accumulates cross-backend
