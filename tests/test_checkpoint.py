@@ -51,6 +51,37 @@ def test_resume_continues_stream(tmp_path):
     np.testing.assert_array_equal(np.asarray(ys_all[3:]), np.asarray(ys_b))
 
 
+def test_phase_mode_resampler_checkpoint_resume(tmp_path):
+    """Phase-mode (arbitrary-chunk) resampler state — an int32 grid-phase
+    leaf plus the Kw-1 history slab — must round-trip bit-exactly and
+    resume MID-SCHEDULE: the restored run's padded chunks and valid
+    prefixes continue exactly where the checkpoint left off."""
+    from radiorust_tpu.blocks.resampling import Downsampler
+    sig = StreamSig(1, 100, 1024.0)            # 100 % 8 != 0 -> phase mode
+    bound = Downsampler(384.0, 200.0).bind(sig)
+    assert bound.phase_mode
+    rng = np.random.default_rng(3)
+    xs = (rng.standard_normal((6, 1, 100))
+          + 1j * rng.standard_normal((6, 1, 100))).astype(np.complex64)
+
+    state = bound.init_state()
+    state, ys_all = scan(bound, bound.params, state, jnp.asarray(xs))
+
+    state2 = bound.init_state()
+    state2, ys_a = scan(bound, bound.params, state2, jnp.asarray(xs[:3]))
+    path = tmp_path / "phase.npz"
+    save_state(str(path), state2)
+    restored = load_state(str(path))
+    assert restored["phase"].dtype == np.int32
+    # Mid-schedule phase: 3 chunks of 100 = 300 inputs, 300 mod 8 = 4.
+    assert int(np.asarray(restored["phase"])[0]) == 300 % 8
+    _, ys_b = scan(bound, bound.params, restored, jnp.asarray(xs[3:]))
+    np.testing.assert_array_equal(np.asarray(ys_all[:3]), np.asarray(ys_a))
+    np.testing.assert_array_equal(np.asarray(ys_all[3:]), np.asarray(ys_b))
+    # The host-side schedule mirror restores mid-schedule too.
+    assert bound.schedule_phase(restored) == 300 % 8
+
+
 def test_empty_containers_roundtrip(tmp_path):
     """Empty containers must survive serialization (a stateless block's ()
     state mid-chain must not shift later blocks' states left)."""

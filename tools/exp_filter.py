@@ -433,6 +433,13 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
         # through; silently ignoring it would mislabel an A/B run.
         raise SystemExit(f"s1rows is only supported with the filter1 "
                          f"variant, not {name!r}")
+    if name.startswith("geommid"):
+        # geommidCHUNK: like geomCHUNK but with the merged
+        # filter+demod+filter kernel (fuse_mid) — re-tests the r2 "3%
+        # slower" verdict at the decoupled geometry.
+        return _with_modes(build_chain(True, mid=True,
+                                       n_in=int(name[7:]), ir_len=6144),
+                           prec, cmm, chain_tile, block, factors)
     if name.startswith("geom"):
         # geomCHUNK: full fused chain at input chunk CHUNK, IRs at 6144.
         return _with_modes(build_chain(True, n_in=int(name[4:]),
