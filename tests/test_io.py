@@ -286,6 +286,15 @@ def test_wfm_receiver_example_runs():
     assert "dominant tone 1000 Hz" in out.stdout
 
 
+def test_audio_44k_receiver_example_runs():
+    # Arbitrary-ratio (phase-mode) resampler user flow: 1.024 Msps ->
+    # 44.1 kHz audio through the runtime's schedule trimming.
+    out = _run_example("audio_44k_receiver.py", timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "44100 Hz" in out.stdout
+    assert "dominant tone 1000 Hz" in out.stdout
+
+
 def test_fleet_receiver_example_runs():
     out = _run_example("fleet_receiver.py", timeout=600)
     assert out.returncode == 0, out.stderr

@@ -441,9 +441,13 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
                                        n_in=int(name[7:]), ir_len=6144),
                            prec, cmm, chain_tile, block, factors)
     if name.startswith("geom"):
-        # geomCHUNK: full fused chain at input chunk CHUNK, IRs at 6144.
+        # geomCHUNK[:dropK]: full fused chain at input chunk CHUNK, IRs
+        # at 6144; dropK removes spec K (subtractive stage marginals at
+        # the decoupled geometry — fused chain specs: 0 MixerDecimator,
+        # 1 Filter, 2 FmDemodFilter, 3 Downsampler, 4 Gain).
+        drop = tuple(int(o[4:]) for o in opts if o.startswith("drop"))
         return _with_modes(build_chain(True, n_in=int(name[4:]),
-                                       ir_len=6144),
+                                       ir_len=6144, drop=drop),
                            prec, cmm, chain_tile, block, factors)
     if name.startswith("filter1g"):
         # filter1gX: standalone decoupled kernel, X new samples/step.
