@@ -14,7 +14,7 @@ runtime actor trims them into the gapless stream a sound card needs —
 see ``blocks/resampling.py``).  Chain:
 
     IQ 1.024 Msps -> shift -> decimate 384k -> LPF -> FM demod
-      -> deemphasis -> Downsampler(44100)   [phase mode, p=2560/q=294]
+      -> deemphasis -> Downsampler(44100)   [phase mode, p=1280/q=147]
 
 Run: JAX_PLATFORMS=cpu python examples/audio_44k_receiver.py
 """
@@ -39,7 +39,8 @@ from radiorust_tpu.models.wfm import (WFM_INPUT_RATE, _deemphasis_band,
 from radiorust_tpu.blocks.filters import Filter
 from radiorust_tpu.blocks.modulation import FmDemod
 from radiorust_tpu.blocks.transform import FreqShifter
-from radiorust_tpu.runtime import ArraySink, ArraySource, RuntimeBlock
+from radiorust_tpu.runtime import (ArraySink, ArraySource, RuntimeBlock,
+                                   wait_until)
 
 AUDIO_RATE = 44100.0
 CHUNK = 16384
@@ -61,7 +62,7 @@ async def main():
         Filter.new(_lowpass_100k),
         FmDemod(150000.0),
         Filter.new_rectangular(_deemphasis_band),
-        Downsampler(AUDIO_RATE, 2.0 * 18000.0),   # 384000/44100 = 2560/294
+        Downsampler(AUDIO_RATE, 2.0 * 18000.0),   # 384000/44100 = 1280/147
     )
     src = ArraySource(iq, chunk_len=CHUNK, sample_rate=WFM_INPUT_RATE)
     rx = RuntimeBlock(chain)
@@ -69,10 +70,9 @@ async def main():
     rx.feed_from(src)
     sink.feed_from(rx)
     want = int(len(iq) * AUDIO_RATE / WFM_INPUT_RATE * 0.9)
-    for _ in range(1200):
-        await asyncio.sleep(0.05)
-        if len(sink.samples) >= want:
-            break
+    # Fail fast if any actor dies (and count without re-concatenating).
+    await wait_until(lambda: sum(len(c) for c in sink.chunks) >= want,
+                     src, rx, sink, timeout=300.0)
     audio = np.real(sink.samples)
     n = len(audio) // 2
     tail = audio[n:]

@@ -348,7 +348,8 @@ class _BoundFilterBank(BoundBlock):
         from ..ops.pallas_filter import bank_supported, use_fused_filter
         return (use_fused_filter(self.in_sig.chunk_len, self.ir_len)
                 and bank_supported(self.in_sig.chunk_len,
-                                   self.num_outputs, m=self.ir_len))
+                                   self.num_outputs, m=self.ir_len,
+                                   batch=self.in_sig.batch))
 
     def update_params(self, freq_resps, window: Optional[Window] = None):
         """Redesign every band's response host-side (Filter::update

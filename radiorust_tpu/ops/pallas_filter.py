@@ -121,31 +121,53 @@ def bank_tile(n: int, K: int, tile: int = None) -> int:
     """Largest SUBLANE-LEGAL stream tile whose K-band live set fits the
     VMEM budget; 0 when none does.  Mosaic requires the stream block's
     leading dim to be a multiple of 8 (or equal to the full batch — the
-    small-batch case handled at the call site), so the halving floors at
-    8: an n=9216, K=3 bank fits at tile 8; banks too large even there
-    fall back to the XLA shared-forward formulation (a tile-4 block was
-    measured UNLOWERABLE, r5 config sweep)."""
-    t = tile if tile is not None else config.pallas_tile()
-    t = max(8, (t // 8) * 8)
-    while t > 8 and _bank_live_bytes(t, K, n) > _BANK_VMEM_BUDGET:
-        t //= 2
+    small-batch case handled by :func:`_resolve_bank_tile`), so the
+    search walks multiples of 8 down to 8: an n=9216, K=3 bank fits at
+    tile 8; banks too large even there fall back to the XLA
+    shared-forward formulation (a tile-4 block was measured
+    UNLOWERABLE, r5 config sweep)."""
+    t0 = tile if tile is not None else config.pallas_tile()
+    for t in range(max(8, (t0 // 8) * 8), 7, -8):
+        if _bank_live_bytes(t, K, n) <= _BANK_VMEM_BUDGET:
+            return t
+    return 0
+
+
+def _resolve_bank_tile(n: int, K: int, tile, b: int) -> int:
+    """The tile the bank kernel will actually run at for batch ``b``
+    (0 = does not fit): the budgeted sublane-legal tile, clamped to the
+    batch; a non-dividing batch forces the array-dim-equal full-batch
+    block, which must ALSO fit the budget (a remainder tile would be
+    unlowerable)."""
+    t = bank_tile(n, K, tile)
+    if t < 1:
+        return 0
+    t = min(t, b)
+    if b % t:
+        t = b
     return t if _bank_live_bytes(t, K, n) <= _BANK_VMEM_BUDGET else 0
 
 
 def bank_supported(n: int, K: int, tile: int = None,
-                   m: int = None) -> bool:
+                   m: int = None, batch: int = None) -> bool:
     """Whether a K-band bank fits the fused kernel: transform-size
     support plus a VMEM budget on the K-scaling live set per grid step —
-    the 2 x [tile, K, n] output blocks PLUS the concatenated
-    response-multiplied grids (2 x [n1, K*tile, n2] = 4*tile*K*n words,
-    the dominant term) that feed the width-K*tile inverse.  ~8 MB is
-    left for inputs, constants, the forward grid, and inverse
-    transients; the tile halves until the set fits (:func:`bank_tile`).
-    Banks too large at ANY tile fall back to the XLA shared-forward
-    formulation instead of failing Mosaic compilation — the same
-    failure class decimate_supported's weight-slab budget guards (a
-    real 25 MB OOM, VALIDATE_r04 notes)."""
-    return supported(n, m) and bank_tile(n, K, tile) >= 1
+    the 2 x [tile, K, n] output blocks plus the stacked
+    response-multiplied grids (4*tile*K*n words, the dominant term)
+    that feed the width-K*tile inverse.  ~8 MB is left for inputs,
+    constants, the forward grid, and inverse transients; the tile steps
+    down in sublane-legal multiples of 8 until the set fits
+    (:func:`bank_tile`).  ``batch`` (when known) accounts the
+    full-batch block a non-dividing batch forces.  Banks too large at
+    any legal tile fall back to the XLA shared-forward formulation
+    instead of failing Mosaic compilation — the same failure class
+    decimate_supported's weight-slab budget guards (a real 25 MB OOM,
+    VALIDATE_r04 notes)."""
+    if not supported(n, m):
+        return False
+    if batch is None:
+        return bank_tile(n, K, tile) >= 1
+    return _resolve_bank_tile(n, K, tile, batch) >= 1
 
 
 def use_fused_filter(chunk_len: int, ir_len: int = None) -> bool:
@@ -622,20 +644,15 @@ def fused_filter_bank(prevr, previ, curr, curi, resp_gr, resp_gi,
     b, n = curr.shape
     m = prevr.shape[1]
     K = resp_gr.shape[0]
-    tile = bank_tile(n, K, tile)   # VMEM-budgeted (halves as K*n grows)
+    tile = _resolve_bank_tile(n, K, tile, b)
     if tile < 1:
-        # Callers are expected to pre-gate with bank_supported; building
-        # the kernel anyway would hit the Mosaic VMEM OOM the budget
-        # exists to prevent.
+        # Callers are expected to pre-gate with bank_supported(batch=b);
+        # building the kernel anyway would hit the Mosaic VMEM OOM the
+        # budget exists to prevent.
         raise ValueError(
-            f"filter bank K={K}, n={n} exceeds the VMEM budget at any "
-            "tile; use the XLA shared-forward formulation "
-            "(bank_supported gates this)")
-    tile = min(tile, b)
-    if b % tile:
-        # Array-dim-equal blocks are always lowerable; a tile-1 remainder
-        # block would not be (Mosaic sublane rule).
-        tile = b
+            f"filter bank K={K}, n={n}, batch={b} exceeds the VMEM "
+            "budget at any lowerable tile; use the XLA shared-forward "
+            "formulation (bank_supported gates this)")
     plan = _filter_plan(m, n, precision)
     const_arrays = plan.const_arrays()
     kernel = _make_bank_kernel(plan, tile, K)

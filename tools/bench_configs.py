@@ -131,9 +131,14 @@ def build(name):
 def main():
     names = sys.argv[1:] or ["morse", "audiopipe", "bw_meter"]
     built = []
+    tainted = False
     for name in names:
         # One failing config must not kill the batch — compiles through
         # the relay are expensive (same policy as tools/exp_filter.py).
+        # But a BACKEND failure can poison every later op in this
+        # process (CLAUDE.md relay rules 2/8), so results measured after
+        # any failure carry an after_failure marker: rerun them in a
+        # fresh process before trusting the numbers.
         try:
             bench, pp, ps, n = build(name)
             t0 = time.perf_counter()
@@ -143,6 +148,7 @@ def main():
         except Exception as e:
             print(f"# FAILED {name}: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
+            tainted = True
             continue
         print(f"# warm {name}: {time.perf_counter() - t0:.1f}s", flush=True)
         built.append((name, bench, pp, ps, n))
@@ -155,12 +161,15 @@ def main():
             best = min(best, time.perf_counter() - t0)
             assert np.isfinite(v) and v > 0.0, f"{name}: bad checksum {v}"
         msps = BATCH * n * T * REPS / best / 1e6
-        print(json.dumps({
+        rec = {
             "metric": f"{name}_input_throughput",
             "value": round(msps, 2),
             "unit": "Msamples/s/chip",
             "us_per_step": round(best / (T * REPS) * 1e6, 1),
-        }), flush=True)
+        }
+        if tainted:
+            rec["after_failure"] = True  # possibly poisoned process
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

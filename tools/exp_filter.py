@@ -433,6 +433,13 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
         # through; silently ignoring it would mislabel an A/B run.
         raise SystemExit(f"s1rows is only supported with the filter1 "
                          f"variant, not {name!r}")
+    if (any(o.startswith("drop") for o in opts)
+            and not (name.startswith("geom")
+                     and not name.startswith("geommid"))):
+        # Same mislabeling hazard: only the plain geom builder threads
+        # dropK through.
+        raise SystemExit(f"dropK is only supported with plain geomN "
+                         f"variants, not {name!r}")
     if name.startswith("geommid"):
         # geommidCHUNK: like geomCHUNK but with the merged
         # filter+demod+filter kernel (fuse_mid) — re-tests the r2 "3%
