@@ -158,10 +158,11 @@ def build_feedback(width):
     return fn, BATCH * width
 
 
-def build_frontend(which="fused"):
+def build_frontend(which="fused", n_in=None):
     from radiorust_tpu.blocks.frontend import MixerDecimator
     from radiorust_tpu.blocks.resampling import Downsampler
     from radiorust_tpu.blocks.transform import FreqShifter
+    N_IN = n_in or globals()["N_IN"]
     sig = StreamSig(BATCH, N_IN, WFM_INPUT_RATE)
     spec = {"fused": lambda: MixerDecimator(-57000.0, MID_RATE, 200000.0),
             "mixer": lambda: FreqShifter.with_shift(-57000.0),
@@ -486,6 +487,10 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
         return build_chain(False)
     if name == "frontend":
         return build_frontend()
+    if name.startswith("frontendg"):
+        # frontendgCHUNK: the fused mixer+decimator alone at input chunk
+        # CHUNK (the decoupled chain's front end).
+        return build_frontend(n_in=int(name[9:]))
     if name == "mixer":
         return build_frontend("mixer")
     if name == "decim":
