@@ -491,6 +491,12 @@ def _parse_named(name, opts, tile, chain_tile, prec, cmm, block, factors):
         # frontendgCHUNK: the fused mixer+decimator alone at input chunk
         # CHUNK (the decoupled chain's front end).
         return build_frontend(n_in=int(name[9:]))
+    if name.startswith("decimg"):
+        # decimgCHUNK: the decimator alone (no mixer) at input chunk
+        # CHUNK — the frontend-minus-mix baseline.
+        return build_frontend("decim", n_in=int(name[6:]))
+    if name.startswith("mixerg"):
+        return build_frontend("mixer", n_in=int(name[6:]))
     if name == "mixer":
         return build_frontend("mixer")
     if name == "decim":
