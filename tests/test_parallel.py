@@ -450,6 +450,37 @@ def test_time_sharded_graph_wfm_spectrum(devices):
         np.asarray(want["spectrum"]), atol=2e-2)
 
 
+def test_jit_step_sharded_phase_mode_resampler():
+    """Data-parallel (stream-axis) sharding of a phase-mode resampler:
+    the [b] int32 phase leaf shards with the batch (each shard carries
+    its rows' replicated phase) and outputs equal the single-device
+    program — the one sharding composition the mesh-serving guard does
+    not reject."""
+    import jax
+    from jax.sharding import Mesh
+
+    from radiorust_tpu.blocks.base import (Chain, StreamSig, jit_step,
+                                           jit_step_sharded, pack_wire)
+    from radiorust_tpu.blocks.resampling import Downsampler
+    from radiorust_tpu.blocks.transform import GainControl
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("streams",))
+    chain = Chain(GainControl(0.5), Downsampler(384.0, 200.0))
+    sig = StreamSig(8, 100, 1024.0)          # 100 % 8 != 0 -> phase mode
+    bound = chain.bind(sig)
+    assert bound.ragged_output
+    rng = np.random.default_rng(17)
+    x = (rng.standard_normal((8, 100))
+         + 1j * rng.standard_normal((8, 100))).astype(np.complex64)
+    reset = np.zeros((8,), bool)
+    pp, ps, px = (pack_wire(bound.params), pack_wire(bound.init_state()),
+                  pack_wire(x))
+    s1, y1 = jit_step(bound)(pp, ps, px, reset)
+    s2, y2 = jit_step_sharded(bound, mesh, "streams")(pp, ps, px, reset)
+    for a, b in zip(jax.tree.leaves((s1, y1)), jax.tree.leaves((s2, y2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_jit_step_sharded_matches_single_device():
     """Data-parallel serving step (blocks.base.jit_step_sharded): the
     stream-batch axis shards over the mesh, params replicate; outputs are
