@@ -37,6 +37,7 @@ class _BoundMixerDecimator(BoundBlock):
     def __init__(self, sig: StreamSig, shift: float, precision_hz: float,
                  output_rate: float, bandwidth: float, quality: float):
         self.in_sig = sig
+        self.current_shift = float(shift)   # readable (transform.rs:380)
         n = sig.chunk_len
         self.denom = round_half_away((sig.sample_rate / precision_hz))
         numer = round_half_away((self.denom * shift / sig.sample_rate))
@@ -101,6 +102,7 @@ class _BoundMixerDecimator(BoundBlock):
 
     # Same retune API (and shared implementation) as _BoundFreqShifter.
     def shift_params(self, shift: float):
+        self.current_shift = float(shift)
         return {**self.params,
                 **_shift_param_update(self.in_sig.chunk_len, self.denom,
                                       self.in_sig.sample_rate, shift)}

@@ -450,6 +450,10 @@ class _BoundFreqShifter(BoundBlock):
     def __init__(self, sig: StreamSig, precision: float, shift: float):
         self.in_sig = self.out_sig = sig
         self.precision = float(precision)
+        # Readable current value (``FreqShifter::shift``,
+        # src/blocks/transform.rs:380-382); shift_params is the single
+        # mutation path and keeps it in sync.
+        self.current_shift = float(shift)
         # Rational quantization exactly as the reference
         # (src/blocks/transform.rs:298-302).
         self.denom = round_half_away((sig.sample_rate / precision))
@@ -498,6 +502,7 @@ class _BoundFreqShifter(BoundBlock):
 
     def shift_params(self, shift: float):
         """Recompute traced params for a new shift (no recompilation)."""
+        self.current_shift = float(shift)
         return _shift_param_update(self.in_sig.chunk_len, self.denom,
                                    self.in_sig.sample_rate, shift)
 

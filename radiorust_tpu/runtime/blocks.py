@@ -375,6 +375,54 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                           if isinstance(blk, _BoundGain) else None,
                           slot="set_gain")
 
+    def _blocks_and_params(self):
+        bound = self._bound
+        if bound is None:
+            return None, None
+        inner = getattr(bound, "bound", bound)   # sharded wrappers
+        blocks = getattr(inner, "blocks", None)
+        if blocks is None:
+            return (inner,), (inner.params,)
+        return blocks, inner.params
+
+    def gain(self) -> float:
+        """``GainControl::get`` analog (src/blocks/transform.rs:85-87):
+        the current gain of the (first) GainControl."""
+        from ..blocks.transform import _BoundGain
+        blocks, params = self._blocks_and_params()
+        if blocks is not None:
+            for blk, p in zip(blocks, params):
+                if isinstance(blk, _BoundGain):
+                    return float(np.asarray(p))
+        for spec in getattr(self.spec, "specs", [self.spec]):
+            if type(spec).__name__ == "GainControl":
+                return float(spec.gain)
+        raise ValueError("no GainControl to read")
+
+    def shift(self) -> float:
+        """``FreqShifter::shift`` analog (src/blocks/transform.rs:380-382):
+        the current shift of the (first) FreqShifter/MixerDecimator."""
+        from ..blocks.frontend import _BoundMixerDecimator
+        from ..blocks.transform import _BoundFreqShifter
+        blocks, _ = self._blocks_and_params()
+        if blocks is not None:
+            for blk in blocks:
+                if isinstance(blk, (_BoundFreqShifter,
+                                    _BoundMixerDecimator)):
+                    return blk.current_shift
+        for spec in getattr(self.spec, "specs", [self.spec]):
+            if hasattr(spec, "shift") and not callable(spec.shift):
+                return float(spec.shift)
+        raise ValueError("no FreqShifter/MixerDecimator to read")
+
+    def update_shift(self, modify) -> None:
+        """``FreqShifter::update_shift`` analog
+        (src/blocks/transform.rs:388-390): read-modify-write retune with
+        phase continuity.  Python closures take and return the value
+        instead of mutating a reference:
+        ``block.update_shift(lambda s: s + 100.0)``."""
+        self.set_shift(float(modify(self.shift())))
+
     def set_agc(self, reference: float = None, rate: float = None,
                 max_gain: float = None) -> None:
         """Retune AgcControl loop knobs (only the given ones) without

@@ -171,6 +171,38 @@ def test_runtime_phase_mode_resampler_trims_to_schedule():
     run(main())
 
 
+def test_runtime_shift_getter_and_update_shift():
+    """FreqShifter::shift / update_shift analogs (transform.rs:380-390):
+    the actor reads the current shift and applies a read-modify-write
+    retune with phase continuity."""
+    from radiorust_tpu.blocks.base import Chain
+
+    async def main():
+        sender, connector = new_sender()
+        rx = RuntimeBlock(Chain(FreqShifter.with_shift(100.0),
+                                GainControl(0.25)))
+        sink = ArraySink()
+        rx.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(rx)
+        assert rx.shift() == 100.0          # pre-binding: from the spec
+        assert rx.gain() == 0.25
+        await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
+        await until(lambda: len(sink.chunks) >= 1)
+        assert rx.shift() == 100.0          # bound: from the live block
+        rx.update_shift(lambda s: s + 150.0)
+        assert rx.shift() == 250.0
+        rx.set_gain(0.5)
+        assert rx.gain() == 0.5
+        await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
+        await until(lambda: len(sink.chunks) >= 2)
+        # The retune took effect: per-sample phase step is the new shift.
+        step = np.angle(sink.chunks[1][2] * np.conj(sink.chunks[1][1]))
+        np.testing.assert_allclose(step, 2 * np.pi * 250.0 / 1000.0,
+                                   atol=1e-5)
+
+    run(main())
+
+
 def test_runtime_rebind_on_rate_change():
     async def main():
         sender, connector = new_sender()
