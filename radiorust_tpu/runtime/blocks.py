@@ -523,6 +523,32 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
 
         self._apply_typed(fn, slot="set_map_params")
 
+    def deviation(self) -> float:
+        """``FmMod/FmDemod::deviation`` analog
+        (src/blocks/modulation.rs:72-74,150-152): recovered from the
+        (first) modulator/demodulator's traced factor param."""
+        from ..numbers import TAU as _TAU
+        from ..blocks.frontend import (_BoundFilterDemodFilter,
+                                       _BoundFmDemodFilter)
+        from ..blocks.modulation import _BoundFmDemod, _BoundFmMod
+        blocks, params = self._blocks_and_params()
+        if blocks is not None:
+            for blk, p in zip(blocks, params):
+                if isinstance(blk, _BoundFmMod):
+                    return float(np.asarray(p)) * blk.in_sig.sample_rate \
+                        / _TAU
+                if isinstance(blk, _BoundFmDemod):
+                    return blk.in_sig.sample_rate / float(np.asarray(p)) \
+                        / _TAU
+                if isinstance(blk, (_BoundFmDemodFilter,
+                                    _BoundFilterDemodFilter)):
+                    return blk.in_sig.sample_rate \
+                        / float(np.asarray(p["factor"])) / _TAU
+        for spec in getattr(self.spec, "specs", [self.spec]):
+            if hasattr(spec, "deviation"):
+                return float(spec.deviation)
+        raise ValueError("no FmMod/FmDemod to read")
+
     def set_deviation(self, deviation: float) -> None:
         """``FmMod/FmDemod::set_deviation`` analog
         (src/blocks/modulation.rs:76-79,154-157)."""

@@ -193,6 +193,11 @@ def test_runtime_shift_getter_and_update_shift():
         assert rx.shift() == 250.0
         rx.set_gain(0.5)
         assert rx.gain() == 0.5
+        # Deviation getter on a demod actor (modulation.rs:150-152).
+        from radiorust_tpu.blocks.modulation import FmDemod
+        demod = RuntimeBlock(FmDemod(1500.0))
+        assert abs(demod.deviation() - 1500.0) < 1e-6   # from the spec
+        demod.set_deviation(2000.0)
         await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
         await until(lambda: len(sink.chunks) >= 2)
         # The retune took effect: per-sample phase step is the new shift.
