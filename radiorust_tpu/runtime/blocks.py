@@ -231,6 +231,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         # channel per parameter): a rebind re-applies ALL live retunes,
         # not just the most recent one.
         self._param_overrides: Dict[str, Callable] = {}
+        # Last value per typed setter, so the getters reflect a
+        # pre-binding retune (the override only APPLIES at first bind).
+        self._typed_values: Dict[str, float] = {}
         self.chunks_processed = 0
 
 
@@ -241,16 +244,20 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         if bound is None:
             from ..blocks.base import jit_step, jit_step_sharded
             bound = self.spec.bind(StreamSig(batch, chunk_len, sample_rate))
-            if (self.mesh is not None
+            if (self.mesh is not None and self.shard in ("channels", "time")
                     and getattr(bound, "ragged_output", False)):
-                # The mesh-serving wrappers (TimeShardedChain et al.)
-                # would emit un-trimmed padded chunks — the schedule
-                # mirror only wraps the single-device step.  Surface at
-                # bind time, not as silent padding downstream.
+                # The channel/time mesh wrappers would emit un-trimmed
+                # padded chunks — their group steps bypass the schedule
+                # mirror.  Surface at bind time, not as silent padding
+                # downstream.  (Data-parallel shard="streams" is FINE:
+                # the batch axis shards, per-chunk schedule trimming is
+                # batch-agnostic — tests/test_parallel.py proves the
+                # sharded step bit-equal.)
                 raise ValueError(
                     "phase-mode (arbitrary-ratio) resampler tails are not "
-                    "supported under mesh serving; serve single-device or "
-                    "re-chunk to a multiple of the resampling period")
+                    "supported under channel/time mesh serving; serve "
+                    "single-device or data-parallel, or re-chunk to a "
+                    "multiple of the resampling period")
             # Wire-safe step: complex leaves cross the jit boundary as
             # packed float32 planes (required on the TPU relay backend).
             if self.mesh is not None and self.shard == "channels":
@@ -371,15 +378,26 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         """``GainControl::set`` analog (src/blocks/transform.rs:89-91)."""
         import numpy as _np
         from ..blocks.transform import _BoundGain
+        self._typed_values["set_gain"] = float(gain)
         self._apply_typed(lambda blk, p: _np.float32(gain)
                           if isinstance(blk, _BoundGain) else None,
                           slot="set_gain")
 
     def _blocks_and_params(self):
+        from ..blocks.graph import BoundGraph
         bound = self._bound
         if bound is None:
             return None, None
         inner = getattr(bound, "bound", bound)   # sharded wrappers
+        if isinstance(inner, (list, tuple)):
+            # BoundGraph.bound is the NODE LIST, not a wrapper's inner
+            # binding — the graph itself is the binding.
+            inner = bound
+        if isinstance(inner, BoundGraph):
+            pairs = [(b, p) for b, p in zip(inner.bound, inner.params)
+                     if b is not None]
+            return (tuple(b for b, _ in pairs),
+                    tuple(p for _, p in pairs))
         blocks = getattr(inner, "blocks", None)
         if blocks is None:
             return (inner,), (inner.params,)
@@ -394,10 +412,29 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
             for blk, p in zip(blocks, params):
                 if isinstance(blk, _BoundGain):
                     return float(np.asarray(p))
-        for spec in getattr(self.spec, "specs", [self.spec]):
-            if type(spec).__name__ == "GainControl":
+        if "set_gain" in self._typed_values:
+            # Pre-binding: a setter already registered a retune that the
+            # first binding will apply.
+            return self._typed_values["set_gain"]
+        from ..blocks.transform import GainControl
+        for spec in self._iter_specs():
+            if isinstance(spec, GainControl):
                 return float(spec.gain)
         raise ValueError("no GainControl to read")
+
+    def _iter_specs(self):
+        specs = getattr(self.spec, "specs", None)
+        if specs is not None:
+            return specs
+        g = self.spec
+        nodes = getattr(g, "_nodes", None)
+        if nodes is not None:                       # Graph spec
+            out = []
+            for kind, payload in nodes:
+                if kind not in ("input", "select") and payload:
+                    out.append(payload[0])
+            return out
+        return [g]
 
     def shift(self) -> float:
         """``FreqShifter::shift`` analog (src/blocks/transform.rs:380-382):
@@ -410,7 +447,9 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                 if isinstance(blk, (_BoundFreqShifter,
                                     _BoundMixerDecimator)):
                     return blk.current_shift
-        for spec in getattr(self.spec, "specs", [self.spec]):
+        if "set_shift" in self._typed_values:
+            return self._typed_values["set_shift"]
+        for spec in self._iter_specs():
             if hasattr(spec, "shift") and not callable(spec.shift):
                 return float(spec.shift)
         raise ValueError("no FreqShifter/MixerDecimator to read")
@@ -464,6 +503,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
         """``FreqShifter::set_shift`` analog with phase continuity
         (src/blocks/transform.rs:384-386): rewrites both the phasor tables
         and the carried phase state of the current binding."""
+        self._typed_values["set_shift"] = float(shift)
         from ..blocks.frontend import _BoundMixerDecimator
         from ..blocks.transform import _BoundFreqShifter
         shifters = (_BoundFreqShifter, _BoundMixerDecimator)
@@ -544,7 +584,14 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
                                     _BoundFilterDemodFilter)):
                     return blk.in_sig.sample_rate \
                         / float(np.asarray(p["factor"])) / _TAU
-        for spec in getattr(self.spec, "specs", [self.spec]):
+                from ..blocks.channelize import _BoundChannelizerDemod
+                if isinstance(blk, _BoundChannelizerDemod):
+                    # Per-channel demod runs at the channel rate.
+                    return blk.out_sig.sample_rate \
+                        / float(np.asarray(p["factor"])) / _TAU
+        if "set_deviation" in self._typed_values:
+            return self._typed_values["set_deviation"]
+        for spec in self._iter_specs():
             if hasattr(spec, "deviation"):
                 return float(spec.deviation)
         raise ValueError("no FmMod/FmDemod to read")
@@ -552,6 +599,7 @@ class RuntimeBlock(_ProducerMixin, _ConsumerMixin, EventHandling):
     def set_deviation(self, deviation: float) -> None:
         """``FmMod/FmDemod::set_deviation`` analog
         (src/blocks/modulation.rs:76-79,154-157)."""
+        self._typed_values["set_deviation"] = float(deviation)
         import numpy as _np
         from ..numbers import TAU as _TAU
         from ..blocks.channelize import _BoundChannelizerDemod

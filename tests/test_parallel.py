@@ -454,8 +454,8 @@ def test_jit_step_sharded_phase_mode_resampler():
     """Data-parallel (stream-axis) sharding of a phase-mode resampler:
     the [b] int32 phase leaf shards with the batch (each shard carries
     its rows' replicated phase) and outputs equal the single-device
-    program — the one sharding composition the mesh-serving guard does
-    not reject."""
+    program — which is why the actor's mesh guard allows shard='streams'
+    and rejects only the channel/time group wrappers."""
     import jax
     from jax.sharding import Mesh
 

@@ -193,11 +193,41 @@ def test_runtime_shift_getter_and_update_shift():
         assert rx.shift() == 250.0
         rx.set_gain(0.5)
         assert rx.gain() == 0.5
-        # Deviation getter on a demod actor (modulation.rs:150-152).
+        # Deviation getter on a demod actor (modulation.rs:150-152);
+        # pre-binding the getter reflects a pending setter (the override
+        # only APPLIES at first bind).
         from radiorust_tpu.blocks.modulation import FmDemod
         demod = RuntimeBlock(FmDemod(1500.0))
         assert abs(demod.deviation() - 1500.0) < 1e-6   # from the spec
         demod.set_deviation(2000.0)
+        assert abs(demod.deviation() - 2000.0) < 1e-6
+
+
+def test_runtime_graph_getters():
+    """The getters dispatch over a bound GRAPH's node list too (the
+    sharded-wrapper unwrap must not mistake BoundGraph.bound — the node
+    list — for an inner binding)."""
+    from radiorust_tpu.blocks.graph import Graph
+    from radiorust_tpu.runtime import RuntimeGraph
+
+    async def main():
+        g = Graph()
+        i = g.input("iq")
+        g.output("out", g.chain([FreqShifter.with_shift(123.0),
+                                 GainControl(0.5)], i))
+        rg = RuntimeGraph(g)
+        src = ArraySource(np.ones(256, np.complex64), chunk_len=64,
+                          sample_rate=1000.0)
+        sink = ArraySink()
+        rg.feed_from(src)
+        sink.feed_from(rg.out("out"))
+        assert rg.shift() == 123.0 and rg.gain() == 0.5  # spec fallback
+        await until(lambda: rg._bound is not None)
+        assert rg.shift() == 123.0 and rg.gain() == 0.5  # live nodes
+        rg.update_shift(lambda s: s - 23.0)
+        assert rg.shift() == 100.0
+
+    run(main())
         await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
         await until(lambda: len(sink.chunks) >= 2)
         # The retune took effect: per-sample phase step is the new shift.
