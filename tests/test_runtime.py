@@ -201,6 +201,14 @@ def test_runtime_shift_getter_and_update_shift():
         assert abs(demod.deviation() - 1500.0) < 1e-6   # from the spec
         demod.set_deviation(2000.0)
         assert abs(demod.deviation() - 2000.0) < 1e-6
+        await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
+        await until(lambda: len(sink.chunks) >= 2)
+        # The retune took effect: per-sample phase step is the new shift.
+        step = np.angle(sink.chunks[1][2] * np.conj(sink.chunks[1][1]))
+        np.testing.assert_allclose(step, 2 * np.pi * 250.0 / 1000.0,
+                                   atol=1e-5)
+
+    run(main())
 
 
 def test_runtime_graph_getters():
@@ -226,14 +234,6 @@ def test_runtime_graph_getters():
         assert rg.shift() == 123.0 and rg.gain() == 0.5  # live nodes
         rg.update_shift(lambda s: s - 23.0)
         assert rg.shift() == 100.0
-
-    run(main())
-        await sender.send(Samples(1000.0, np.ones(64, np.complex64)))
-        await until(lambda: len(sink.chunks) >= 2)
-        # The retune took effect: per-sample phase step is the new shift.
-        step = np.angle(sink.chunks[1][2] * np.conj(sink.chunks[1][1]))
-        np.testing.assert_allclose(step, 2 * np.pi * 250.0 / 1000.0,
-                                   atol=1e-5)
 
     run(main())
 
