@@ -262,7 +262,10 @@ def rational_fir_phase(x: jax.Array, hist: jax.Array, phase: jax.Array,
         nb = 2 * b
     width = E * p + (Kw - p)
     o = (p - 1) - ph
-    sl = jax.lax.dynamic_slice(planes.astype(rdt), (0, 0, o),
+    # All slice indices must share o's dtype (literal 0s default to
+    # int64 under jax_enable_x64 — the c128 stream mode).
+    z = jnp.zeros((), o.dtype)
+    sl = jax.lax.dynamic_slice(planes.astype(rdt), (z, z, o),
                                (nb, 1, width))
     out = jax.lax.conv_general_dilated(
         sl, kernel[:, None, :].astype(rdt),

@@ -139,7 +139,65 @@ for t in range(2):
     assert err_f < 1e-12, (t, err_f)
     prev = x[t]
 
-print("F64OK", err_sq, err_agc, err_slew, err_fm)
+# --- 4. r5 features under c128 --------------------------------------------
+# Decoupled overlap-save geometry (ir_len < chunk): must equal direct f64
+# overlap-save with the m-tap response at every step.
+m = 512
+from radiorust_tpu.blocks.filters import design_impulse_response, \
+    extend_response
+ir = design_impulse_response(lp, Kaiser.with_null_at_bin(2.0), m, rate)
+resp_d = extend_response(ir, pad=n)
+fd = Filter.new(lp, ir_len=m).bind(sig)
+state = fd.init_state()
+prev = np.zeros((batch, m), np.complex128)
+for t in range(2):
+    state, got = fd.process(fd.params, state, jnp.asarray(x[t]),
+                            jnp.zeros((batch,), bool))
+    want = np.fft.ifft(np.fft.fft(
+        np.concatenate([prev, x[t]], axis=-1)) * resp_d)[..., :n]
+    err_d = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+    assert err_d < 1e-12, (t, err_d)
+    prev = x[t][..., n - m:]
+
+# Phase-mode (arbitrary-chunk) resampler: f64 conv end to end; trimmed
+# stream must match the f64 ring-buffer oracle to f64-class error.
+sig_p = StreamSig(1, 100, 1024.0)
+dn = Downsampler(384.0, 200.0).bind(sig_p)
+assert dn.phase_mode
+xp = (rng.standard_normal((6, 1, 100))
+      + 1j * rng.standard_normal((6, 1, 100))).astype(np.complex128)
+stp = dn.init_state()
+outs = []
+for t in range(6):
+    stp, y = dn.process(dn.params, stp, jnp.asarray(xp[t]),
+                        jnp.zeros((1,), bool))
+    assert y.dtype == jnp.complex128, y.dtype
+    outs.append(np.asarray(y)[0])
+vc = dn.valid_counts(0, 6)
+got_p = np.concatenate([o[:v] for o, v in zip(outs, vc)])
+# f64 ring-buffer oracle (tests/oracles.py oracle_downsample run in
+# complex128 — the reference's per-sample loop, resampling.rs:61-133).
+from radiorust_tpu.ops.polyphase import design_ir
+irp = design_ir(1024.0, 384.0, (384.0 - 200.0) / 2.0, 3.0)
+flat = xp[:, 0, :].reshape(-1)
+L = len(irp)
+ring = np.zeros(L, np.complex128)
+rpos, pos, out_ref = 0, 0.0, []
+for s in flat:
+    ring[rpos] = s
+    rpos += 1
+    if rpos == L:
+        rpos = 0
+    pos += 384.0
+    if pos >= 1024.0:
+        pos -= 1024.0
+        order = np.concatenate([ring[rpos:], ring[:rpos]])
+        out_ref.append(np.sum(order * irp))
+out_ref = np.array(out_ref, np.complex128)
+err_p = np.abs(got_p - out_ref[:len(got_p)]).max()
+assert err_p < 1e-10, err_p
+
+print("F64OK", err_sq, err_agc, err_slew, err_fm, err_d, err_p)
 """
 
 
