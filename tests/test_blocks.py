@@ -395,6 +395,20 @@ def test_filter_ir_len_decoupled_matches_coupled():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_filter_ir_len_update_params():
+    # A live retune under the decoupled geometry redesigns at ir_len and
+    # keeps the chunk-padded wire layout (response length stays n + m).
+    rate, m, X = 48000.0, 256, 768
+    b = Filter.new(lowpass(8000.0), ir_len=m).bind(
+        sig(chunk_len=X, rate=rate))
+    new = b.update_params(lowpass(4000.0))
+    assert new["response"].shape == (X + m,)
+    fresh = Filter.new(lowpass(4000.0), ir_len=m).bind(
+        sig(chunk_len=X, rate=rate))
+    np.testing.assert_allclose(new["response"], fresh.params["response"],
+                               atol=1e-6)
+
+
 def test_filter_ir_len_reset_isolated():
     # A reset under the decoupled geometry clears exactly the m-sample
     # history: chunk k with reset equals a fresh filter's first chunk.
