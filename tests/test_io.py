@@ -1,6 +1,7 @@
 """Hardware-boundary blocks: SDR state machine, audio loopback."""
 
 import asyncio
+import re
 
 import numpy as np
 import pytest
@@ -292,7 +293,12 @@ def test_audio_44k_receiver_example_runs():
     out = _run_example("audio_44k_receiver.py", timeout=600)
     assert out.returncode == 0, out.stderr
     assert "44100 Hz" in out.stdout
-    assert "dominant tone 1000 Hz" in out.stdout
+    # The collected sample count depends on actor scheduling (wait_until
+    # stops at >=90% of the nominal output), so the FFT bin grid — and the
+    # rounded peak — shifts by a bin between runs.  Parse with tolerance.
+    m = re.search(r"dominant tone (\d+) Hz", out.stdout)
+    assert m, out.stdout
+    assert abs(int(m.group(1)) - 1000) <= 5, out.stdout
 
 
 def test_fleet_receiver_example_runs():
