@@ -15,3 +15,4 @@ from .flow import (Receiver, ReceiverConnector, Sender, SenderConnector,
 from .blocks import (Blackhole, Buffer, FileSink, ArraySink, ArraySource,
                      KeyerSource, MapSignal, Rechunker, RuntimeBlock,
                      RuntimeGraph, Silence, wait_until)
+from .recycle import serve_recycling

@@ -1,0 +1,191 @@
+"""Checkpoint-based worker recycling for long-lived serving.
+
+The extended soak (``SOAK_r05_extended.json``, ``tools/probe_relay_leak.py``)
+measured that the relay's PJRT client retains ~0.9x of every host->device
+upload for the *process lifetime*, so a single serving process stalls once
+retention reaches ~2.4 GB (~10k chunks).  The countermeasure is to bound
+each worker process's lifetime: serve N chunks, checkpoint the live stream
+state (:meth:`RuntimeBlock.save_checkpoint`), exit, and let a fresh process
+resume bit-exactly (``load_checkpoint`` re-emits neither a ``Warmup`` event
+nor a state reset — ``test_checkpoint.py::test_runtime_block_checkpoint_resume``).
+
+:func:`serve_recycling` composes those pieces into a generation
+supervisor: the parent feeds input chunks to worker subprocesses over
+queues and stitches their outputs into one gapless stream; a worker
+recycles itself after ``chunks_per_worker`` chunks.  The parent process
+never initializes a jax backend, and generations run strictly serially,
+so on the relay backend each generation owns the single chip alone
+(CLAUDE.md rule 10).
+
+The reference has no analog — its workers are long-lived OS threads
+(``src/blocks/mod.rs:27-34``); this subsystem exists because of the
+relay's measured retention and reuses the same checkpoint machinery as
+the elastic-recovery drill (``tools/fake_cluster.py``).
+"""
+
+import multiprocessing
+import queue
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["serve_recycling"]
+
+
+def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
+            jax_platform):
+    """One worker generation: serve chunks from ``in_q`` until the budget
+    sentinel or end-of-stream, emitting each output on ``out_q`` in lock
+    step (the capacity-1 channel discipline of the runtime itself).
+
+    Runs in a fresh ``spawn`` process.  Protocol on ``out_q``:
+    ``("chunk", array)`` per output, then exactly one of
+    ``("recycle", warmups)`` (budget reached, checkpoint written),
+    ``("done", warmups)`` (end of stream), or ``("error", repr)``.
+    """
+    # The sitecustomize pins jax to the relay backend programmatically, so
+    # a JAX_PLATFORMS env var is not enough (see tests/conftest.py); the
+    # override must happen via jax.config before any backend use.
+    if jax_platform is not None:
+        import jax
+        jax.config.update("jax_platforms", jax_platform)
+    import asyncio
+
+    from ..signal import Samples, Warmup
+    from .blocks import ArraySink, RuntimeBlock, wait_until
+    from .flow import new_sender
+
+    async def run():
+        sender, connector = new_sender()
+        blk = RuntimeBlock(spec_builder())
+        if resume:
+            blk.load_checkpoint(ckpt_path)
+        sink = ArraySink()
+        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        sink.feed_from(blk)
+        loop = asyncio.get_running_loop()
+        served = emitted = 0
+        while True:
+            item = await loop.run_in_executor(None, in_q.get)
+            if item is None:  # end of stream
+                out_q.put(("done", _finish(sink)))
+                return
+            await sender.send(Samples(sample_rate, item))
+            served += 1
+            # Lock-step: surface this chunk's output (and any actor
+            # failure) before accepting the next input, so the supervisor
+            # sees a gapless ordered stream and a crash points at the
+            # chunk that caused it.
+            await wait_until(lambda: len(sink.chunks) >= served, blk, sink)
+            while emitted < len(sink.chunks):
+                out_q.put(("chunk", sink.chunks[emitted]))
+                emitted += 1
+            if served >= budget:
+                # Between sends — the same contract as the typed setters.
+                blk.save_checkpoint(ckpt_path)
+                out_q.put(("recycle", _finish(sink)))
+                return
+
+    def _finish(sink):
+        return sum(isinstance(e, Warmup) for e in sink.events)
+
+    try:
+        budget = in_q.get()  # first message is this generation's budget
+        asyncio.run(run())
+    except Exception as exc:  # surface to the supervisor, don't hang it
+        out_q.put(("error", repr(exc)))
+        raise
+
+
+def serve_recycling(
+    spec_builder: Callable, chunks: Sequence[np.ndarray],
+    sample_rate: float, *, chunks_per_worker: int, ckpt_path: str,
+    jax_platform: Optional[str] = None, timeout: float = 300.0,
+) -> Tuple[List[np.ndarray], int, List[int]]:
+    """Serve ``chunks`` through ``spec_builder()`` across recycled worker
+    processes; returns ``(output_chunks, generations, warmups_per_gen)``.
+
+    ``spec_builder`` must be a picklable top-level callable returning the
+    block spec (each generation rebuilds and rebinds it — the checkpoint
+    carries only the stream state, exactly like cross-process resume).
+    From a script, call under ``if __name__ == "__main__":`` — workers
+    are ``spawn`` processes, which re-import the caller's main module.
+    The stitched ``output_chunks`` are bit-identical to an uninterrupted
+    single-process run (``tests/test_recycle.py``).  ``jax_platform``
+    forces the worker backend (tests pass ``"cpu"``; ``None`` keeps the
+    environment's default — the relay TPU in production).
+    """
+    if chunks_per_worker < 1:
+        raise ValueError("chunks_per_worker must be >= 1")
+    ctx = multiprocessing.get_context("spawn")
+    outs: List[np.ndarray] = []
+    warmups: List[int] = []
+    i, gens = 0, 0
+    resume = False  # first generation is a cold start
+    while True:
+        in_q: multiprocessing.Queue = ctx.Queue()
+        out_q: multiprocessing.Queue = ctx.Queue()
+        proc = ctx.Process(
+            target=_worker,
+            args=(spec_builder, sample_rate, ckpt_path, resume, in_q,
+                  out_q, jax_platform))
+        proc.start()
+        gens += 1
+        in_q.put(chunks_per_worker)  # generation budget
+        fed = 0
+        while fed < chunks_per_worker and i < len(chunks):
+            in_q.put(np.asarray(chunks[i]))
+            i += 1
+            fed += 1
+        if fed < chunks_per_worker:
+            in_q.put(None)
+        kind = None
+        deadline = timeout
+        while True:
+            # Poll with liveness checks: a worker that dies before it can
+            # report (e.g. killed, or the spawn bootstrap failed because
+            # the caller's script lacks an `if __name__ == "__main__"`
+            # guard) must raise promptly, not block the full timeout.
+            try:
+                kind, payload = out_q.get(timeout=min(1.0, timeout))
+            except queue.Empty:
+                if not proc.is_alive():
+                    # Drain any message that raced the exit (the queue
+                    # feeder flushes on child exit, but not instantly).
+                    try:
+                        kind, payload = out_q.get(timeout=1.0)
+                    except queue.Empty:
+                        raise RuntimeError(
+                            f"recycling worker (gen {gens}) died without "
+                            f"reporting (exit {proc.exitcode}); if "
+                            f"serve_recycling is called from a script, it "
+                            f"must run under `if __name__ == '__main__'` "
+                            f"(multiprocessing spawn re-imports the main "
+                            f"module)") from None
+                else:
+                    deadline -= 1.0
+                    if deadline <= 0:
+                        proc.terminate()
+                        raise TimeoutError(
+                            f"recycling worker (gen {gens}) produced no "
+                            f"message for {timeout} s")
+                    continue
+            deadline = timeout
+            if kind == "chunk":
+                outs.append(payload)
+            elif kind == "error":
+                proc.join(timeout)
+                raise RuntimeError(f"recycling worker (gen {gens}) "
+                                   f"failed: {payload}")
+            else:  # "recycle" | "done"
+                warmups.append(payload)
+                break
+        proc.join(timeout)
+        if proc.exitcode != 0:
+            raise RuntimeError(
+                f"recycling worker (gen {gens}) exited {proc.exitcode}")
+        if kind == "done" or (kind == "recycle" and i >= len(chunks)):
+            # Budget boundary coinciding with end-of-stream: everything
+            # is served; don't spin up an empty generation.
+            return outs, gens, warmups
+        resume = True
