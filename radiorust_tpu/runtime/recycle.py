@@ -76,7 +76,12 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
             # failure) before accepting the next input, so the supervisor
             # sees a gapless ordered stream and a crash points at the
             # chunk that caused it.
-            await wait_until(lambda: len(sink.chunks) >= served, blk, sink)
+            # timeout=None: the relay's first device->host fetch can take
+            # minutes (CLAUDE.md rule 7); genuine hangs are the
+            # supervisor's liveness timeout to handle, failures surface
+            # through the actors' .failure polling here.
+            await wait_until(lambda: len(sink.chunks) >= served, blk, sink,
+                             timeout=None)
             while emitted < len(sink.chunks):
                 out_q.put(("chunk", sink.chunks[emitted]))
                 emitted += 1
