@@ -301,6 +301,14 @@ def test_audio_44k_receiver_example_runs():
     assert abs(int(m.group(1)) - 1000) <= 5, out.stdout
 
 
+def test_recycling_server_example_runs():
+    out = _run_example("recycling_server.py", timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "3 worker generations" in out.stdout
+    m = re.search(r"dominant tone (\d+) Hz", out.stdout)
+    assert m and abs(int(m.group(1)) - 1000) <= 5, out.stdout
+
+
 def test_fleet_receiver_example_runs():
     out = _run_example("fleet_receiver.py", timeout=600)
     assert out.returncode == 0, out.stderr
