@@ -136,59 +136,70 @@ def serve_recycling(
                   out_q, jax_platform))
         proc.start()
         gens += 1
-        in_q.put(chunks_per_worker)  # generation budget
-        fed = 0
-        while fed < chunks_per_worker and i < len(chunks):
-            in_q.put(np.asarray(chunks[i]))
-            i += 1
-            fed += 1
-        if fed < chunks_per_worker:
-            in_q.put(None)
-        kind = None
-        deadline = timeout
-        while True:
-            # Poll with liveness checks: a worker that dies before it can
-            # report (e.g. killed, or the spawn bootstrap failed because
-            # the caller's script lacks an `if __name__ == "__main__"`
-            # guard) must raise promptly, not block the full timeout.
-            try:
-                kind, payload = out_q.get(timeout=min(1.0, timeout))
-            except queue.Empty:
-                if not proc.is_alive():
-                    # Drain any message that raced the exit (the queue
-                    # feeder flushes on child exit, but not instantly).
-                    try:
-                        kind, payload = out_q.get(timeout=1.0)
-                    except queue.Empty:
-                        raise RuntimeError(
-                            f"recycling worker (gen {gens}) died without "
-                            f"reporting (exit {proc.exitcode}); if "
-                            f"serve_recycling is called from a script, it "
-                            f"must run under `if __name__ == '__main__'` "
-                            f"(multiprocessing spawn re-imports the main "
-                            f"module)") from None
-                else:
-                    deadline -= 1.0
-                    if deadline <= 0:
-                        proc.terminate()
-                        raise TimeoutError(
-                            f"recycling worker (gen {gens}) produced no "
-                            f"message for {timeout} s")
-                    continue
+        try:
+            in_q.put(chunks_per_worker)  # generation budget
+            fed = 0
+            while fed < chunks_per_worker and i < len(chunks):
+                in_q.put(np.asarray(chunks[i]))
+                i += 1
+                fed += 1
+            if fed < chunks_per_worker:
+                in_q.put(None)
+            kind = None
             deadline = timeout
-            if kind == "chunk":
-                outs.append(payload)
-            elif kind == "error":
-                proc.join(timeout)
-                raise RuntimeError(f"recycling worker (gen {gens}) "
-                                   f"failed: {payload}")
-            else:  # "recycle" | "done"
-                warmups.append(payload)
-                break
-        proc.join(timeout)
-        if proc.exitcode != 0:
-            raise RuntimeError(
-                f"recycling worker (gen {gens}) exited {proc.exitcode}")
+            while True:
+                # Poll with liveness checks: a worker that dies before it
+                # can report (e.g. killed, or the spawn bootstrap failed
+                # because the caller's script lacks an
+                # `if __name__ == "__main__"` guard) must raise promptly,
+                # not block the full timeout.
+                try:
+                    kind, payload = out_q.get(timeout=min(1.0, timeout))
+                except queue.Empty:
+                    if not proc.is_alive():
+                        # Drain any message that raced the exit (the queue
+                        # feeder flushes on child exit, but not instantly).
+                        try:
+                            kind, payload = out_q.get(timeout=1.0)
+                        except queue.Empty:
+                            raise RuntimeError(
+                                f"recycling worker (gen {gens}) died "
+                                f"without reporting (exit "
+                                f"{proc.exitcode}); if serve_recycling is "
+                                f"called from a script, it must run under "
+                                f"`if __name__ == '__main__'` "
+                                f"(multiprocessing spawn re-imports the "
+                                f"main module)") from None
+                    else:
+                        deadline -= 1.0
+                        if deadline <= 0:
+                            proc.terminate()
+                            raise TimeoutError(
+                                f"recycling worker (gen {gens}) produced "
+                                f"no message for {timeout} s")
+                        continue
+                deadline = timeout
+                if kind == "chunk":
+                    outs.append(payload)
+                elif kind == "error":
+                    proc.join(timeout)
+                    raise RuntimeError(f"recycling worker (gen {gens}) "
+                                       f"failed: {payload}")
+                else:  # "recycle" | "done"
+                    warmups.append(payload)
+                    break
+            proc.join(timeout)
+            if proc.exitcode != 0:
+                raise RuntimeError(
+                    f"recycling worker (gen {gens}) exited {proc.exitcode}")
+        finally:
+            # Release the queue feeder threads even when a raise leaves
+            # unread chunks behind (a blocked feeder would hang the
+            # caller's interpreter at exit); by the time the normal path
+            # gets here the worker has consumed every input it was fed.
+            for q in (in_q, out_q):
+                q.cancel_join_thread()
+                q.close()
         if kind == "done" or (kind == "recycle" and i >= len(chunks)):
             # Budget boundary coinciding with end-of-stream: everything
             # is served; don't spin up an empty generation.
