@@ -50,6 +50,7 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
         import jax
         jax.config.update("jax_platforms", jax_platform)
     import asyncio
+    import queue as _queue
 
     from ..signal import Samples, Warmup
     from .blocks import ArraySink, RuntimeBlock, wait_until
@@ -65,8 +66,22 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
         sink.feed_from(blk)
         loop = asyncio.get_running_loop()
         served = emitted = 0
+
+        def _next_item():
+            # Poll so a worker orphaned by supervisor death exits instead
+            # of blocking on the queue forever (it would hold the relay
+            # chip hostage for every later run).
+            while True:
+                try:
+                    return in_q.get(timeout=5.0)
+                except _queue.Empty:
+                    parent = multiprocessing.parent_process()
+                    if parent is None or not parent.is_alive():
+                        raise RuntimeError(
+                            "supervisor process died; worker exiting")
+
         while True:
-            item = await loop.run_in_executor(None, in_q.get)
+            item = await loop.run_in_executor(None, _next_item)
             if item is None:  # end of stream
                 out_q.put(("done", _finish(sink)))
                 return
@@ -95,7 +110,9 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
         return sum(isinstance(e, Warmup) for e in sink.events)
 
     try:
-        budget = in_q.get()  # first message is this generation's budget
+        # First message is this generation's budget; the supervisor sends
+        # it right after spawn, so a long wait means it died in between.
+        budget = in_q.get(timeout=60.0)
         asyncio.run(run())
     except Exception as exc:  # surface to the supervisor, don't hang it
         out_q.put(("error", repr(exc)))
