@@ -40,8 +40,9 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
 
     Runs in a fresh ``spawn`` process.  Protocol on ``out_q``:
     ``("chunk", array)`` per output, then exactly one of
-    ``("recycle", warmups)`` (budget reached, checkpoint written),
-    ``("done", warmups)`` (end of stream), or ``("error", repr)``.
+    ``("recycle", stats)`` (budget reached, checkpoint written),
+    ``("done", stats)`` (end of stream), or ``("error", repr)`` —
+    ``stats`` = ``{"warmups": n, "maxrss_mb": peak_rss}``.
     """
     # The sitecustomize pins jax to the relay backend programmatically, so
     # a JAX_PLATFORMS env var is not enough (see tests/conftest.py); the
@@ -107,7 +108,14 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
                 return
 
     def _finish(sink):
-        return sum(isinstance(e, Warmup) for e in sink.events)
+        import resource
+        return {
+            "warmups": sum(isinstance(e, Warmup) for e in sink.events),
+            # Linux ru_maxrss is KiB: the generation's peak RSS, the
+            # number that resets at every recycle (relay retention).
+            "maxrss_mb": round(resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
+        }
 
     try:
         # First message is this generation's budget; the supervisor sends
@@ -123,6 +131,7 @@ def serve_recycling(
     spec_builder: Callable, chunks: Sequence[np.ndarray],
     sample_rate: float, *, chunks_per_worker: int, ckpt_path: str,
     jax_platform: Optional[str] = None, timeout: float = 300.0,
+    stats: Optional[list] = None,
 ) -> Tuple[List[np.ndarray], int, List[int]]:
     """Serve ``chunks`` through ``spec_builder()`` across recycled worker
     processes; returns ``(output_chunks, generations, warmups_per_gen)``.
@@ -135,7 +144,10 @@ def serve_recycling(
     The stitched ``output_chunks`` are bit-identical to an uninterrupted
     single-process run (``tests/test_recycle.py``).  ``jax_platform``
     forces the worker backend (tests pass ``"cpu"``; ``None`` keeps the
-    environment's default — the relay TPU in production).
+    environment's default — the relay TPU in production).  Pass a list
+    as ``stats`` to collect each generation's terminal report
+    (``{"warmups", "maxrss_mb"}`` — the peak-RSS series shows the
+    per-process relay retention resetting at every recycle).
     """
     if chunks_per_worker < 1:
         raise ValueError("chunks_per_worker must be >= 1")
@@ -203,7 +215,9 @@ def serve_recycling(
                     raise RuntimeError(f"recycling worker (gen {gens}) "
                                        f"failed: {payload}")
                 else:  # "recycle" | "done"
-                    warmups.append(payload)
+                    warmups.append(payload["warmups"])
+                    if stats is not None:
+                        stats.append(payload)
                     break
             proc.join(timeout)
             if proc.exitcode != 0:

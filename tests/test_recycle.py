@@ -33,10 +33,13 @@ def _chunks(t=7, n=256, seed=3):
 def test_recycling_bit_exact(tmp_path, budget, want_gens):
     xs = _chunks()
     path = str(tmp_path / "gen.npz")
+    stats = []
     outs, gens, warmups = serve_recycling(
         _spec, xs, 8000.0, chunks_per_worker=budget, ckpt_path=path,
-        jax_platform="cpu")
+        jax_platform="cpu", stats=stats)
     assert gens == want_gens
+    assert len(stats) == gens
+    assert all(s["maxrss_mb"] > 0 for s in stats), stats
     # Only the cold generation primes zero history (Warmup); every
     # resumed generation continues the checkpointed stream state.
     assert warmups[0] == 1 and all(w == 0 for w in warmups[1:]), warmups

@@ -31,6 +31,8 @@ RATE = 256000.0
 CHUNK = 2048
 N_CHUNKS = 8
 BUDGET = 4  # chunks per worker generation -> 2 generations
+RET_CHUNK = int(os.environ.get("RECYCLE_RET_CHUNK", 24576))
+RET_BUDGET = int(os.environ.get("RECYCLE_RET_BUDGET", 400))
 
 
 def spec():
@@ -51,6 +53,48 @@ def make_chunks():
     iq = np.exp(1j * (2 * np.pi * 75000.0 / RATE * np.cumsum(audio))
                 - 1j * 2 * np.pi * 5000.0 * t).astype(np.complex64)
     return list(iq.reshape(N_CHUNKS, CHUNK))
+
+
+def gain_spec():
+    # Compute-trivial chain for the retention drill: the upload stream
+    # (input chunks) dominates, which is exactly what retention tracks.
+    from radiorust_tpu.blocks.transform import GainControl
+    return Chain(GainControl(1.0))
+
+
+def retention_drill():
+    """Quantify the RSS reset: 2 generations x RET_BUDGET chunks vs one
+    single process serving 2x as much.  The relay client retains ~0.9x
+    of every upload for the process lifetime (tools/probe_relay_leak.py),
+    so the single process's peak RSS should exceed a generation's by
+    roughly one budget's worth of uploads."""
+    n, budget = 2 * RET_BUDGET, RET_BUDGET
+    rng = np.random.default_rng(0)
+    big = [(rng.standard_normal(RET_CHUNK).astype(np.float32)
+            + 1j * rng.standard_normal(RET_CHUNK).astype(np.float32)
+            ).astype(np.complex64) for _ in range(n)]
+    st_rec, st_one = [], []
+    outs_r, gens_r, _ = serve_recycling(
+        gain_spec, big, RATE, chunks_per_worker=budget,
+        ckpt_path="/tmp/recycle_ret.npz", jax_platform=None,
+        timeout=600.0, stats=st_rec)
+    outs_1, gens_1, _ = serve_recycling(
+        gain_spec, big, RATE, chunks_per_worker=n + 1,
+        ckpt_path="/tmp/recycle_ret1.npz", jax_platform=None,
+        timeout=600.0, stats=st_one)
+    assert gens_r == 2 and gens_1 == 1, (gens_r, gens_1)
+    np.testing.assert_array_equal(np.concatenate(outs_r),
+                                  np.concatenate(outs_1))
+    up_mb = RET_CHUNK * 8 * budget / 1e6  # c64 wire planes per budget
+    return {
+        "chunks": n, "chunk_len": RET_CHUNK,
+        "upload_mb_per_generation": round(up_mb, 1),
+        "gen_maxrss_mb": [s["maxrss_mb"] for s in st_rec],
+        "single_maxrss_mb": st_one[0]["maxrss_mb"],
+        "single_minus_worst_gen_mb": round(
+            st_one[0]["maxrss_mb"] - max(s["maxrss_mb"] for s in st_rec),
+            1),
+    }
 
 
 def main():
@@ -82,6 +126,8 @@ def main():
         "ok": bool(gens == 2 and gens_ref == 1
                    and warmups == [1, 0] and err < 1e-5),
     }
+    if os.environ.get("RECYCLE_RETENTION", "1") == "1":
+        result["retention"] = retention_drill()
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "RECYCLE_r05.json")
     with open(out_path, "w") as f:
