@@ -31,6 +31,8 @@ import numpy as np
 
 __all__ = ["serve_recycling"]
 
+_NO_SENTINEL = object()  # "no end-of-stream sentinel was queued"
+
 
 def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
             jax_platform):
@@ -63,7 +65,7 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
         if resume:
             blk.load_checkpoint(ckpt_path)
         sink = ArraySink()
-        blk.feed_from(type("P", (), {"sender_connector": connector})())
+        blk.receiver_connector.connect(connector)
         sink.feed_from(blk)
         loop = asyncio.get_running_loop()
         served = emitted = 0
@@ -88,6 +90,21 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
                 return
             await sender.send(Samples(sample_rate, item))
             served += 1
+            if served == 1:
+                # The lock-step protocol below assumes one output chunk
+                # per input; a phase-mode (ragged) resampler tail emits a
+                # trimmed schedule (zero-valid chunks are skipped by the
+                # actor), which would hang the wait.  Reject with a clear
+                # error once the first chunk has bound the chain.
+                await wait_until(lambda: blk._bound is not None, blk,
+                                 sink, timeout=None)
+                if getattr(blk._bound, "ragged_output", False):
+                    raise RuntimeError(
+                        "serve_recycling requires one output chunk per "
+                        "input; phase-mode (arbitrary-ratio) resampler "
+                        "tails emit a trimmed schedule — re-chunk to a "
+                        "multiple of the resampling period or serve "
+                        "through RuntimeBlock directly")
             # Lock-step: surface this chunk's output (and any actor
             # failure) before accepting the next input, so the supervisor
             # sees a gapless ordered stream and a crash points at the
@@ -102,6 +119,20 @@ def _worker(spec_builder, sample_rate, ckpt_path, resume, in_q, out_q,
                 out_q.put(("chunk", sink.chunks[emitted]))
                 emitted += 1
             if served >= budget:
+                # If the stream ended exactly at the budget boundary the
+                # supervisor has already queued the None sentinel — peek
+                # for it so the final generation skips the dead
+                # checkpoint write (a device->host state sync through
+                # the relay).  An Empty race just means a harmless
+                # extra checkpoint.
+                try:
+                    nxt = await loop.run_in_executor(
+                        None, lambda: in_q.get(timeout=0.5))
+                except _queue.Empty:
+                    nxt = _NO_SENTINEL
+                if nxt is None:
+                    out_q.put(("done", _finish(sink)))
+                    return
                 # Between sends — the same contract as the typed setters.
                 blk.save_checkpoint(ckpt_path)
                 out_q.put(("recycle", _finish(sink)))
@@ -172,7 +203,10 @@ def serve_recycling(
                 in_q.put(np.asarray(chunks[i]))
                 i += 1
                 fed += 1
-            if fed < chunks_per_worker:
+            if fed < chunks_per_worker or i >= len(chunks):
+                # End-of-stream sentinel; also sent when the stream ends
+                # exactly at the budget so the last generation can skip
+                # its dead checkpoint write.
                 in_q.put(None)
             kind = None
             deadline = timeout
@@ -202,7 +236,14 @@ def serve_recycling(
                     else:
                         deadline -= 1.0
                         if deadline <= 0:
+                            # Reap before raising: a merely-TERMed child
+                            # could keep driving the relay chip under a
+                            # caller's retry (CLAUDE.md rule 10).
                             proc.terminate()
+                            proc.join(5.0)
+                            if proc.is_alive():
+                                proc.kill()
+                                proc.join(5.0)
                             raise TimeoutError(
                                 f"recycling worker (gen {gens}) produced "
                                 f"no message for {timeout} s")

@@ -52,6 +52,21 @@ def test_recycling_bit_exact(tmp_path, budget, want_gens):
                                   np.concatenate(ref))
 
 
+def _ragged_spec():
+    from radiorust_tpu.blocks.resampling import Downsampler
+    return Downsampler(384.0, 200.0)  # phase mode at chunk 100
+
+
+def test_recycling_rejects_phase_mode(tmp_path):
+    # Ragged (trimmed-schedule) chains break the lock-step protocol; the
+    # worker must reject them with a clear error, not hang.
+    xs = [np.ones(100, np.complex64)] * 2
+    with pytest.raises(RuntimeError, match="one output chunk per input"):
+        serve_recycling(_ragged_spec, xs, 1024.0, chunks_per_worker=4,
+                        ckpt_path=str(tmp_path / "gen.npz"),
+                        jax_platform="cpu", timeout=120.0)
+
+
 def _dying_spec():
     import os
     os._exit(3)  # simulates a worker killed before it can report
